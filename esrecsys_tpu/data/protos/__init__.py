@@ -1,0 +1,14 @@
+"""Generated protobuf stubs (protoc output of corpus.proto).
+
+Regenerate with:  protoc --python_out=. corpus.proto  (run in this directory).
+"""
+
+from esrecsys_tpu.data.protos.corpus_pb2 import (  # noqa: F401
+    TextDocument,
+    TokenStat,
+    SparseDocument,
+    CooccurrenceRow,
+    Contributor,
+    Revision,
+    Page,
+)
