@@ -1,0 +1,98 @@
+"""Checkpoint / resume on Orbax.
+
+One mechanism replacing the reference's three (flax.training.checkpoints,
+raw flax.serialization byte files, Keras HDF5 — SURVEY.md §5). Orbax writes
+sharded arrays natively, so row-sharded tables checkpoint without being
+gathered to one host (required at the 100M-row scale; the reference's
+to_bytes approach cannot do this). Also fixes the reference's silent no-op
+resume (train_cooccurence.py:173-177 discards from_bytes' return value).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    """Step-indexed checkpoints with bounded retention (keep-last-k)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+            ),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        # Checkpoint the pytree minus static fields (apply_fn/tx aren't arrays).
+        payload = _arrays_only(state)
+        self._mgr.save(int(step), args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        """Restore into the (possibly sharded) structure of ``state_template``.
+
+        The template's shardings are respected: arrays come back with the
+        same NamedShardings, so restore works on any mesh shape that matches.
+        """
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        payload = _arrays_only(state_template)
+        restored = self._mgr.restore(int(step), args=ocp.args.StandardRestore(payload))
+        return _merge_restored(state_template, restored)
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def _arrays_only(state: Any) -> dict:
+    """Extract the array-valued fields of a TrainState-like object."""
+    if hasattr(state, "params"):
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+        }
+        if getattr(state, "batch_stats", None) is not None:
+            payload["batch_stats"] = state.batch_stats
+        return payload
+    return {"tree": state}
+
+
+def _match_commitment(template: Any, restored: Any) -> Any:
+    """Leaves that were uncommitted in the template (plain scalars like step
+    or optimizer counts) come back from Orbax committed to one device, which
+    then clashes with mesh-sharded params inside jit. Re-create those leaves
+    as uncommitted arrays; sharded leaves keep their restored placement."""
+    import jax.numpy as jnp
+
+    def fix(t_leaf, r_leaf):
+        if getattr(t_leaf, "committed", True):
+            return r_leaf
+        return jnp.asarray(jax.device_get(r_leaf))
+
+    return jax.tree_util.tree_map(fix, template, restored)
+
+
+def _merge_restored(template: Any, payload: dict) -> Any:
+    if hasattr(template, "params"):
+        merged = template.replace(
+            step=payload["step"],
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            batch_stats=payload.get("batch_stats", getattr(template, "batch_stats", None)),
+        )
+        return _match_commitment(template, merged)
+    return _match_commitment(template, payload["tree"])

@@ -1,0 +1,115 @@
+"""The step-loop harness.
+
+One loop replacing the reference's three near-identical hand-written loops
+(train_shop_the_look.py:190-221, train_spotify.py:255-288,
+train_cooccurence.py:179-186): jitted train step with donated state, windowed
+metric means, eval cadence, checkpoint cadence, tracker logging, qualitative
+hooks (KNN probes), and resume-from-step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+from esrecsys_tpu.core.profiling import StepTimer
+from esrecsys_tpu.core.tracking import NullTracker, Tracker
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: Any
+    last_train_metrics: Dict[str, float]
+    last_eval_metrics: Dict[str, float]
+    steps_run: int
+
+
+def fit(
+    state: Any,
+    train_step: Callable[[Any, Any], tuple],
+    train_iter: Iterator[Any],
+    num_steps: int,
+    *,
+    eval_step: Optional[Callable[[Any, Any], Dict[str, Any]]] = None,
+    eval_iter_fn: Optional[Callable[[], Iterator[Any]]] = None,
+    eval_every: int = 0,
+    eval_steps: int = 0,
+    log_every: int = 100,
+    tracker: Optional[Tracker] = None,
+    checkpointer: Optional[Any] = None,
+    checkpoint_every: int = 0,
+    hooks: Sequence[Callable[[Any, int], None]] = (),
+    hook_every: int = 0,
+    examples_per_step: int = 0,
+    donate_state: bool = True,
+) -> FitResult:
+    """Run the training loop.
+
+    Args:
+      state: TrainState (resumes from ``state.step``, like the reference loops
+        resume at train_shop_the_look.py:185-190).
+      train_step: (state, batch) -> (state, metrics). Jitted here with the
+        state donated, so table updates are in-place on device.
+      train_iter: infinite iterator of device-ready batches.
+      num_steps: final step number (absolute, not incremental).
+      eval_step: (state, batch) -> metrics dict; averaged over ``eval_steps``.
+      eval_iter_fn: builds a fresh eval iterator each eval round.
+      hooks: qualitative callbacks, e.g. probe-KNN dumps
+        (train_cooccurence.py:114-126 parity).
+    """
+    tracker = tracker or NullTracker()
+    donate = (0,) if donate_state else ()
+    jit_train = jax.jit(train_step, donate_argnums=donate)
+    jit_eval = jax.jit(eval_step) if eval_step is not None else None
+
+    timer = StepTimer(examples_per_step, window=max(log_every, 1)) if examples_per_step else None
+    window: Dict[str, list] = {}
+    last_train: Dict[str, float] = {}
+    last_eval: Dict[str, float] = {}
+
+    init_step = int(jax.device_get(state.step))
+    steps_run = 0
+    for step in range(init_step + 1, num_steps + 1):
+        batch = next(train_iter)
+        state, metrics = jit_train(state, batch)
+        steps_run += 1
+        for k, v in metrics.items():
+            window.setdefault(k, []).append(v)
+
+        if log_every and step % log_every == 0:
+            # One device_get for the whole window (keeps the loop async).
+            vals = jax.device_get(window)
+            last_train = {f"train_{k}": float(np.mean(v)) for k, v in vals.items()}
+            if timer is not None:
+                t = timer.tick()
+                if t:
+                    last_train.update(t)
+            tracker.log(last_train, step)
+            window = {}
+        elif timer is not None:
+            timer.tick()
+
+        if eval_every and jit_eval is not None and step % eval_every == 0:
+            acc: Dict[str, list] = {}
+            it = eval_iter_fn() if eval_iter_fn is not None else None
+            for _ in range(eval_steps):
+                ebatch = next(it if it is not None else train_iter)
+                em = jax.device_get(jit_eval(state, ebatch))
+                for k, v in em.items():
+                    acc.setdefault(k, []).append(v)
+            last_eval = {f"eval_{k}": float(np.mean(v)) for k, v in acc.items()}
+            tracker.log(last_eval, step)
+
+        if hook_every and hooks and step % hook_every == 0:
+            for hook in hooks:
+                hook(state, step)
+
+        if checkpointer is not None and checkpoint_every and step % checkpoint_every == 0:
+            checkpointer.save(step, state)
+
+    if checkpointer is not None and steps_run:
+        checkpointer.save(int(jax.device_get(state.step)), state)
+    return FitResult(state, last_train, last_eval, steps_run)

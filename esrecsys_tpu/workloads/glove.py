@@ -1,0 +1,164 @@
+"""GloVe co-occurrence embedding workload.
+
+Replaces reference wikipedia/train_cooccurence.py:137-192: same data format
+(CooccurrenceRow shards), same loss (weighted MSE on log10(1+count),
+train_cooccurence.py:75-84), same qualitative probe-KNN dumps — on the shared
+harness, with the token table row-shardable over ``model`` and the epoch
+structure expressed as eval/hook cadences of one step loop.
+
+Run:  python -m esrecsys_tpu.workloads.glove --train_pattern 'shards/*.bz2' \
+          --token_dictionary dict.bz2 --work_dir /tmp/glove
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from esrecsys_tpu.core import config as config_lib
+from esrecsys_tpu.core import mesh as mesh_lib
+from esrecsys_tpu.core import prng
+from esrecsys_tpu.core.tracking import make_tracker
+from esrecsys_tpu.data import pipelines
+from esrecsys_tpu.data.vocab import Vocabulary
+from esrecsys_tpu.models.glove import Glove
+from esrecsys_tpu.ops import losses
+from esrecsys_tpu.parallel.sharding import apply_partition_rules
+from esrecsys_tpu.train import Checkpointer, TrainState, fit
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class GloveConfig:
+    """Defaults follow the reference run (wikipedia/README.md:127-139)."""
+
+    train_pattern: str = ""
+    token_dictionary: str = ""
+    work_dir: str = "/tmp/glove"
+    feature_size: int = 64
+    batch_size: int = 2048
+    learning_rate: float = 5e-4
+    steps_per_epoch: int = 10000
+    num_epochs: int = 100
+    shuffle_buffer_size: int = 5_000_000
+    seed: int = 12345
+    terms: str = "news,apple,computer,physics,math,biology"
+    checkpoint_every_epochs: int = 5
+    n_model_shards: int = 1
+    resume: bool = False
+
+
+def make_train_step(model: Glove):
+    def train_step(state: TrainState, batch):
+        (t1, t2), count = batch
+
+        def loss_fn(params):
+            pred = state.apply_fn({"params": params}, (t1, t2))
+            return losses.glove_loss(pred, count)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), {"loss": loss}
+
+    return train_step
+
+
+def make_eval_step(model: Glove):
+    def eval_step(state: TrainState, batch):
+        (t1, t2), count = batch
+        pred = state.apply_fn({"params": state.params}, (t1, t2))
+        return {"loss": losses.glove_loss(pred, count)}
+
+    return eval_step
+
+
+def knn(state: TrainState, tokens: jax.Array, k: int = 10):
+    """Top-k neighbors by embedding dot product for a batch of token ids."""
+    scores = state.apply_fn({"params": state.params}, tokens, method=Glove.score_all)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return jax.device_get(top_scores), jax.device_get(top_idx)
+
+
+def knn_hook(vocab: Vocabulary, probe_tokens: Sequence[str], k: int = 10):
+    """Per-cadence nearest-neighbor dump (train_cooccurence.py:114-126 parity)."""
+    ids = jnp.asarray([vocab.embedding_index(t) for t in probe_tokens], jnp.int32)
+
+    def hook(state: TrainState, step: int) -> None:
+        top_scores, top_idx = knn(state, ids, k)
+        for i, token in enumerate(probe_tokens):
+            neighbors = " ".join(
+                "%s:%.3f" % (vocab.token_from_embedding_index(int(top_idx[i, j])), top_scores[i, j])
+                for j in range(k)
+            )
+            log.info("knn step=%d %s: %s", step, token, neighbors)
+
+    return hook
+
+
+def init_state(cfg: GloveConfig, num_embeddings: int, mesh) -> Tuple[Glove, TrainState]:
+    model = Glove(num_embeddings=num_embeddings, features=cfg.feature_size, mesh=mesh)
+    key = prng.stream(prng.base_key(cfg.seed), prng.STREAM_INIT)
+    dummy = jnp.zeros((2,), jnp.int32)
+    params = model.init(key, (dummy, dummy))["params"]
+    if mesh is not None:
+        params = apply_partition_rules(params, mesh)
+    tx = optax.adam(cfg.learning_rate)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    return model, state
+
+
+def train(cfg: GloveConfig, tracker=None, vocab: Optional[Vocabulary] = None):
+    mesh = mesh_lib.make_mesh(n_model=cfg.n_model_shards)
+    if vocab is None:
+        vocab = Vocabulary.load(cfg.token_dictionary)
+    num_embeddings = vocab.num_embeddings
+    model, state = init_state(cfg, num_embeddings, mesh)
+
+    ckpt = Checkpointer(f"{cfg.work_dir}/checkpoints")
+    if cfg.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        log.info("resumed from step %d", int(state.step))
+
+    tracker = tracker or make_tracker(run_dir=cfg.work_dir, config=config_lib.to_dict(cfg))
+    batches = pipelines.glove_batches(
+        cfg.train_pattern,
+        cfg.batch_size,
+        shuffle_buffer=cfg.shuffle_buffer_size,
+        seed=cfg.seed,
+    )
+    probe_terms = [t for t in cfg.terms.split(",") if t]
+    hooks = [knn_hook(vocab, probe_terms)] if probe_terms else []
+
+    result = fit(
+        state,
+        make_train_step(model),
+        batches,
+        num_steps=cfg.steps_per_epoch * cfg.num_epochs,
+        log_every=min(1000, cfg.steps_per_epoch),
+        tracker=tracker,
+        checkpointer=ckpt,
+        checkpoint_every=cfg.steps_per_epoch * cfg.checkpoint_every_epochs,
+        hooks=hooks,
+        hook_every=cfg.steps_per_epoch,
+        examples_per_step=cfg.batch_size,
+    )
+    return result
+
+
+def main(argv=None):
+    # force=True: jax/absl may already have installed a root handler at
+    # WARNING, which would swallow the knn/resume INFO lines.
+    logging.basicConfig(level=logging.INFO, force=True)
+    cfg = config_lib.from_cli(GloveConfig, argv)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
