@@ -1,0 +1,129 @@
+"""Playlist next-track model (two-table affinity tower).
+
+Capability parity with reference ``SpotifyModel`` (spotify/models.py:23-91):
+a track is represented as concat(album_embed, artist_embed); albums are
+mod-hashed into a bounded table; affinity of an item to a playlist context is
+the max dot product against the context's track embeddings plus 0.1 boosts
+when the item's album/artist appears in the context.
+
+TPU-first differences:
+  * vocab sizes are config, not hardcoded constants (reference bakes
+    100000/295861 into the module, spotify/models.py:29-31);
+  * everything is batched: the reference trains ONE playlist per step
+    (train_spotify.py:255-258) and retraces jit per ragged next-length; here
+    shapes are (B, C)/(B, M)+mask and compile once;
+  * tables are row-shardable over the ``model`` mesh axis;
+  * ragged next-track groups carry an explicit mask that scoring and losses
+    respect.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.sharding import Mesh
+
+from esrecsys_tpu.models.layers import TableEmbed
+
+NEG_INF = -1e9
+
+
+def batched_isin(element: jax.Array, test_set: jax.Array) -> jax.Array:
+    """Per-batch membership: element (B, M), test_set (B, C) → bool (B, M).
+
+    The batched generalization of the reference's ``jnp.isin`` boosts
+    (spotify/models.py:75-80), which only handles one playlist at a time.
+    """
+    return jnp.any(element[..., :, None] == test_set[..., None, :], axis=-1)
+
+
+class PlaylistModel(nn.Module):
+    feature_size: int
+    album_hash_buckets: int = 100_000
+    num_artists: int = 295_861
+    mesh: Optional[Mesh] = None
+
+    def setup(self):
+        self.album_embed = TableEmbed(
+            num_embeddings=self.album_hash_buckets,
+            features=self.feature_size,
+            mesh=self.mesh,
+        )
+        self.artist_embed = TableEmbed(
+            num_embeddings=self.num_artists,
+            features=self.feature_size,
+            mesh=self.mesh,
+        )
+
+    def get_embeddings(self, album: jax.Array, artist: jax.Array) -> jax.Array:
+        """(..., ) int ids → (..., 2*feature_size) track embedding.
+
+        Album ids are mod-hashed into the bounded table
+        (spotify/models.py:42 parity)."""
+        album_e = self.album_embed(jnp.mod(album, self.album_hash_buckets))
+        artist_e = self.artist_embed(artist)
+        return jnp.concatenate([album_e, artist_e], axis=-1)
+
+    def affinity(
+        self,
+        context_embed: jax.Array,   # (B, C, D)
+        item_embed: jax.Array,      # (B, M, D)
+        item_album: jax.Array,      # (B, M)
+        item_artist: jax.Array,     # (B, M)
+        album_context: jax.Array,   # (B, C)
+        artist_context: jax.Array,  # (B, C)
+    ) -> jax.Array:
+        """max-dot over context slots + 0.1 album/artist membership boosts
+        (spotify/models.py:74-80), batched: → (B, M)."""
+        dots = jnp.einsum("bmd,bcd->bmc", item_embed, context_embed)
+        aff = jnp.max(dots, axis=-1)
+        aff = aff + 0.1 * batched_isin(item_album, album_context)
+        aff = aff + 0.1 * batched_isin(item_artist, artist_context)
+        return aff
+
+    def __call__(
+        self,
+        track_context: jax.Array,   # (B, C) — unused for embeddings (parity:
+        album_context: jax.Array,   # the reference has no track-id table)
+        artist_context: jax.Array,
+        next_track: jax.Array,      # (B, M)
+        next_album: jax.Array,
+        next_artist: jax.Array,
+        neg_track: jax.Array,       # (B, N)
+        neg_album: jax.Array,
+        neg_artist: jax.Array,
+    ) -> Tuple[jax.Array, ...]:
+        """Returns (pos_affinity (B,M), neg_affinity (B,N), context/next/neg
+        self-affinity matrices, all embedding L2 norms) — the same six outputs
+        as the reference (spotify/models.py:82-91), with a batch dim."""
+        del track_context, neg_track
+        context_embed = self.get_embeddings(album_context, artist_context)
+        next_embed = self.get_embeddings(next_album, next_artist)
+        neg_embed = self.get_embeddings(neg_album, neg_artist)
+
+        pos_affinity = self.affinity(
+            context_embed, next_embed, next_album, next_artist,
+            album_context, artist_context)
+        neg_affinity = self.affinity(
+            context_embed, neg_embed, neg_album, neg_artist,
+            album_context, artist_context)
+
+        all_embeddings = jnp.concatenate([context_embed, next_embed, neg_embed], axis=-2)
+        all_embeddings_l2 = jnp.sqrt(jnp.sum(jnp.square(all_embeddings), axis=-1))
+
+        # Flip-paired self-affinities (spotify/models.py:85-87): row i vs
+        # row C-1-i of the same group, so each group's embeddings spread out.
+        def self_aff(e):
+            return jnp.einsum("bmd,bnd->bmn", jnp.flip(e, axis=-2), e)
+
+        return (
+            pos_affinity,
+            neg_affinity,
+            self_aff(context_embed),
+            self_aff(next_embed),
+            self_aff(neg_embed),
+            all_embeddings_l2,
+        )

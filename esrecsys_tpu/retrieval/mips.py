@@ -1,0 +1,167 @@
+"""Brute-force maximum-inner-product search, TPU-shaped.
+
+The reference's retrieval paths score every query against the WHOLE catalog
+in one op and then ``lax.top_k`` over the full score vector:
+  * pinterest/make_recommendations.py:49-65 (catalog matmul per scene),
+  * spotify/train_spotify.py:113-131 (2.26M-track corpus per eval playlist),
+  * wikipedia/models.py:40-55 (score_all materializes the table).
+That materializes O(B × M) scores (and for spotify, the full M×D corpus
+embedding matrix) in memory.
+
+Here:
+  * ``chunked_topk`` streams the catalog in blocks under ``lax.scan``,
+    carrying a running (B, k) candidate set — peak memory O(B × (k + block)),
+    compile-once, MXU-friendly block matmuls.
+  * ``sharded_topk_over_matrix`` shards the catalog rows over the ``model``
+    mesh axis with ``shard_map``: each shard computes its local top-k, then
+    candidates are all-gathered (k × n_shards per query) and re-topped —
+    the corpus-axis parallelism SURVEY.md §5 calls for. ICI traffic is
+    O(B × k × n_shards), independent of catalog size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from esrecsys_tpu.core.mesh import MODEL_AXIS, pad_to_multiple
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def chunked_topk(
+    score_block_fn: Callable[[jax.Array], jax.Array],
+    num_items: int,
+    k: int,
+    block_size: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming top-k over a virtual score matrix.
+
+    Args:
+      score_block_fn: start_index (scalar int) → (B, block_size) scores for
+        items [start, start+block). Called inside ``lax.scan``; must be
+        jit-traceable with static shapes.
+      num_items: catalog size (items >= num_items in the last block are
+        masked to -inf).
+      k: candidates to keep.
+      block_size: catalog rows per block.
+
+    Returns:
+      (values (B, k), indices (B, k)), sorted descending per row.
+
+    The true block size is taken from ``score_block_fn``'s output shape;
+    callers must return full blocks for out-of-range starts (pad the catalog)
+    — rows at index >= num_items are masked to -inf here.
+    """
+    probe = jax.eval_shape(score_block_fn, jax.ShapeDtypeStruct((), jnp.int32))
+    block_size = probe.shape[-1]
+    num_blocks = -(-num_items // block_size)
+    k_eff = min(k, num_items)
+
+    def body(carry, b):
+        vals, idxs = carry
+        start = b * block_size
+        scores = score_block_fn(start)  # (B, S)
+        local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+        item_idx = start + local
+        scores = jnp.where(item_idx < num_items, scores, NEG_INF)
+        cat_vals = jnp.concatenate([vals, scores], axis=-1)
+        cat_idxs = jnp.concatenate([idxs, item_idx], axis=-1)
+        new_vals, sel = jax.lax.top_k(cat_vals, k_eff)
+        new_idxs = jnp.take_along_axis(cat_idxs, sel, axis=-1)
+        return (new_vals, new_idxs), None
+
+    batch_shape = probe.shape[:-1]
+    init = (
+        jnp.full(batch_shape + (k_eff,), NEG_INF, jnp.float32),
+        jnp.zeros(batch_shape + (k_eff,), jnp.int32),
+    )
+    (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(num_blocks))
+    if k_eff < k:  # honor requested k with -inf padding
+        pad = k - k_eff
+        vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)], constant_values=NEG_INF)
+        idxs = jnp.pad(idxs, [(0, 0)] * (idxs.ndim - 1) + [(0, pad)])
+    return vals, idxs
+
+
+def topk_over_matrix(
+    queries: jax.Array,  # (B, D)
+    items: jax.Array,    # (M, D)
+    k: int,
+    block_size: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dot-product top-k of each query against an in-memory catalog matrix."""
+    num_items = items.shape[0]
+    block = min(block_size, pad_to_multiple(num_items, 128))
+    padded_rows = pad_to_multiple(num_items, block)
+    if padded_rows != num_items:
+        # Pad so dynamic_slice never clamps (which would mislabel indices).
+        items = jnp.pad(items, ((0, padded_rows - num_items), (0, 0)))
+
+    def score_block(start):
+        blk = jax.lax.dynamic_slice_in_dim(items, start, block, axis=0)
+        return jnp.dot(queries, blk.T, preferred_element_type=jnp.float32)
+
+    return chunked_topk(score_block, num_items, k, block)
+
+
+def sharded_topk_over_matrix(
+    queries: jax.Array,  # (B, D) replicated
+    items: jax.Array,    # (M, D), M divisible by model-axis size
+    k: int,
+    mesh: Mesh,
+    block_size: int = 8192,
+    valid_items: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Catalog-sharded MIPS: local top-k per shard + all-gather + re-top-k.
+
+    ``valid_items``: true catalog size if ``items`` carries padding rows
+    (padding rows score -inf and are never returned).
+    """
+    n_shards = mesh.shape[MODEL_AXIS]
+    total_rows = items.shape[0]
+    if total_rows % n_shards:
+        raise ValueError(f"catalog rows {total_rows} not divisible by {n_shards} shards")
+    rows_per_shard = total_rows // n_shards
+    valid = total_rows if valid_items is None else valid_items
+
+    def local_fn(q, local_items):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        base = shard * rows_per_shard
+        block = min(block_size, rows_per_shard)
+        padded = pad_to_multiple(rows_per_shard, block)
+        li = (
+            jnp.pad(local_items, ((0, padded - rows_per_shard), (0, 0)))
+            if padded != rows_per_shard
+            else local_items
+        )
+
+        def score_block(start):
+            blk = jax.lax.dynamic_slice_in_dim(li, start, block, axis=0)
+            s = jnp.dot(q, blk.T, preferred_element_type=jnp.float32)
+            local = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+            return jnp.where(base + start + local < valid, s, NEG_INF)
+
+        k_local = min(k, rows_per_shard)
+        vals, idxs = chunked_topk(score_block, rows_per_shard, k_local, block)
+        idxs = idxs + base
+        # gather candidates from every shard: (n_shards*k_local,) per query
+        vals_g = jax.lax.all_gather(vals, MODEL_AXIS, axis=-1, tiled=True)
+        idxs_g = jax.lax.all_gather(idxs, MODEL_AXIS, axis=-1, tiled=True)
+        final_vals, sel = jax.lax.top_k(vals_g, k)
+        final_idxs = jnp.take_along_axis(idxs_g, sel, axis=-1)
+        return final_vals, final_idxs
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, items)

@@ -1,0 +1,88 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esrecsys_tpu.retrieval import mips
+
+
+def _brute(queries, items, k):
+    scores = np.asarray(queries) @ np.asarray(items).T
+    idx = np.argsort(-scores, axis=-1)[:, :k]
+    vals = np.take_along_axis(scores, idx, axis=-1)
+    return vals, idx
+
+
+@pytest.mark.parametrize("m,block", [(1000, 128), (1000, 8192), (127, 64), (256, 256)])
+def test_topk_over_matrix_matches_brute_force(m, block):
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (4, 16))
+    items = jax.random.normal(jax.random.fold_in(key, 1), (m, 16))
+    k = 10
+    vals, idx = jax.jit(
+        lambda q, i: mips.topk_over_matrix(q, i, k=k, block_size=block)
+    )(q, items)
+    bvals, bidx = _brute(q, items, k)
+    np.testing.assert_allclose(np.asarray(vals), bvals, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), bidx)
+
+
+def test_topk_k_larger_than_catalog():
+    q = jnp.ones((2, 4))
+    items = jnp.eye(4)
+    vals, idx = mips.topk_over_matrix(q, items, k=8)
+    assert vals.shape == (2, 8)
+    assert np.all(np.isneginf(np.asarray(vals)[:, 4:]))
+
+
+def test_chunked_topk_custom_score_fn():
+    # virtual catalog: score of item j for query b is -(j - 10*b)^2
+    num_items, block = 500, 128
+
+    def score_block(start):
+        j = start + jax.lax.broadcasted_iota(jnp.int32, (3, block), 1)
+        b = jax.lax.broadcasted_iota(jnp.int32, (3, block), 0)
+        return -jnp.square(j - 10.0 * b)
+
+    vals, idx = jax.jit(
+        lambda: mips.chunked_topk(score_block, num_items, k=1, block_size=block)
+    )()
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], [0, 10, 20])
+    np.testing.assert_allclose(np.asarray(vals)[:, 0], 0.0)
+
+
+def test_sharded_topk_matches_brute_force(mesh_model8):
+    key = jax.random.PRNGKey(2)
+    q = jax.random.normal(key, (4, 8))
+    m = 512
+    items = jax.random.normal(jax.random.fold_in(key, 1), (m, 8))
+    items_sharded = jax.device_put(
+        items, jax.NamedSharding(mesh_model8, jax.P("model", None))
+    )
+    vals, idx = jax.jit(
+        lambda q, i: mips.sharded_topk_over_matrix(q, i, k=20, mesh=mesh_model8, block_size=64)
+    )(q, items_sharded)
+    bvals, bidx = _brute(q, items, 20)
+    np.testing.assert_allclose(np.asarray(vals), bvals, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), bidx)
+
+
+def test_sharded_topk_with_padding_rows(mesh_model8):
+    # catalog of 500 valid rows padded to 512; padding never returned
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (2, 8))
+    valid = 500
+    items = jax.random.normal(jax.random.fold_in(key, 1), (512, 8))
+    vals, idx = mips.sharded_topk_over_matrix(
+        q, items, k=50, mesh=mesh_model8, block_size=64, valid_items=valid
+    )
+    assert int(np.asarray(idx).max()) < valid
+    bvals, bidx = _brute(q, np.asarray(items)[:valid], 50)
+    np.testing.assert_array_equal(np.asarray(idx), bidx)
+
+
+def test_sharded_topk_rejects_bad_shapes(mesh_model8):
+    with pytest.raises(ValueError, match="not divisible"):
+        mips.sharded_topk_over_matrix(
+            jnp.ones((1, 4)), jnp.ones((9, 4)), k=2, mesh=mesh_model8
+        )

@@ -1,0 +1,226 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esrecsys_tpu.core import mesh as mesh_lib
+from esrecsys_tpu.models.playlist import PlaylistModel, batched_isin
+from esrecsys_tpu.workloads import playlist as pl
+
+
+def _small_model(mesh=None):
+    return PlaylistModel(feature_size=4, album_hash_buckets=50, num_artists=40, mesh=mesh)
+
+
+def _init(model, b=2, c=3, m=4, n=5):
+    zi = lambda *s: jnp.zeros(s, jnp.int32)
+    return model.init(
+        jax.random.PRNGKey(0),
+        zi(b, c), zi(b, c), zi(b, c),
+        zi(b, m), zi(b, m), zi(b, m),
+        zi(b, n), zi(b, n), zi(b, n),
+    )
+
+
+def test_batched_isin():
+    el = jnp.array([[1, 2, 3], [4, 5, 6]])
+    ts = jnp.array([[2, 9], [6, 4]])
+    np.testing.assert_array_equal(
+        np.asarray(batched_isin(el, ts)),
+        [[False, True, False], [True, False, True]],
+    )
+
+
+def test_model_output_shapes_and_boosts():
+    model = _small_model()
+    variables = _init(model)
+    b, c, m, n = 2, 3, 4, 5
+    ri = lambda key, *s, hi: jax.random.randint(jax.random.PRNGKey(key), s, 0, hi)
+    args = (
+        ri(1, b, c, hi=50), ri(2, b, c, hi=50), ri(3, b, c, hi=40),
+        ri(4, b, m, hi=50), ri(5, b, m, hi=50), ri(6, b, m, hi=40),
+        ri(7, b, n, hi=50), ri(8, b, n, hi=50), ri(9, b, n, hi=40),
+    )
+    out = model.apply(variables, *args)
+    pos, neg, ctx_s, next_s, neg_s, l2 = out
+    assert pos.shape == (b, m) and neg.shape == (b, n)
+    assert ctx_s.shape == (b, c, c) and next_s.shape == (b, m, m)
+    assert l2.shape == (b, c + m + n)
+
+    # album-in-context boost: make next album equal a context album
+    album_ctx = jnp.full((1, c), 7, jnp.int32)
+    artist_ctx = jnp.full((1, c), 3, jnp.int32)
+    next_album_in = jnp.array([[7]])
+    next_album_out = jnp.array([[8]])
+    base_args = lambda na: (
+        jnp.zeros((1, c), jnp.int32), album_ctx, artist_ctx,
+        jnp.array([[0]]), na, jnp.array([[9]]),
+        jnp.array([[0]]), jnp.array([[8]]), jnp.array([[9]]),
+    )
+    pos_in = model.apply(variables, *base_args(next_album_in))[0]
+    pos_out = model.apply(variables, *base_args(next_album_out))[0]
+    # same artist; only album membership differs → difference includes +0.1
+    # (embedding of album 7 vs 8 differ too, so just check boost direction when
+    # albums are forced equal via mod-hash collision: 7 and 57 share bucket)
+    pos_collide = model.apply(variables, *base_args(jnp.array([[57]])))[0]
+    np.testing.assert_allclose(
+        np.asarray(pos_in[0, 0] - pos_collide[0, 0]), 0.1, atol=1e-6
+    )
+
+
+def test_mod_hash_collision_shares_embedding():
+    """album id and id+buckets must hit the same row (spotify/models.py:42)."""
+    model = _small_model()
+    variables = _init(model)
+    e1 = model.apply(variables, jnp.array([[3]]), jnp.array([[0]]),
+                     method=PlaylistModel.get_embeddings)
+    e2 = model.apply(variables, jnp.array([[53]]), jnp.array([[0]]),
+                     method=PlaylistModel.get_embeddings)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2))
+
+
+def _reference_loss_single(result, regularization):
+    """Direct closed-form transcription of train_spotify.py:82-107 for B=1."""
+    pos, neg, ctx_s, next_s, neg_s, l2 = [np.asarray(x)[0] for x in result]
+    r = lambda x: np.maximum(x, 0)
+    mean_triplet = r(1.0 + neg.mean() - pos.mean())
+    extremal = r(1.0 + neg.max() - pos.min())
+    ctx_floor = r(0.5 - ctx_s).mean()
+    next_floor = r(0.5 - next_s).mean()
+    neg_ceil = r(neg_s).mean()
+    reg = r(l2 - regularization).sum()
+    return extremal + mean_triplet + reg + ctx_floor + next_floor + neg_ceil
+
+
+def test_loss_reference_parity_full_mask():
+    model = _small_model()
+    variables = _init(model, b=1)
+    b, c, m, n = 1, 3, 4, 5
+    ri = lambda key, *s, hi: jax.random.randint(jax.random.PRNGKey(key), s, 0, hi)
+    args = (
+        ri(1, b, c, hi=50), ri(2, b, c, hi=50), ri(3, b, c, hi=40),
+        ri(4, b, m, hi=50), ri(5, b, m, hi=50), ri(6, b, m, hi=40),
+        ri(7, b, n, hi=50), ri(8, b, n, hi=50), ri(9, b, n, hi=40),
+    )
+    result = model.apply(variables, *args)
+    metrics = pl.playlist_loss(result, jnp.ones((1, m)), regularization=0.5)
+    expected = _reference_loss_single(result, 0.5)
+    np.testing.assert_allclose(float(metrics["loss"]), expected, rtol=1e-5)
+
+
+def test_loss_mask_ignores_padding():
+    """Padded next rows must not change the loss."""
+    model = _small_model()
+    variables = _init(model, b=1, m=6)
+    b, c, n = 1, 3, 5
+    ri = lambda key, *s, hi: jax.random.randint(jax.random.PRNGKey(key), s, 0, hi)
+    ctx = (ri(1, b, c, hi=50), ri(2, b, c, hi=50), ri(3, b, c, hi=40))
+    nxt_real = (ri(4, b, 3, hi=50), ri(5, b, 3, hi=50), ri(6, b, 3, hi=40))
+    negs = (ri(7, b, n, hi=50), ri(8, b, n, hi=50), ri(9, b, n, hi=40))
+
+    pad = lambda x, fill: jnp.pad(x, ((0, 0), (0, 3)), constant_values=fill)
+    nxt_padded = tuple(pad(x, 0) for x in nxt_real)
+    res_padded = model.apply(variables, *ctx, *nxt_padded, *negs)
+    mask = jnp.array([[1.0, 1.0, 1.0, 0.0, 0.0, 0.0]])
+    m_padded = pl.playlist_loss(res_padded, mask, 0.5)
+
+    # same playlist with different garbage in the padding slots
+    nxt_padded2 = tuple(pad(x, 17) for x in nxt_real)
+    res_padded2 = model.apply(variables, *ctx, *nxt_padded2, *negs)
+    m_padded2 = pl.playlist_loss(res_padded2, mask, 0.5)
+    np.testing.assert_allclose(
+        float(m_padded["loss"]), float(m_padded2["loss"]), rtol=1e-5
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_mpd(tmp_path_factory):
+    """Synthetic MPD slices → dictionaries + tfrecords + corpus."""
+    from esrecsys_tpu.etl import playlists as etl
+
+    tmp = tmp_path_factory.mktemp("mpd")
+    rng = np.random.default_rng(0)
+    # 30 tracks, 10 artists, 15 albums; playlists cluster by artist parity
+    def track(i):
+        return {
+            "track_uri": f"spotify:track:{i}",
+            "album_uri": f"spotify:album:{i % 15}",
+            "artist_uri": f"spotify:artist:{i % 10}",
+            "track_name": f"t{i}",
+        }
+
+    slices = []
+    for s in range(2):
+        playlists = []
+        for p in range(20):
+            parity = p % 2
+            ids = [i for i in range(30) if i % 2 == parity]
+            order = rng.permutation(len(ids))
+            tracks = [track(ids[j]) for j in order[:12]]
+            playlists.append({"num_tracks": len(tracks), "tracks": tracks})
+        path = tmp / f"mpd.slice.{s}.json"
+        path.write_text(json.dumps({"playlists": playlists}))
+        slices.append(str(path))
+
+    out = str(tmp / "training")
+    cfg = etl.PlaylistEtlConfig(playlists=str(tmp / "mpd.slice.*.json"), output=out)
+    etl.build_dictionaries(cfg.playlists, out)
+    stats = etl.build_training(cfg)
+    assert stats["written"] == 40 and stats["unique_tracks"] == 30
+    return out
+
+
+def test_etl_and_pipeline(tiny_mpd):
+    from esrecsys_tpu.data import pipelines
+
+    batches = pipelines.playlist_batches(
+        f"{tiny_mpd}/*.tfrecord", context_size=5, max_next=8, batch_size=4
+    )
+    b = next(batches)
+    assert b["track_context"].shape == (4, 5)
+    assert b["next_track"].shape == (4, 8)
+    assert b["next_mask"].shape == (4, 8)
+    assert b["next_mask"].sum(axis=-1).min() >= 7  # 12 tracks - 5 ctx = 7
+    corpus = pipelines.load_track_corpus(
+        f"{tiny_mpd}/all_tracks.json",
+        f"{tiny_mpd}/track_uri_dict.json",
+        f"{tiny_mpd}/album_uri_dict.json",
+        f"{tiny_mpd}/artist_uri_dict.json",
+    )
+    assert corpus["tracks"].shape == (30,)
+    assert corpus["num_tracks"] == 30
+    np.testing.assert_array_equal(corpus["tracks"], np.arange(30))
+
+
+def test_playlist_train_and_eval_e2e(tiny_mpd, tmp_path):
+    cfg = pl.PlaylistConfig(
+        train_pattern=f"{tiny_mpd}/*.tfrecord",
+        test_pattern=f"{tiny_mpd}/*.tfrecord",
+        all_tracks=f"{tiny_mpd}/all_tracks.json",
+        dictionaries=tiny_mpd,
+        work_dir=str(tmp_path / "wd"),
+        feature_size=8,
+        album_hash_buckets=16,
+        num_artists=10,
+        num_negatives=8,
+        batch_size=4,
+        max_next=8,
+        learning_rate=0.1,
+        max_steps=150,
+        log_every_steps=50,
+        eval_every_steps=75,
+        eval_steps=8,
+        eval_k=10,
+        corpus_block=16,
+        n_model_shards=2,
+    )
+    result = pl.train(cfg)
+    assert result.steps_run == 150
+    assert "eval_track_recall" in result.last_eval_metrics
+    # next tracks share the playlist's parity cluster; after training,
+    # recall@10/30 should beat the random baseline (10/30 * ~0.5 per parity)
+    assert result.last_eval_metrics["eval_artist_recall"] > 0.2
+    assert result.last_train_metrics["train_loss"] < 25.0
