@@ -157,3 +157,97 @@ def load_track_corpus(
         "num_albums": len(album_vocab),
         "num_artists": len(artist_vocab),
     }
+
+
+# -------------------------------------------------------------- txt2url
+
+def sparse_doc_sentences(
+    pattern: str,
+    sentence_length: int,
+    max_sentences_per_doc: int = 4,
+    repeat: bool = True,
+    seed: int = 0,
+) -> Iterator[Tuple[int, np.ndarray]]:
+    """Stream (primary_url_index, fixed-length token window) training pairs.
+
+    Reference txt2url_generator semantics (train_txt2url.py:126-147): short
+    docs are zero-padded; long docs contribute ``max_sentences_per_doc``
+    random windows. This is how the reference "scales sequence length" —
+    fragment sampling rather than long-sequence modeling (SURVEY.md §5).
+    """
+    from esrecsys_tpu.data.protos import SparseDocument
+
+    rng = np.random.default_rng(seed)
+    for sdoc in recordio.proto_stream(pattern, SparseDocument, shuffle_files=True,
+                                      repeat=repeat, seed=seed):
+        tokens = np.asarray(sdoc.token_index, dtype=np.int32)
+        n = tokens.shape[0]
+        if n == 0:
+            continue
+        if n <= sentence_length:
+            out = np.zeros(sentence_length, np.int32)
+            out[:n] = tokens
+            yield int(sdoc.primary_index), out
+        else:
+            for _ in range(max_sentences_per_doc):
+                start = int(rng.integers(0, n - sentence_length))
+                yield int(sdoc.primary_index), tokens[start : start + sentence_length]
+
+
+def url_dice_triples(
+    pattern: str,
+    doc_frequency: np.ndarray,
+    repeat: bool = True,
+    seed: int = 0,
+) -> Iterator[Tuple[int, int, float]]:
+    """(url1, url2, dice) from url2url co-occurrence rows.
+
+    dice = 2*joint/(df_a + df_b) (train_txt2url.py:111-123).
+    ``doc_frequency[i]`` is the title dictionary's doc frequency for index i.
+    """
+    for row in recordio.proto_stream(pattern, CooccurrenceRow, shuffle_files=True,
+                                     repeat=repeat, seed=seed):
+        df_main = float(doc_frequency[row.index])
+        for other, joint in zip(row.other_index, row.count):
+            dice = 2.0 * float(joint) / (float(doc_frequency[other]) + df_main)
+            yield int(row.index), int(other), dice
+
+
+def txt2url_batches(
+    txt2url_pattern: str,
+    url2url_pattern: str,
+    doc_frequency: np.ndarray,
+    batch_size: int,
+    sentence_length: int = 32,
+    max_sentences_per_doc: int = 4,
+    shuffle_buffer: int = 0,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Joint batches for the two-objective model (triplet_generator parity,
+    train_txt2url.py:170-201): text pairs + url2url dice pairs, with the
+    sqrt(dice) target (:199-200)."""
+    from esrecsys_tpu.data import recordio as rio
+
+    text_it = sparse_doc_sentences(
+        txt2url_pattern, sentence_length, max_sentences_per_doc, repeat=True, seed=seed
+    )
+    dice_it = url_dice_triples(url2url_pattern, doc_frequency, repeat=True, seed=seed)
+    if shuffle_buffer:
+        text_it = rio.shuffled(text_it, shuffle_buffer, seed=seed + 1)
+        dice_it = rio.shuffled(dice_it, shuffle_buffer, seed=seed + 2)
+    while True:
+        url_near = np.empty(batch_size, np.int32)
+        tokens = np.empty((batch_size, sentence_length), np.int32)
+        url1 = np.empty(batch_size, np.int32)
+        url2 = np.empty(batch_size, np.int32)
+        dice = np.empty(batch_size, np.float32)
+        for i in range(batch_size):
+            url_near[i], tokens[i] = next(text_it)
+            url1[i], url2[i], dice[i] = next(dice_it)
+        yield {
+            "url_near_text": url_near,
+            "tokens": tokens,
+            "url1": url1,
+            "url2": url2,
+            "sqrt_dice": np.sqrt(dice),
+        }

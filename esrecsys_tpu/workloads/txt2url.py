@@ -1,0 +1,264 @@
+"""Text→URL retrieval workload (wikipedia two-objective two-tower).
+
+Replaces reference wikipedia/train_txt2url.py:204-292 (the one Keras model in
+the repo) on the shared JAX harness: sentence encoder vs URL table trained
+with the margin objective, plus the url2url head regressing sqrt(dice);
+RMSprop with per-epoch learning-rate decay (:101-105); Keras-style max-norm
+constraints as post-update projections; pretrained GloVe word-embedding
+transfer (:260-261); WordNN / SentenceNN probe hooks
+(debug_callbacks.py:17-104).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from esrecsys_tpu.core import config as config_lib
+from esrecsys_tpu.core import mesh as mesh_lib
+from esrecsys_tpu.core import prng
+from esrecsys_tpu.core.tracking import make_tracker
+from esrecsys_tpu.data import pipelines
+from esrecsys_tpu.data.vocab import Vocabulary
+from esrecsys_tpu.models.txt2url import Txt2UrlModel, max_norm_project
+from esrecsys_tpu.ops import losses
+from esrecsys_tpu.train import Checkpointer, TrainState, fit
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class Txt2UrlConfig:
+    txt2url_pattern: str = ""
+    url2url_pattern: str = ""
+    token_dictionary: str = ""
+    title_dictionary: str = ""
+    work_dir: str = "/tmp/txt2url"
+    word_dim: int = 64
+    rnn_size: int = 64
+    url_dim: int = 64
+    encoder_type: str = "lstm"      # lstm (reference parity) | mean
+    sentence_length: int = 32
+    max_sentences_per_doc: int = 4
+    batch_size: int = 64
+    shuffle_buffer: int = 10_000
+    learning_rate: float = 1e-3
+    learning_rate_decay: float = 1.0   # per steps_per_epoch multiplier (:101-105)
+    steps_per_epoch: int = 10_000
+    num_epochs: int = 10
+    margin: float = 1.0
+    word_max_norm: float = 3.0      # train_txt2url.py:217
+    url_max_norm: float = 3.0       # flag url_max_norm
+    text_objective: str = "margin"  # margin (reference) | softmax (in-batch)
+    glove_checkpoint: str = ""      # pretrained word embeddings to transfer
+    seed: int = 0
+    resume: bool = False
+    probe_words: str = ""
+    probe_sentences: str = ""
+
+
+def make_train_step(model: Txt2UrlModel, cfg: Txt2UrlConfig):
+    def train_step(state: TrainState, batch):
+        def loss_fn(params):
+            text_score, url_score, text_embed, url_embed = state.apply_fn(
+                {"params": params},
+                batch["url_near_text"], batch["tokens"],
+                batch["url1"], batch["url2"],
+            )
+            if cfg.text_objective == "margin":
+                text_loss = losses.margin_square_loss(text_score, cfg.margin)
+            else:
+                text_loss = losses.in_batch_softmax(text_embed, url_embed)
+            url_loss = jnp.mean(jnp.square(url_score - batch["sqrt_dice"]))
+            return text_loss + url_loss, {"text_loss": text_loss, "url_loss": url_loss}
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        # Keras max_norm constraints: project table rows after the update.
+        p = new_state.params
+        p = _project(p, ("encoder", "word_embedding", "embedding"), cfg.word_max_norm)
+        p = _project(p, ("url_embedding", "embedding"), cfg.url_max_norm)
+        return new_state.replace(params=p), {"loss": loss, **parts}
+
+    return train_step
+
+
+def _project(params, path: Tuple[str, ...], max_norm: float):
+    def update(tree, path, value):
+        if len(path) == 1:
+            new = dict(tree)
+            new[path[0]] = value
+            return new
+        new = dict(tree)
+        new[path[0]] = update(tree[path[0]], path[1:], value)
+        return new
+
+    leaf = params
+    for k in path:
+        leaf = leaf[k]
+    return update(params, list(path), max_norm_project(leaf, max_norm))
+
+
+def load_glove_word_embeddings(params, glove_params) -> dict:
+    """Transfer pretrained GloVe token embeddings into the word table
+    (train_txt2url.py:260-261 by-name transfer)."""
+    table = glove_params["token_embedding"]["embedding"]
+    target = params["encoder"]["word_embedding"]["embedding"]
+    if table.shape != target.shape:
+        raise ValueError(f"glove table {table.shape} != word table {target.shape}")
+    new = dict(params)
+    enc = dict(new["encoder"])
+    we = dict(enc["word_embedding"])
+    we["embedding"] = table
+    enc["word_embedding"] = we
+    new["encoder"] = enc
+    return new
+
+
+def word_nn_hook(model: Txt2UrlModel, token_vocab: Vocabulary, words: Sequence[str], k=10):
+    """WordNN parity (debug_callbacks.py:17-54): probe words vs word table."""
+    ids = jnp.asarray([token_vocab.embedding_index(w) for w in words], jnp.int32)
+
+    def hook(state: TrainState, step: int) -> None:
+        table = state.params["encoder"]["word_embedding"]["embedding"]
+        q = table[ids]
+        scores = q @ table.T
+        top_s, top_i = jax.lax.top_k(scores, k)
+        top_s, top_i = jax.device_get((top_s, top_i))
+        for i, w in enumerate(words):
+            nn_str = " ".join(
+                f"{token_vocab.token_from_embedding_index(int(top_i[i, j]))}:{top_s[i, j]:.3f}"
+                for j in range(k)
+            )
+            log.info("word_nn step=%d %s: %s", step, w, nn_str)
+
+    return hook
+
+
+def sentence_nn_hook(model: Txt2UrlModel, token_vocab: Vocabulary,
+                     title_vocab: Vocabulary, sentences: Sequence[str],
+                     sentence_length: int, k=10):
+    """SentenceNN parity (debug_callbacks.py:57-104): probe sentences → text
+    tower → nearest URL embeddings."""
+    rows = []
+    for s in sentences:
+        from esrecsys_tpu.data.vocab import simple_tokenize
+
+        ids = token_vocab.embedding_indices(simple_tokenize(s))[:sentence_length]
+        rows.append(ids + [0] * (sentence_length - len(ids)))
+    tokens = jnp.asarray(rows, jnp.int32)
+
+    def hook(state: TrainState, step: int) -> None:
+        scores = state.apply_fn({"params": state.params}, tokens,
+                                method=Txt2UrlModel.score_text_vs_all)
+        top_s, top_i = jax.device_get(jax.lax.top_k(scores, k))
+        for i, s in enumerate(sentences):
+            nn_str = " ".join(
+                f"{title_vocab.token(int(top_i[i, j])) if top_i[i, j] < len(title_vocab) else '?'}"
+                f":{top_s[i, j]:.3f}"
+                for j in range(k)
+            )
+            log.info("sentence_nn step=%d %r: %s", step, s, nn_str)
+
+    return hook
+
+
+def init_state(cfg: Txt2UrlConfig, word_vocab_size: int, url_vocab_size: int,
+               mesh=None) -> Tuple[Txt2UrlModel, TrainState]:
+    model = Txt2UrlModel(
+        word_vocab_size=word_vocab_size,
+        url_vocab_size=url_vocab_size,
+        word_dim=cfg.word_dim,
+        rnn_size=cfg.rnn_size,
+        url_dim=cfg.url_dim,
+        encoder_type=cfg.encoder_type,
+        mesh=mesh,
+    )
+    key = prng.stream(prng.base_key(cfg.seed), prng.STREAM_INIT)
+    b, L = 2, cfg.sentence_length
+    params = model.init(
+        key,
+        jnp.zeros(b, jnp.int32), jnp.zeros((b, L), jnp.int32),
+        jnp.zeros(b, jnp.int32), jnp.zeros(b, jnp.int32),
+    )["params"]
+    if cfg.learning_rate_decay < 1.0:
+        schedule = optax.exponential_decay(
+            cfg.learning_rate, cfg.steps_per_epoch, cfg.learning_rate_decay,
+            staircase=True,
+        )
+    else:
+        schedule = cfg.learning_rate
+    tx = optax.rmsprop(schedule)
+    return model, TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def train(cfg: Txt2UrlConfig, tracker=None):
+    token_vocab = Vocabulary.load(cfg.token_dictionary)
+    title_vocab = Vocabulary.load(cfg.title_dictionary)
+    doc_freq = np.asarray(
+        [title_vocab.doc_frequency(i) for i in range(len(title_vocab))], np.float64
+    )
+    model, state = init_state(cfg, token_vocab.num_embeddings, len(title_vocab))
+
+    if cfg.glove_checkpoint:
+        # Build a GloVe template matching the word table, restore its latest
+        # checkpoint, and transfer the token embeddings by name
+        # (train_txt2url.py:260-261 semantics).
+        from esrecsys_tpu.workloads import glove as glove_wl
+
+        gcfg = glove_wl.GloveConfig(feature_size=cfg.word_dim)
+        _, glove_state = glove_wl.init_state(
+            gcfg, num_embeddings=token_vocab.num_embeddings, mesh=None
+        )
+        glove_state = Checkpointer(cfg.glove_checkpoint).restore(glove_state)
+        state = state.replace(
+            params=load_glove_word_embeddings(state.params, glove_state.params)
+        )
+        log.info("transferred GloVe word embeddings from %s", cfg.glove_checkpoint)
+
+    ckpt = Checkpointer(f"{cfg.work_dir}/checkpoints")
+    if cfg.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+
+    tracker = tracker or make_tracker(run_dir=cfg.work_dir, config=config_lib.to_dict(cfg))
+    batches = pipelines.txt2url_batches(
+        cfg.txt2url_pattern, cfg.url2url_pattern, doc_freq,
+        cfg.batch_size, cfg.sentence_length, cfg.max_sentences_per_doc,
+        shuffle_buffer=cfg.shuffle_buffer, seed=cfg.seed,
+    )
+    hooks = []
+    if cfg.probe_words:
+        hooks.append(word_nn_hook(model, token_vocab, cfg.probe_words.split(",")))
+    if cfg.probe_sentences:
+        hooks.append(sentence_nn_hook(model, token_vocab, title_vocab,
+                                      cfg.probe_sentences.split("|"),
+                                      cfg.sentence_length))
+    return fit(
+        state,
+        make_train_step(model, cfg),
+        batches,
+        num_steps=cfg.steps_per_epoch * cfg.num_epochs,
+        log_every=min(1000, cfg.steps_per_epoch),
+        tracker=tracker,
+        checkpointer=ckpt,
+        checkpoint_every=cfg.steps_per_epoch,
+        hooks=hooks,
+        hook_every=cfg.steps_per_epoch,
+        examples_per_step=cfg.batch_size,
+    )
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, force=True)
+    cfg = config_lib.from_cli(Txt2UrlConfig, argv)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

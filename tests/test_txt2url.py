@@ -1,0 +1,146 @@
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esrecsys_tpu.data import pipelines, recordio
+from esrecsys_tpu.data.protos import CooccurrenceRow, SparseDocument, TokenStat
+from esrecsys_tpu.data.vocab import Vocabulary
+from esrecsys_tpu.models.txt2url import Txt2UrlModel, max_norm_project
+from esrecsys_tpu.train import fit
+from esrecsys_tpu.workloads import txt2url as t2u
+
+
+N_URLS = 12
+N_WORD_VOCAB = 20
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Sparse docs + url2url co-occurrence + dictionaries.
+
+    URL u's docs contain tokens clustered by u's parity; url pairs co-occur
+    within parity groups.
+    """
+    tmp = tmp_path_factory.mktemp("t2u")
+    rng = np.random.default_rng(0)
+    docs = []
+    for u in range(N_URLS):
+        cluster = [1 + (u % 2) * 5 + j for j in range(5)]  # embedding ids
+        for _ in range(3):
+            toks = rng.choice(cluster, size=rng.integers(3, 40)).tolist()
+            docs.append(SparseDocument(primary_index=u, token_index=toks))
+    recordio.write_protos(str(tmp / "sdoc-00000.bz2"), docs)
+
+    rows = []
+    for u in range(N_URLS):
+        others = [v for v in range(u) if v % 2 == u % 2]
+        if others:
+            rows.append(CooccurrenceRow(
+                index=u, other_index=others, count=[4.0] * len(others)))
+    recordio.write_protos(str(tmp / "url2url-00000.bz2"), rows)
+
+    token_vocab = Vocabulary.from_counts({f"w{i}": 100 - i for i in range(N_WORD_VOCAB - 1)})
+    title_vocab = Vocabulary(
+        [__import__("esrecsys_tpu.data.vocab", fromlist=["VocabEntry"]).VocabEntry(
+            token=f"url{u}", doc_frequency=10, frequency=10) for u in range(N_URLS)]
+    )
+    tok_path, title_path = str(tmp / "tok.bz2"), str(tmp / "title.bz2")
+    token_vocab.save(tok_path)
+    title_vocab.save(title_path)
+    return {
+        "txt2url": str(tmp / "sdoc-*.bz2"),
+        "url2url": str(tmp / "url2url-*.bz2"),
+        "tok": tok_path,
+        "title": title_path,
+    }
+
+
+def test_sparse_doc_sentences(corpus):
+    it = pipelines.sparse_doc_sentences(corpus["txt2url"], sentence_length=8,
+                                        max_sentences_per_doc=2, repeat=False)
+    seen = list(it)
+    assert len(seen) > 0
+    for url, toks in seen:
+        assert toks.shape == (8,)
+        assert 0 <= url < N_URLS
+
+
+def test_url_dice_triples(corpus):
+    df = np.full(N_URLS, 10.0)
+    triples = list(pipelines.url_dice_triples(corpus["url2url"], df, repeat=False))
+    for a, b, dice in triples:
+        assert a % 2 == b % 2
+        np.testing.assert_allclose(dice, 2 * 4.0 / 20.0)
+
+
+def test_txt2url_batches(corpus):
+    df = np.full(N_URLS, 10.0)
+    it = pipelines.txt2url_batches(corpus["txt2url"], corpus["url2url"], df,
+                                   batch_size=8, sentence_length=8)
+    b = next(it)
+    assert b["tokens"].shape == (8, 8)
+    assert b["sqrt_dice"].shape == (8,)
+    np.testing.assert_allclose(b["sqrt_dice"], np.sqrt(0.4), rtol=1e-6)
+
+
+def test_max_norm_projection_applied_in_training(corpus):
+    cfg = t2u.Txt2UrlConfig(
+        txt2url_pattern=corpus["txt2url"], url2url_pattern=corpus["url2url"],
+        word_dim=8, rnn_size=8, url_dim=8, sentence_length=8, batch_size=8,
+        learning_rate=0.5, word_max_norm=1.0, url_max_norm=0.7,
+        steps_per_epoch=5, num_epochs=1,
+    )
+    model, state = t2u.init_state(cfg, N_WORD_VOCAB + 65536 + 1, N_URLS)
+    df = np.full(N_URLS, 10.0)
+    batches = pipelines.txt2url_batches(corpus["txt2url"], corpus["url2url"], df,
+                                        cfg.batch_size, cfg.sentence_length)
+    result = fit(state, t2u.make_train_step(model, cfg), batches, num_steps=5)
+    wt = np.asarray(result.state.params["encoder"]["word_embedding"]["embedding"])
+    ut = np.asarray(result.state.params["url_embedding"]["embedding"])
+    assert np.sqrt((wt ** 2).sum(-1)).max() <= 1.0 + 1e-5
+    assert np.sqrt((ut ** 2).sum(-1)).max() <= 0.7 + 1e-5
+
+
+@pytest.mark.parametrize("objective,encoder", [("margin", "lstm"), ("softmax", "mean")])
+def test_txt2url_trains(corpus, tmp_path, objective, encoder):
+    cfg = t2u.Txt2UrlConfig(
+        txt2url_pattern=corpus["txt2url"], url2url_pattern=corpus["url2url"],
+        token_dictionary=corpus["tok"], title_dictionary=corpus["title"],
+        work_dir=str(tmp_path / f"wd_{objective}"),
+        word_dim=8, rnn_size=8, url_dim=8, sentence_length=8, batch_size=16,
+        learning_rate=0.03, learning_rate_decay=0.95,
+        steps_per_epoch=40, num_epochs=3,
+        text_objective=objective, encoder_type=encoder,
+        probe_words="w1,w2", probe_sentences="w1 w2 w3",
+    )
+    result = t2u.train(cfg)
+    assert result.steps_run == 120
+    first_losses = result.last_train_metrics
+    assert np.isfinite(first_losses["train_loss"])
+    assert first_losses["train_url_loss"] < 0.2  # dice regression converges
+
+
+def test_glove_transfer(corpus, tmp_path):
+    from esrecsys_tpu.train import Checkpointer
+    from esrecsys_tpu.workloads import glove as glove_wl
+
+    # must match the word table built from the saved vocab (19 words)
+    vocab_size = (N_WORD_VOCAB - 1) + 65536 + 1
+    gcfg = glove_wl.GloveConfig(feature_size=8)
+    _, gstate = glove_wl.init_state(gcfg, num_embeddings=vocab_size, mesh=None)
+    ck = Checkpointer(str(tmp_path / "glove_ckpt"))
+    ck.save(1, gstate)
+
+    cfg = t2u.Txt2UrlConfig(
+        txt2url_pattern=corpus["txt2url"], url2url_pattern=corpus["url2url"],
+        token_dictionary=corpus["tok"], title_dictionary=corpus["title"],
+        work_dir=str(tmp_path / "wd"),
+        word_dim=8, rnn_size=8, url_dim=8, sentence_length=8, batch_size=4,
+        steps_per_epoch=2, num_epochs=1,
+        glove_checkpoint=str(tmp_path / "glove_ckpt"),
+    )
+    result = t2u.train(cfg)
+    assert result.steps_run == 2
