@@ -1,0 +1,192 @@
+"""Pallas fused embedding lookup + pooling kernel (TPU).
+
+Pools K context embeddings per example directly out of the HBM-resident
+table: ids are scalar-prefetched to SMEM, each program DMAs its block's rows
+HBM→VMEM with double buffering across batch rows, and pooling happens in VMEM
+— the (B, K, D) gathered tensor is never materialized in HBM. This is the
+fused kernel SURVEY.md §7 calls out for multi-id contexts (e.g. the 5-track
+playlist context, spotify/input_pipeline.py:24-26; the reference gathers then
+pools in separate XLA ops).
+
+Backward is an XLA segment scatter-add via ``custom_vjp`` (gradient equals
+``d(pool)/d(rows)`` scattered to the looked-up rows).
+
+Use :func:`fused_lookup_pool`; it falls back to the stock XLA composition
+(:func:`esrecsys_tpu.parallel.table.lookup_pooled`) off-TPU or for
+unsupported shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from esrecsys_tpu.core.mesh import pad_to_multiple
+
+_SUPPORTED_POOLS = ("sum", "mean")
+
+
+def _pool_kernel(ids_ref, table_ref, out_ref, scratch, sems, *, block_b, k_ids,
+                 mask_id, pool):
+    """One program pools ``block_b`` batch rows.
+
+    All block_b × K row DMAs are launched back-to-back (the DMA engine
+    pipelines them; per-row latency is amortized across the whole block),
+    then pooling runs vectorized on the VPU over the (block_b, K, D) scratch.
+
+    ids_ref:   SMEM (B, K) int32 (scalar prefetch)
+    table_ref: HBM (R, D)
+    out_ref:   VMEM (block_b, D) block of the output
+    scratch:   VMEM (block_b, K, D)
+    sems:      DMA semaphores (block_b, K)
+    """
+    b0 = pl.program_id(0) * block_b
+
+    for b in range(block_b):
+        for k in range(k_ids):
+            pltpu.make_async_copy(
+                table_ref.at[ids_ref[b0 + b, k]],
+                scratch.at[b, k],
+                sems.at[b, k],
+            ).start()
+    for b in range(block_b):
+        for k in range(k_ids):
+            pltpu.make_async_copy(
+                table_ref.at[0], scratch.at[b, k], sems.at[b, k]
+            ).wait()
+
+    # Vectorized masked pool over K.
+    ids_block = jnp.stack(
+        [
+            jnp.stack([ids_ref[b0 + b, k] for k in range(k_ids)])
+            for b in range(block_b)
+        ]
+    )  # (block_b, K) from SMEM scalars
+    valid = (ids_block != mask_id).astype(jnp.float32)[..., None]
+    acc = jnp.sum(scratch[...] * valid, axis=1)  # (block_b, D)
+    if pool == "mean":
+        count = jnp.maximum(jnp.sum(valid, axis=1), 1.0)
+        acc = acc / count
+    out_ref[...] = acc
+
+
+def _forward(table: jax.Array, ids: jax.Array, pool: str, mask_id: int,
+             block_b: int) -> jax.Array:
+    b, k = ids.shape
+    r, d = table.shape
+    grid = (b // block_b,)
+    kernel = functools.partial(
+        _pool_kernel, block_b=block_b, k_ids=k, mask_id=mask_id, pool=pool
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d), table.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table in HBM
+            out_specs=pl.BlockSpec(
+                (block_b, d), lambda i, ids_ref: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_b, k, d), table.dtype),
+                pltpu.SemaphoreType.DMA((block_b, k)),
+            ],
+        ),
+    )(ids, table)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused(table, ids, pool, mask_id, block_b):
+    return _forward(table, ids, pool, mask_id, block_b)
+
+
+def _fused_fwd(table, ids, pool, mask_id, block_b):
+    return _forward(table, ids, pool, mask_id, block_b), (table.shape, ids)
+
+
+def _fused_bwd(pool, mask_id, block_b, residuals, g):
+    (table_shape, ids) = residuals
+    valid = (ids != mask_id).astype(g.dtype)  # (B, K)
+    if pool == "mean":
+        denom = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1.0)
+        per_row = (g / denom)[:, None, :] * valid[..., None]  # (B, K, D)
+    else:
+        per_row = g[:, None, :] * valid[..., None]
+    flat_ids = ids.reshape(-1)
+    flat_g = per_row.reshape(-1, g.shape[-1])
+    dtable = jnp.zeros(table_shape, g.dtype).at[flat_ids].add(flat_g)
+    return (dtable, None)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_lookup_pool(
+    table: jax.Array,
+    ids: jax.Array,
+    pool: str = "mean",
+    mask_id: int = 0,
+    block_b: int = 64,
+    force: bool = False,
+) -> jax.Array:
+    """Fused ``pool_k(table[ids[b, k]])`` → (B, D).
+
+    Falls back to the XLA composition when not on TPU, when shapes don't fit
+    the kernel's constraints (D multiple of 128, B multiple of block_b), or
+    when the pool mode is unsupported. ``force=True`` raises instead of
+    falling back (for tests).
+    """
+    from esrecsys_tpu.parallel.table import lookup_pooled
+
+    b, k = ids.shape
+    r, d = table.shape
+    on_tpu = jax.default_backend() == "tpu"
+    # TPU semaphore scratch caps in-flight DMA semaphores at ~512 per program.
+    while block_b > 1 and (block_b * k > 512 or b % block_b):
+        block_b //= 2
+    ok = (
+        pool in _SUPPORTED_POOLS
+        and d % 128 == 0
+        and b % block_b == 0
+        and table.dtype == jnp.float32
+    )
+    if not ok or (not on_tpu and not force):
+        if force:
+            raise ValueError(
+                f"fused_lookup_pool unsupported: pool={pool} d={d} b={b} "
+                f"dtype={table.dtype} backend={jax.default_backend()}"
+            )
+        return lookup_pooled(table, ids, pool=pool, mask_id=mask_id)
+    return _fused(table, ids, pool, mask_id, block_b)
+
+
+def fused_lookup_pool_interpret(table, ids, pool="mean", mask_id=0, block_b=8):
+    """Interpreter-mode version for CPU testing of the kernel logic."""
+    b, k = ids.shape
+    r, d = table.shape
+    kernel = functools.partial(
+        _pool_kernel, block_b=block_b, k_ids=k, mask_id=mask_id, pool=pool
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d), table.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (block_b, d), lambda i, ids_ref: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_b, k, d), table.dtype),
+                pltpu.SemaphoreType.DMA((block_b, k)),
+            ],
+        ),
+        interpret=True,
+    )(ids, table)

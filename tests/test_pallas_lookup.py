@@ -1,0 +1,69 @@
+"""Fused lookup+pool kernel — interpreter-mode correctness on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esrecsys_tpu.ops import lookup as pk
+from esrecsys_tpu.parallel.table import lookup_pooled
+
+
+@pytest.fixture(scope="module")
+def data():
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (64, 128))
+    ids = jax.random.randint(jax.random.fold_in(key, 1), (16, 5), 0, 64)
+    return table, ids
+
+
+@pytest.mark.parametrize("pool", ["sum", "mean"])
+def test_kernel_matches_xla(data, pool):
+    table, ids = data
+    out = pk.fused_lookup_pool_interpret(table, ids, pool=pool, mask_id=0)
+    expected = lookup_pooled(table, ids, pool=pool, mask_id=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5)
+
+
+def test_kernel_masking(data):
+    table, _ = data
+    ids = jnp.array([[0, 0, 0, 0, 0], [1, 0, 2, 0, 0]] + [[3, 4, 5, 6, 7]] * 6)
+    out = pk.fused_lookup_pool_interpret(table, ids, pool="mean", mask_id=0)
+    t = np.asarray(table)
+    np.testing.assert_allclose(np.asarray(out[0]), 0.0, atol=1e-6)  # all masked
+    np.testing.assert_allclose(np.asarray(out[1]), (t[1] + t[2]) / 2, rtol=1e-5)
+
+
+def test_custom_vjp_matches_xla_grad(data):
+    table, ids = data
+
+    def loss_pallas(t):
+        # interpret path through the custom_vjp: use the private _fused with
+        # interpret not exposed; instead check bwd math directly against XLA.
+        return jnp.sum(pk.fused_lookup_pool_interpret(t, ids, pool="mean") ** 2)
+
+    def loss_xla(t):
+        return jnp.sum(lookup_pooled(t, ids, pool="mean", mask_id=0) ** 2)
+
+    # the interpret wrapper has no vjp; validate _fused_bwd itself:
+    out = lookup_pooled(table, ids, pool="mean", mask_id=0)
+    g = 2 * out
+    (dtable, _) = pk._fused_bwd("mean", 0, 8, (table.shape, ids), g)
+    dtable_xla = jax.grad(loss_xla)(table)
+    np.testing.assert_allclose(np.asarray(dtable), np.asarray(dtable_xla), rtol=1e-5)
+
+
+def test_fallback_on_unsupported_shapes():
+    table = jax.random.normal(jax.random.PRNGKey(0), (32, 100))  # d not /128
+    ids = jnp.zeros((8, 3), jnp.int32)
+    out = pk.fused_lookup_pool(table, ids)  # silently falls back
+    assert out.shape == (8, 100)
+    with pytest.raises(ValueError, match="unsupported"):
+        pk.fused_lookup_pool(table, ids, force=True)
+
+
+def test_fallback_off_tpu(data):
+    table, ids = data
+    out = pk.fused_lookup_pool(table, ids, pool="sum")  # CPU → XLA fallback
+    expected = lookup_pooled(table, ids, pool="sum", mask_id=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5)
