@@ -54,8 +54,28 @@ def write_records(path: str, payloads: Iterable[bytes]) -> int:
     return n
 
 
-def read_records(path: str) -> Iterator[bytes]:
-    """Yield raw payloads from one file."""
+def read_records(path: str, native: bool = True) -> Iterator[bytes]:
+    """Yield raw payloads from one file.
+
+    With ``native=True`` the whole (decompressed) file is base64-decoded in
+    one C++ call (:mod:`esrecsys_tpu.native`) instead of per-line in Python;
+    falls back transparently when the native library is unavailable.
+    """
+    if native:
+        try:
+            from esrecsys_tpu.native import decode_b64_lines
+
+            with _open_read(path) as f:
+                data = f.read()
+            # materialize before yielding so a malformed file can fall back
+            # to the per-line decoder without duplicating records
+            payloads = list(decode_b64_lines(data))
+            yield from payloads
+            return
+        except ImportError:
+            pass
+        except ValueError:
+            pass  # malformed base64 → re-read with the per-line decoder
     with _open_read(path) as f:
         for line in f:
             yield base64.b64decode(line[:-1])

@@ -32,60 +32,85 @@ from esrecsys_tpu.data.vocab import Vocabulary
 
 log = logging.getLogger(__name__)
 
-Accumulator = Dict[int, Dict[int, float]]
+class PyCoocAccumulator:
+    """Pure-Python accumulator (fallback; same semantics as the C++ one)."""
+
+    def __init__(self) -> None:
+        self.rows: Dict[int, Dict[int, float]] = {}
+
+    def add_window(self, token_ids: Sequence[int], window: int) -> None:
+        """Sliding-window counts with 1/distance weights
+        (make_cooccurrence.py:33-55 semantics: only ``my_idx > other_idx``
+        kept; same-index pairs skipped)."""
+        n = len(token_ids)
+        for i in range(n):
+            my_idx = token_ids[i]
+            start = max(0, i - window)
+            end = min(n, i + window)
+            row = self.rows.setdefault(my_idx, {})
+            for j in range(start, end):
+                other = token_ids[j]
+                if my_idx <= other:
+                    continue
+                row[other] = row.get(other, 0.0) + 1.0 / abs(i - j)
+            if not row:
+                self.rows.pop(my_idx, None)
+
+    def add_pairs(self, ids: Sequence[int]) -> None:
+        """All unordered pairs of a link set, stored on larger-id rows
+        (make_dice.py:41-54 semantics)."""
+        unique = sorted(set(ids))
+        for i, a in enumerate(unique):
+            row = self.rows.setdefault(a, {})
+            for b in unique[:i]:
+                row[b] = row.get(b, 0.0) + 1.0
+            if not row:
+                self.rows.pop(a, None)
+
+    def export(self):
+        import numpy as np
+
+        rows, others, counts = [], [], []
+        for idx in sorted(self.rows):
+            for other, c in sorted(self.rows[idx].items()):
+                rows.append(idx)
+                others.append(other)
+                counts.append(c)
+        return (
+            np.asarray(rows, np.int64),
+            np.asarray(others, np.int64),
+            np.asarray(counts, np.float64),
+        )
 
 
-def accumulate_window(
-    token_ids: Sequence[int],
-    window: int,
-    acc: Accumulator,
-) -> None:
-    """Sliding-window counts with 1/distance weights
-    (make_cooccurrence.py:33-55 semantics: only ``my_idx > other_idx`` kept;
-    same-index pairs skipped)."""
-    try:
-        from esrecsys_tpu.native import cooccur_window
+def make_accumulator(native: bool = True):
+    """C++ accumulator when buildable, Python otherwise."""
+    if native:
+        try:
+            from esrecsys_tpu.native import NativeCoocAccumulator
 
-        cooccur_window(token_ids, window, acc)
-        return
-    except ImportError:
-        pass
-    n = len(token_ids)
-    for i in range(n):
-        my_idx = token_ids[i]
-        start = max(0, i - window)
-        end = min(n, i + window)
-        row = acc.setdefault(my_idx, {})
-        for j in range(start, end):
-            other = token_ids[j]
-            if my_idx <= other:
-                continue
-            row[other] = row.get(other, 0.0) + 1.0 / abs(i - j)
-        if not row:
-            acc.pop(my_idx, None)
+            return NativeCoocAccumulator()
+        except Exception as e:  # missing toolchain etc. — degrade silently
+            log.debug("native accumulator unavailable (%s); using Python", e)
+    return PyCoocAccumulator()
 
 
-def accumulate_pairs(ids: Sequence[int], acc: Accumulator) -> None:
-    """All unordered pairs of a link set, stored for larger-id rows
-    (make_dice.py:41-54 semantics)."""
-    unique = sorted(set(ids))
-    for i, a in enumerate(unique):
-        for b in unique[:i]:
-            row = acc.setdefault(a, {})
-            row[b] = row.get(b, 0.0) + 1.0
-
-
-def rows_from_accumulator(acc: Accumulator, max_row_size: int = 1000) -> Iterable[CooccurrenceRow]:
+def rows_from_accumulator(acc, max_row_size: int = 1000) -> Iterable[CooccurrenceRow]:
     """Split rows at ``max_row_size`` entries (make_cooccurrence.py:80-92)."""
-    for idx in sorted(acc):
-        items = sorted(acc[idx].items())
-        for start in range(0, len(items), max_row_size):
-            chunk = items[start : start + max_row_size]
-            yield CooccurrenceRow(
-                index=idx,
-                other_index=[k for k, _ in chunk],
-                count=[v for _, v in chunk],
-            )
+    rows, others, counts = acc.export()
+    n = rows.shape[0]
+    start = 0
+    while start < n:
+        idx = rows[start]
+        end = start
+        while end < n and rows[end] == idx and end - start < max_row_size:
+            end += 1
+        yield CooccurrenceRow(
+            index=int(idx),
+            other_index=[int(o) for o in others[start:end]],
+            count=[float(c) for c in counts[start:end]],
+        )
+        start = end
 
 
 def build_token_cooccurrence(
@@ -96,14 +121,14 @@ def build_token_cooccurrence(
     max_row_size: int = 1000,
     rows_per_shard: int = 10_000,
 ) -> int:
-    acc: Accumulator = {}
+    acc = make_accumulator()
     n_docs = 0
     for doc in recordio.read_protos(input_pattern, TextDocument, skip_corrupt=True):
         ids = vocab.embedding_indices(doc.tokens)
-        accumulate_window(ids, window, acc)
+        acc.add_window(ids, window)
         n_docs += 1
         if n_docs % 10_000 == 0:
-            log.info("processed %d docs, %d rows", n_docs, len(acc))
+            log.info("processed %d docs", n_docs)
     n = 0
     with recordio.ShardedWriter(output_dir, rows_per_shard) as w:
         for row in rows_from_accumulator(acc, max_row_size):
@@ -122,10 +147,10 @@ def build_url_cooccurrence(
     """url2url pair counts from SparseDocument link sets (make_dice parity).
 
     Reads the url2url SparseDocuments (primary + secondary indices)."""
-    acc: Accumulator = {}
+    acc = make_accumulator()
     for sdoc in recordio.read_protos(input_pattern, SparseDocument, skip_corrupt=True):
         ids = [sdoc.primary_index] + list(sdoc.secondary_index)
-        accumulate_pairs(ids, acc)
+        acc.add_pairs(ids)
     n = 0
     with recordio.ShardedWriter(output_dir, rows_per_shard) as w:
         for row in rows_from_accumulator(acc, max_row_size):

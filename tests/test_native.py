@@ -1,0 +1,88 @@
+"""Native C++ kernels vs their pure-Python fallbacks."""
+
+import base64
+
+import numpy as np
+import pytest
+
+from esrecsys_tpu.etl.cooccurrence import PyCoocAccumulator, make_accumulator
+
+native = pytest.importorskip("esrecsys_tpu.native")
+
+
+def _has_toolchain():
+    try:
+        native._load()
+        return True
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _has_toolchain(), reason="no g++ toolchain")
+
+
+def test_native_window_matches_python():
+    rng = np.random.default_rng(0)
+    docs = [rng.integers(1, 50, rng.integers(2, 80)).tolist() for _ in range(20)]
+    py = PyCoocAccumulator()
+    cc = native.NativeCoocAccumulator()
+    for d in docs:
+        py.add_window(d, 10)
+        cc.add_window(d, 10)
+    pr, po, pc = py.export()
+    nr, no, nc = cc.export()
+    np.testing.assert_array_equal(pr, nr)
+    np.testing.assert_array_equal(po, no)
+    np.testing.assert_allclose(pc, nc, rtol=1e-12)
+
+
+def test_native_pairs_matches_python():
+    rng = np.random.default_rng(1)
+    sets = [rng.integers(0, 30, rng.integers(2, 12)).tolist() for _ in range(30)]
+    py = PyCoocAccumulator()
+    cc = native.NativeCoocAccumulator()
+    for s in sets:
+        py.add_pairs(s)
+        cc.add_pairs(s)
+    for a, b in zip(py.export(), cc.export()):
+        np.testing.assert_allclose(a, b)
+
+
+def test_make_accumulator_prefers_native():
+    acc = make_accumulator(native=True)
+    assert type(acc).__name__ == "NativeCoocAccumulator"
+    assert type(make_accumulator(native=False)).__name__ == "PyCoocAccumulator"
+
+
+def test_b64_line_decoder():
+    payloads = [b"hello world", b"", b"\x00\xff\x01" * 7, b"x"]
+    blob = b"\n".join(base64.b64encode(p) for p in payloads) + b"\n"
+    out = list(native.decode_b64_lines(blob))
+    assert out == payloads
+
+
+def test_b64_line_decoder_rejects_garbage():
+    with pytest.raises(ValueError, match="line 1"):
+        list(native.decode_b64_lines(b"aGVsbG8=\n!!notb64!!\n"))
+
+
+def test_native_speedup_over_python():
+    """The point of the native path: beat the Python loop clearly."""
+    import time
+
+    rng = np.random.default_rng(2)
+    # small id space → update-heavy (the steady-state regime of a real corpus)
+    docs = [rng.integers(1, 200, 500).tolist() for _ in range(30)]
+
+    t0 = time.perf_counter()
+    py = PyCoocAccumulator()
+    for d in docs:
+        py.add_window(d, 10)
+    t_py = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cc = native.NativeCoocAccumulator()
+    for d in docs:
+        cc.add_window(d, 10)
+    t_cc = time.perf_counter() - t0
+    assert t_cc < t_py / 4, (t_py, t_cc)

@@ -131,13 +131,13 @@ def test_token_cooccurrence(etl_dirs):
 
 
 def test_window_weighting_closed_form():
-    acc = {}
-    cooc.accumulate_window([5, 9, 5, 2], window=10, acc=acc)
+    acc = cooc.PyCoocAccumulator()
+    acc.add_window([5, 9, 5, 2], window=10)
     # pairs (i>j only by value): (9,5) at dist 1 and dist 1 → 2.0;
     # (5,2) dist 1 → 1.0; (9,2) dist 2 → 0.5; (5,2) dist 3 → 1/3; (5,5) skipped
-    np.testing.assert_allclose(acc[9][5], 2.0)
-    np.testing.assert_allclose(acc[5][2], 1.0 + 1.0 / 3.0)
-    np.testing.assert_allclose(acc[9][2], 0.5)
+    np.testing.assert_allclose(acc.rows[9][5], 2.0)
+    np.testing.assert_allclose(acc.rows[5][2], 1.0 + 1.0 / 3.0)
+    np.testing.assert_allclose(acc.rows[9][2], 0.5)
 
 
 def test_sparse_docs_and_url_cooccurrence(etl_dirs):
