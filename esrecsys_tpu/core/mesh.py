@@ -104,3 +104,15 @@ def local_batch(global_batch: int, mesh: Mesh) -> int:
     if global_batch % n != 0:
         raise ValueError(f"global batch {global_batch} not divisible by data={n}")
     return global_batch // n
+
+
+def shard_files_for_process(files: Sequence[str]) -> list:
+    """Partition input files across hosts for per-host data loading.
+
+    Multi-host input sharding keyed by ``jax.process_index()`` (the reference
+    logs process_index but never branches on it, train_cooccurence.py:148-150).
+    Deterministic: host i takes files i, i+P, i+2P, ...
+    """
+    p = jax.process_index()
+    n = jax.process_count()
+    return sorted(files)[p::n]

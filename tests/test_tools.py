@@ -1,0 +1,146 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from esrecsys_tpu.core import config as config_lib
+from esrecsys_tpu.core.mesh import shard_files_for_process
+from esrecsys_tpu.tools import sweep as sweep_lib
+
+
+def test_shard_files_single_process():
+    files = [f"f{i}" for i in range(5)]
+    assert shard_files_for_process(files) == sorted(files)  # 1 process
+
+
+def test_sweep_spec_from_wandb_style_dict():
+    spec = sweep_lib.SweepSpec.from_dict({
+        "method": "bayes",  # unknown methods surface at run time
+        "metric": {"name": "eval_loss", "goal": "minimize"},
+        "parameters": {
+            "learning_rate": {"min": 1e-5, "max": 1e-2, "log": True},
+            "output_size": {"values": [32, 64, 96]},
+        },
+    })
+    assert spec.metric_name == "eval_loss"
+    assert "output_size" in spec.parameters
+
+
+@pytest.fixture
+def quad_problem():
+    """Sweep target: (lr - 0.3)^2 minimized at lr=0.3."""
+    import dataclasses
+
+    @dataclasses.dataclass(frozen=True)
+    class Cfg:
+        lr: float = 0.0
+        flag: int = 0
+
+    class Result:
+        def __init__(self, cfg):
+            self.last_train_metrics = {}
+            self.last_eval_metrics = {"eval_loss": (cfg.lr - 0.3) ** 2 + 0.01 * cfg.flag}
+
+    return Cfg, lambda cfg: Result(cfg)
+
+
+def test_random_sweep_finds_minimum(quad_problem, tmp_path):
+    Cfg, train_fn = quad_problem
+    spec = sweep_lib.SweepSpec(
+        method="random",
+        metric_name="eval_loss",
+        metric_goal="minimize",
+        parameters={"lr": {"min": 0.0, "max": 1.0}, "flag": {"values": [0, 1]}},
+        max_runs=30,
+        seed=0,
+    )
+    out = sweep_lib.run_sweep(spec, Cfg(), train_fn, str(tmp_path / "sweep"))
+    assert abs(out["best"]["overrides"]["lr"] - 0.3) < 0.1
+    assert os.path.exists(tmp_path / "sweep" / "sweep.json")
+    saved = json.loads((tmp_path / "sweep" / "sweep.json").read_text())
+    assert len(saved["runs"]) == 30
+
+
+def test_grid_sweep_exhaustive(quad_problem, tmp_path):
+    Cfg, train_fn = quad_problem
+    spec = sweep_lib.SweepSpec(
+        method="grid", metric_name="eval_loss", metric_goal="minimize",
+        parameters={"lr": {"values": [0.0, 0.3, 0.9]}, "flag": {"values": [0, 1]}},
+        max_runs=10,
+    )
+    out = sweep_lib.run_sweep(spec, Cfg(), train_fn, str(tmp_path / "sweep"))
+    assert len(out["runs"]) == 6
+    assert out["best"]["overrides"] == {"lr": 0.3, "flag": 0}
+
+
+def test_grid_requires_values(quad_problem, tmp_path):
+    Cfg, train_fn = quad_problem
+    spec = sweep_lib.SweepSpec(
+        method="grid", metric_name="eval_loss", metric_goal="minimize",
+        parameters={"lr": {"min": 0, "max": 1}},
+    )
+    with pytest.raises(ValueError, match="grid sweeps need"):
+        sweep_lib.run_sweep(spec, Cfg(), train_fn, str(tmp_path / "s"))
+
+
+def test_fetch_images_resume_and_retry(tmp_path, monkeypatch):
+    from esrecsys_tpu.etl import fetch_images as fi
+
+    rows = [json.dumps({"scene": "aa" * 16, "product": "bb" * 16}),
+            json.dumps({"scene": "aa" * 16, "product": "cc" * 16})]
+    stl = tmp_path / "pairs.json"
+    stl.write_text("\n".join(rows))
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    # pre-existing image is skipped without any fetch
+    (img_dir / ("aa" * 16 + ".jpg")).write_bytes(b"x")
+
+    calls = {}
+
+    class FakeResponse:
+        def __init__(self, key):
+            self.key = key
+
+        def read(self):
+            return b"JPEGDATA"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(url, timeout=0):
+        calls[url] = calls.get(url, 0) + 1
+        if "cc" in url and calls[url] < 3:
+            raise OSError("transient")
+        return FakeResponse(url)
+
+    monkeypatch.setattr(fi.urllib.request, "urlopen", fake_urlopen)
+    cfg = fi.FetchConfig(stl_json=str(stl), image_dir=str(img_dir),
+                         backoff_seconds=0.0, sleep_seconds=0.0)
+    stats = fi.fetch_all(cfg)
+    assert stats == {"ok": 3, "failed": 0}
+    # bb fetched once; cc needed 3 attempts (retry with backoff); aa never
+    assert sum("bb" in u for u in calls) == 1
+    assert not any("aaaa" in u for u in calls)
+    assert (img_dir / ("cc" * 16 + ".jpg")).read_bytes() == b"JPEGDATA"
+
+
+def test_fetch_gives_up_after_max_retries(tmp_path, monkeypatch):
+    from esrecsys_tpu.etl import fetch_images as fi
+
+    stl = tmp_path / "pairs.json"
+    stl.write_text(json.dumps({"scene": "dd" * 16, "product": "ee" * 16}))
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+
+    def always_fail(url, timeout=0):
+        raise OSError("down")
+
+    monkeypatch.setattr(fi.urllib.request, "urlopen", always_fail)
+    cfg = fi.FetchConfig(stl_json=str(stl), image_dir=str(img_dir),
+                         max_retries=2, backoff_seconds=0.0, sleep_seconds=0.0)
+    stats = fi.fetch_all(cfg)
+    assert stats == {"ok": 0, "failed": 2}
