@@ -63,24 +63,30 @@ def main():
     }
 
     # ---------------- ours: batched step, on-device negatives ----------------
-    B = 512
+    # B=2048 playlists/step + an 8-step device loop (fit(steps_per_call=8))
+    # to amortize host dispatch — both framework features the reference lacks.
+    B, SPC = 2048, 8
     cfg = pl.PlaylistConfig(
         feature_size=32, album_hash_buckets=NUM_ALBUMS, num_artists=NUM_ARTISTS,
         num_negatives=NNEG, batch_size=B, context_size=C, max_next=M,
     )
     model, state = pl.init_state(cfg, mesh=None)
-    step = jax.jit(pl.make_train_step(model, cfg, corpus, prng.base_key(0)),
-                   donate_argnums=0)
-    batch = {k: jnp.asarray(v) for k, v in _batch(rng, B, C, M, NNEG, NUM_ALBUMS,
-                                                  NUM_ARTISTS, False).items()}
-    state, m0 = step(state, batch)  # compile
+    train_step = pl.make_train_step(model, cfg, corpus, prng.base_key(0))
+
+    def multi_step(state, stacked):
+        return jax.lax.scan(lambda s, b: train_step(s, b), state, stacked)
+
+    step = jax.jit(multi_step, donate_argnums=0)
+    one = _batch(rng, B, C, M, NNEG, NUM_ALBUMS, NUM_ARTISTS, False)
+    stacked = {k: jnp.asarray(np.stack([v] * SPC)) for k, v in one.items()}
+    state, m0 = step(state, stacked)  # compile
     jax.block_until_ready(m0["loss"])
-    n_steps = 30
+    n_calls = 8
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, batch)
+    for _ in range(n_calls):
+        state, metrics = step(state, stacked)
     jax.block_until_ready(metrics["loss"])
-    ours = n_steps * B / (time.perf_counter() - t0)
+    ours = n_calls * SPC * B / (time.perf_counter() - t0)
 
     # -------------- reference-style: B=1, host negatives, 2 dispatches -------
     cfg1 = pl.PlaylistConfig(

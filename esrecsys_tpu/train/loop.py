@@ -45,6 +45,7 @@ def fit(
     hook_every: int = 0,
     examples_per_step: int = 0,
     donate_state: bool = True,
+    steps_per_call: int = 1,
 ) -> FitResult:
     """Run the training loop.
 
@@ -59,27 +60,56 @@ def fit(
       eval_iter_fn: builds a fresh eval iterator each eval round.
       hooks: qualitative callbacks, e.g. probe-KNN dumps
         (train_cooccurence.py:114-126 parity).
+      steps_per_call: run this many train steps per device dispatch via
+        ``lax.scan`` over a stacked batch — amortizes host-dispatch latency
+        (the reference pays one dispatch per step, two for GloVe:
+        train_cooccurence.py:103-112). Cadences (log/eval/checkpoint/hook)
+        fire at the first opportunity on or after their multiple.
     """
     tracker = tracker or NullTracker()
     donate = (0,) if donate_state else ()
-    jit_train = jax.jit(train_step, donate_argnums=donate)
+    spc = max(1, steps_per_call)
+    if spc > 1:
+        def multi_step(state, stacked_batch):
+            def body(s, b):
+                return train_step(s, b)
+
+            return jax.lax.scan(body, state, stacked_batch)
+
+        jit_train = jax.jit(multi_step, donate_argnums=donate)
+    else:
+        jit_train = jax.jit(train_step, donate_argnums=donate)
     jit_eval = jax.jit(eval_step) if eval_step is not None else None
 
-    timer = StepTimer(examples_per_step, window=max(log_every, 1)) if examples_per_step else None
+    timer = (
+        StepTimer(examples_per_step * spc, window=max(log_every // spc, 1))
+        if examples_per_step
+        else None
+    )
     window: Dict[str, list] = {}
     last_train: Dict[str, float] = {}
     last_eval: Dict[str, float] = {}
 
+    def crossed(step: int, cadence: int) -> bool:
+        """True when [step-spc, step] crossed a multiple of ``cadence``."""
+        return cadence > 0 and (step // cadence) > ((step - spc) // cadence)
+
     init_step = int(jax.device_get(state.step))
     steps_run = 0
-    for step in range(init_step + 1, num_steps + 1):
-        batch = next(train_iter)
+    step = init_step
+    while step < num_steps:
+        if spc > 1:
+            batches = [next(train_iter) for _ in range(spc)]
+            batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        else:
+            batch = next(train_iter)
         state, metrics = jit_train(state, batch)
-        steps_run += 1
+        step += spc
+        steps_run += spc
         for k, v in metrics.items():
             window.setdefault(k, []).append(v)
 
-        if log_every and step % log_every == 0:
+        if crossed(step, log_every):
             # One device_get for the whole window (keeps the loop async).
             vals = jax.device_get(window)
             last_train = {f"train_{k}": float(np.mean(v)) for k, v in vals.items()}
@@ -92,7 +122,7 @@ def fit(
         elif timer is not None:
             timer.tick()
 
-        if eval_every and jit_eval is not None and step % eval_every == 0:
+        if jit_eval is not None and crossed(step, eval_every):
             acc: Dict[str, list] = {}
             it = eval_iter_fn() if eval_iter_fn is not None else None
             for _ in range(eval_steps):
@@ -103,11 +133,11 @@ def fit(
             last_eval = {f"eval_{k}": float(np.mean(v)) for k, v in acc.items()}
             tracker.log(last_eval, step)
 
-        if hook_every and hooks and step % hook_every == 0:
+        if hooks and crossed(step, hook_every):
             for hook in hooks:
                 hook(state, step)
 
-        if checkpointer is not None and checkpoint_every and step % checkpoint_every == 0:
+        if checkpointer is not None and crossed(step, checkpoint_every):
             checkpointer.save(step, state)
 
     if checkpointer is not None and steps_run:

@@ -139,3 +139,31 @@ def test_knn_hook_logs(synthetic_data, caplog):
     with caplog.at_level(logging.INFO, logger="esrecsys_tpu.workloads.glove"):
         hook(state, step=1)
     assert sum("tok0" in r.message for r in caplog.records) >= 1
+
+
+def test_fit_steps_per_call(synthetic_data, tmp_path):
+    """Multi-step device loop: same training effect, fewer dispatches."""
+    from esrecsys_tpu.core import mesh as mesh_lib
+    from esrecsys_tpu.core.tracking import MemoryTracker
+    from esrecsys_tpu.train import Checkpointer
+
+    pattern, n = synthetic_data
+    cfg = glove_wl.GloveConfig(train_pattern=pattern, feature_size=8,
+                               batch_size=32, learning_rate=0.05)
+    mesh = mesh_lib.make_mesh(n_model=1)
+    model, state = glove_wl.init_state(cfg, num_embeddings=n + 1, mesh=mesh)
+    batches = glove_batches(pattern, 32, shuffle_buffer=64)
+    tracker = MemoryTracker()
+    ckpt = Checkpointer(str(tmp_path / "spc_ckpt"))
+    first = glove_wl.make_eval_step(model)(state, next(batches))["loss"]
+    result = fit(
+        state, glove_wl.make_train_step(model), batches,
+        num_steps=200, steps_per_call=8, log_every=40,
+        tracker=tracker, checkpointer=ckpt, checkpoint_every=100,
+    )
+    assert result.steps_run == 200
+    assert int(result.state.step) == 200
+    assert result.last_train_metrics["train_loss"] < float(first)
+    logged_steps = [s for s, _ in tracker.records]
+    assert logged_steps[0] == 40 and 200 in logged_steps
+    assert ckpt.latest_step() == 200
