@@ -46,6 +46,7 @@ def fit(
     examples_per_step: int = 0,
     donate_state: bool = True,
     steps_per_call: int = 1,
+    mesh: Optional[Any] = None,
 ) -> FitResult:
     """Run the training loop.
 
@@ -65,7 +66,13 @@ def fit(
         (the reference pays one dispatch per step, two for GloVe:
         train_cooccurence.py:103-112). Cadences (log/eval/checkpoint/hook)
         fire at the first opportunity on or after their multiple.
+      mesh: when given, every train batch leaf is placed batch-sharded over
+        the ``data`` axis (leading dim, or dim 1 under steps_per_call > 1) —
+        the DP input placement the reference never does.
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from esrecsys_tpu.core.mesh import DATA_AXIS
     tracker = tracker or NullTracker()
     donate = (0,) if donate_state else ()
     spc = max(1, steps_per_call)
@@ -97,13 +104,26 @@ def fit(
     init_step = int(jax.device_get(state.step))
     steps_run = 0
     step = init_step
+    def place(batch):
+        if mesh is None:
+            return batch
+        lead = 1 if spc > 1 else 0
+
+        def put(x):
+            spec = [None] * x.ndim
+            if x.ndim > lead:
+                spec[lead] = DATA_AXIS
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+        return jax.tree_util.tree_map(put, batch)
+
     while step < num_steps:
         if spc > 1:
             batches = [next(train_iter) for _ in range(spc)]
             batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
         else:
             batch = next(train_iter)
-        state, metrics = jit_train(state, batch)
+        state, metrics = jit_train(state, place(batch))
         step += spc
         steps_run += spc
         for k, v in metrics.items():

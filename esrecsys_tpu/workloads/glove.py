@@ -53,6 +53,7 @@ class GloveConfig:
     terms: str = "news,apple,computer,physics,math,biology"
     checkpoint_every_epochs: int = 5
     n_model_shards: int = 1
+    steps_per_call: int = 1
     resume: bool = False
 
 
@@ -148,6 +149,8 @@ def train(cfg: GloveConfig, tracker=None, vocab: Optional[Vocabulary] = None):
         hooks=hooks,
         hook_every=cfg.steps_per_epoch,
         examples_per_step=cfg.batch_size,
+        steps_per_call=cfg.steps_per_call,
+        mesh=mesh,
     )
     return result
 

@@ -71,6 +71,7 @@ class PlaylistConfig:
     corpus_block: int = 16384
     seed: int = 0
     n_model_shards: int = 1
+    steps_per_call: int = 1
     resume: bool = False
 
 
@@ -290,6 +291,8 @@ def train(cfg: PlaylistConfig, tracker=None):
         checkpointer=ckpt,
         checkpoint_every=cfg.checkpoint_every_steps,
         examples_per_step=cfg.batch_size,
+        steps_per_call=cfg.steps_per_call,
+        mesh=mesh,
     )
     return result
 
