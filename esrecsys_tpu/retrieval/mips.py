@@ -165,3 +165,74 @@ def sharded_topk_over_matrix(
         check_vma=False,
     )
     return fn(queries, items)
+
+
+def sharded_scored_topk(
+    query_args: Tuple[jax.Array, ...],
+    item_arrays: Tuple[jax.Array, ...],
+    score_fn: Callable[..., jax.Array],
+    k: int,
+    mesh: Mesh,
+    block_size: int = 8192,
+    valid_items: Optional[int] = None,
+):
+    """Catalog-sharded top-k with a CUSTOM block scorer.
+
+    Generalizes :func:`sharded_topk_over_matrix` beyond dot products — e.g.
+    the playlist affinity (max-dot over context slots + membership boosts,
+    spotify/models.py:74-80). Each shard scans its local rows of every array
+    in ``item_arrays`` (all sharded ``P(model, ...)`` with equal leading
+    dims), scoring blocks via ``score_fn(*query_args, *item_blocks) →
+    (B, S)``; local top-k candidates are all-gathered over ``model`` and
+    re-topped. ICI traffic: O(B × k × n_shards), catalog-size independent.
+
+    Returns (values (B, k), global indices (B, k)).
+    """
+    n_shards = mesh.shape[MODEL_AXIS]
+    total_rows = item_arrays[0].shape[0]
+    if total_rows % n_shards:
+        raise ValueError(f"catalog rows {total_rows} not divisible by {n_shards} shards")
+    rows_per_shard = total_rows // n_shards
+    valid = total_rows if valid_items is None else valid_items
+    block = min(block_size, rows_per_shard)
+    n_q = len(query_args)
+
+    def local_fn(*args):
+        queries, local_items = args[:n_q], args[n_q:]
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        base = shard * rows_per_shard
+        padded = pad_to_multiple(rows_per_shard, block)
+        if padded != rows_per_shard:
+            local_items = tuple(
+                jnp.pad(a, [(0, padded - rows_per_shard)] + [(0, 0)] * (a.ndim - 1))
+                for a in local_items
+            )
+
+        def score_block(start):
+            blocks = tuple(
+                jax.lax.dynamic_slice_in_dim(a, start, block, axis=0)
+                for a in local_items
+            )
+            s = score_fn(*queries, *blocks)
+            local = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+            return jnp.where(base + start + local < valid, s, NEG_INF)
+
+        k_local = min(k, rows_per_shard)
+        vals, idxs = chunked_topk(score_block, rows_per_shard, k_local, block)
+        idxs = idxs + base
+        vals_g = jax.lax.all_gather(vals, MODEL_AXIS, axis=-1, tiled=True)
+        idxs_g = jax.lax.all_gather(idxs, MODEL_AXIS, axis=-1, tiled=True)
+        final_vals, sel = jax.lax.top_k(vals_g, k)
+        return final_vals, jnp.take_along_axis(idxs_g, sel, axis=-1)
+
+    item_specs = tuple(
+        P(MODEL_AXIS, *([None] * (a.ndim - 1))) for a in item_arrays
+    )
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple([P()] * n_q) + item_specs,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(*query_args, *item_arrays)

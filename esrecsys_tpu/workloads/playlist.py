@@ -218,6 +218,73 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
     return eval_step
 
 
+def make_sharded_eval_step(model: PlaylistModel, cfg: PlaylistConfig,
+                           corpus: Dict[str, jax.Array], mesh):
+    """Corpus-axis-parallel recall@k: the catalog is embedded into a
+    row-sharded (M, D) matrix over ``model``; each shard scans its local rows
+    (max-dot + isin boosts), local top-k candidates are all-gathered and
+    re-topped (:func:`esrecsys_tpu.retrieval.mips.sharded_scored_topk`).
+    This is SURVEY.md §5's sharded analog of the reference's single-device
+    full-corpus scan (train_spotify.py:113-131)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from esrecsys_tpu.retrieval.mips import sharded_scored_topk
+
+    tracks, albums, artists = corpus["tracks"], corpus["albums"], corpus["artists"]
+    num_items = int(tracks.shape[0])
+    n_shards = mesh.shape[mesh_lib.MODEL_AXIS]
+    block = min(cfg.corpus_block, mesh_lib.pad_to_multiple(num_items, 256))
+    padded = mesh_lib.pad_to_multiple(num_items, n_shards * block)
+    albums_p = jnp.pad(albums, (0, padded - num_items))
+    artists_p = jnp.pad(artists, (0, padded - num_items))
+
+    def score_fn(ctx_embed, album_ctx, artist_ctx, blk_embed, blk_album, blk_artist):
+        bsz = album_ctx.shape[0]
+        s = blk_album.shape[0]
+        dots = jnp.einsum("sd,bcd->bsc", blk_embed, ctx_embed)
+        aff = jnp.max(dots, axis=-1)
+        aff = aff + 0.1 * batched_isin(jnp.broadcast_to(blk_album, (bsz, s)), album_ctx)
+        aff = aff + 0.1 * batched_isin(jnp.broadcast_to(blk_artist, (bsz, s)), artist_ctx)
+        return aff
+
+    def eval_step(state: TrainState, batch):
+        ctx_embed = state.apply_fn(
+            {"params": state.params},
+            batch["album_context"], batch["artist_context"],
+            method=PlaylistModel.get_embeddings,
+        )
+        corpus_embed = state.apply_fn(
+            {"params": state.params}, albums_p, artists_p,
+            method=PlaylistModel.get_embeddings,
+        )
+        corpus_embed = jax.lax.with_sharding_constraint(
+            corpus_embed, NamedSharding(mesh, P(mesh_lib.MODEL_AXIS, None))
+        )
+        _, top_idx = sharded_scored_topk(
+            (ctx_embed, batch["album_context"], batch["artist_context"]),
+            (corpus_embed, albums_p, artists_p),
+            score_fn, cfg.eval_k, mesh, block, valid_items=num_items,
+        )
+        top_tracks = tracks[top_idx]
+        top_artists = artists[top_idx]
+        m = batch["next_mask"]
+        denom = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+        hit_tracks = batched_isin(top_tracks, jnp.where(m > 0, batch["next_track"], -1))
+        hit_artists = batched_isin(top_artists, jnp.where(m > 0, batch["next_artist"], -1))
+        return {
+            "track_recall": jnp.mean(jnp.sum(hit_tracks, axis=-1) / denom),
+            "artist_recall": jnp.mean(jnp.sum(hit_artists, axis=-1) / denom),
+        }
+
+    return eval_step
+
+
+def select_eval_step(model, cfg: PlaylistConfig, corpus, mesh):
+    if mesh is not None and mesh.shape[mesh_lib.MODEL_AXIS] > 1:
+        return make_sharded_eval_step(model, cfg, corpus, mesh)
+    return make_eval_step(model, cfg, corpus)
+
+
 # ------------------------------------------------------------------ wiring
 
 def init_state(cfg: PlaylistConfig, mesh) -> Tuple[PlaylistModel, TrainState]:
@@ -282,7 +349,7 @@ def train(cfg: PlaylistConfig, tracker=None):
         make_train_step(model, cfg, corpus, base_key),
         train_iter,
         num_steps=cfg.max_steps,
-        eval_step=make_eval_step(model, cfg, corpus),
+        eval_step=select_eval_step(model, cfg, corpus, mesh),
         eval_iter_fn=lambda: make_iter(cfg.test_pattern, 0),
         eval_every=cfg.eval_every_steps,
         eval_steps=max(1, cfg.eval_steps // cfg.batch_size),

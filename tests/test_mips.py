@@ -86,3 +86,31 @@ def test_sharded_topk_rejects_bad_shapes(mesh_model8):
         mips.sharded_topk_over_matrix(
             jnp.ones((1, 4)), jnp.ones((9, 4)), k=2, mesh=mesh_model8
         )
+
+
+def test_sharded_scored_topk_custom_affinity(mesh_model8):
+    """Custom scorer (max-dot + membership boost) matches a dense computation."""
+    key = jax.random.PRNGKey(5)
+    B, C, D, M = 3, 4, 8, 256
+    ctx = jax.random.normal(key, (B, C, D))
+    ctx_ids = jax.random.randint(jax.random.fold_in(key, 1), (B, C), 0, 50)
+    items = jax.random.normal(jax.random.fold_in(key, 2), (M, D))
+    item_ids = jax.random.randint(jax.random.fold_in(key, 3), (M,), 0, 50)
+
+    def score_fn(ctx, ctx_ids, blk, blk_ids):
+        dots = jnp.einsum("sd,bcd->bsc", blk, ctx)
+        aff = jnp.max(dots, axis=-1)
+        member = jnp.any(blk_ids[None, :, None] == ctx_ids[:, None, :], axis=-1)
+        return aff + 0.1 * member
+
+    vals, idx = jax.jit(
+        lambda *a: mips.sharded_scored_topk(
+            a[:2], a[2:], score_fn, k=17, mesh=mesh_model8, block_size=32
+        )
+    )(ctx, ctx_ids, items, item_ids)
+
+    dense = np.asarray(score_fn(ctx, ctx_ids, items, item_ids))
+    exp_idx = np.argsort(-dense, axis=-1)[:, :17]
+    exp_vals = np.take_along_axis(dense, exp_idx, axis=-1)
+    np.testing.assert_allclose(np.asarray(vals), exp_vals, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), exp_idx)

@@ -224,3 +224,34 @@ def test_playlist_train_and_eval_e2e(tiny_mpd, tmp_path):
     # recall@10/30 should beat the random baseline (10/30 * ~0.5 per parity)
     assert result.last_eval_metrics["eval_artist_recall"] > 0.2
     assert result.last_train_metrics["train_loss"] < 25.0
+
+
+def test_sharded_eval_matches_unsharded(tiny_mpd):
+    """Corpus-sharded recall eval == streaming single-device eval."""
+    from esrecsys_tpu.core import mesh as mesh_lib
+    from esrecsys_tpu.data import pipelines
+
+    mesh = mesh_lib.make_mesh(n_data=1, n_model=8)
+    cfg = pl.PlaylistConfig(
+        feature_size=8, album_hash_buckets=16, num_artists=10,
+        num_negatives=8, batch_size=4, max_next=8, eval_k=10, corpus_block=8,
+        n_model_shards=8,
+    )
+    corpus_np = pipelines.load_track_corpus(
+        f"{tiny_mpd}/all_tracks.json",
+        f"{tiny_mpd}/track_uri_dict.json",
+        f"{tiny_mpd}/album_uri_dict.json",
+        f"{tiny_mpd}/artist_uri_dict.json",
+    )
+    corpus = {k: jnp.asarray(v) for k, v in corpus_np.items()
+              if isinstance(v, np.ndarray)}
+    model, state = pl.init_state(cfg, mesh)
+    batch = next(pipelines.playlist_batches(
+        f"{tiny_mpd}/*.tfrecord", context_size=5, max_next=8, batch_size=4))
+
+    plain = jax.jit(pl.make_eval_step(model, cfg, corpus))(state, batch)
+    sharded = jax.jit(pl.make_sharded_eval_step(model, cfg, corpus, mesh))(state, batch)
+    np.testing.assert_allclose(
+        float(plain["track_recall"]), float(sharded["track_recall"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(plain["artist_recall"]), float(sharded["artist_recall"]), rtol=1e-5)
