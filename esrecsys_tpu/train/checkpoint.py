@@ -20,13 +20,17 @@ import orbax.checkpoint as ocp
 class Checkpointer:
     """Step-indexed checkpoints with bounded retention (keep-last-k)."""
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3, async_save: bool = False):
+        """``async_save=True`` overlaps checkpoint writes with training
+        (Orbax async), at the cost of a device→host copy at save time."""
         self.directory = os.path.abspath(directory)
+        self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
 
@@ -34,6 +38,10 @@ class Checkpointer:
         # Checkpoint the pytree minus static fields (apply_fn/tx aren't arrays).
         payload = _arrays_only(state)
         self._mgr.save(int(step), args=ocp.args.StandardSave(payload))
+        if not self.async_save:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:

@@ -47,6 +47,8 @@ def fit(
     donate_state: bool = True,
     steps_per_call: int = 1,
     mesh: Optional[Any] = None,
+    profile_dir: Optional[str] = None,
+    profile_steps: int = 20,
 ) -> FitResult:
     """Run the training loop.
 
@@ -69,6 +71,9 @@ def fit(
       mesh: when given, every train batch leaf is placed batch-sharded over
         the ``data`` axis (leading dim, or dim 1 under steps_per_call > 1) —
         the DP input placement the reference never does.
+      profile_dir: capture a TensorBoard-viewable device trace of the first
+        ``profile_steps`` post-compile steps (the reference has no profiling
+        at all, SURVEY.md §5).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -104,6 +109,8 @@ def fit(
     init_step = int(jax.device_get(state.step))
     steps_run = 0
     step = init_step
+    profiling = False
+
     def place(batch):
         if mesh is None:
             return batch
@@ -118,6 +125,10 @@ def fit(
         return jax.tree_util.tree_map(put, batch)
 
     while step < num_steps:
+        if profile_dir and steps_run == spc and not profiling:
+            # start after the first (compile) call so the trace is steady-state
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         if spc > 1:
             batches = [next(train_iter) for _ in range(spc)]
             batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
@@ -157,9 +168,16 @@ def fit(
             for hook in hooks:
                 hook(state, step)
 
+        if profiling and steps_run >= spc + profile_steps:
+            jax.block_until_ready(jax.tree_util.tree_leaves(metrics))
+            jax.profiler.stop_trace()
+            profiling = False
+
         if checkpointer is not None and crossed(step, checkpoint_every):
             checkpointer.save(step, state)
 
+    if profiling:
+        jax.profiler.stop_trace()
     if checkpointer is not None and steps_run:
         checkpointer.save(int(jax.device_get(state.step)), state)
     return FitResult(state, last_train, last_eval, steps_run)

@@ -167,3 +167,19 @@ def test_fit_steps_per_call(synthetic_data, tmp_path):
     logged_steps = [s for s, _ in tracker.records]
     assert logged_steps[0] == 40 and 200 in logged_steps
     assert ckpt.latest_step() == 200
+
+
+def test_fit_profile_dir(synthetic_data, tmp_path):
+    from esrecsys_tpu.core import mesh as mesh_lib
+
+    pattern, n = synthetic_data
+    cfg = glove_wl.GloveConfig(train_pattern=pattern, feature_size=4, batch_size=16)
+    model, state = glove_wl.init_state(cfg, n + 1, mesh_lib.make_mesh(n_model=1))
+    batches = glove_batches(pattern, 16)
+    prof = tmp_path / "trace"
+    fit(state, glove_wl.make_train_step(model), batches, num_steps=30,
+        profile_dir=str(prof), profile_steps=5)
+    import os
+
+    found = [f for _, _, fs in os.walk(prof) for f in fs]
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz") for f in found), found

@@ -127,3 +127,28 @@ def test_lookup_strategy_validation(setup):
         table_lib.lookup(tbl, ids, mesh=mesh, strategy="bogus")
     with pytest.raises(ValueError, match="unknown pool"):
         table_lib.lookup_pooled(tbl, ids, pool="bogus", mesh=mesh)
+
+
+def test_large_table_sharded_lookup(mesh_model8):
+    """Scale check toward the 100M-row stretch: a 2M-row table sharded over 8
+    shards, shard_map lookup + grad on rows spanning every shard."""
+    rows, dim = 2_000_000, 8
+    tbl = table_lib.init_table(jax.random.PRNGKey(0), rows, dim, mesh=mesh_model8)
+    assert tbl.shape == (2_000_000, 8)
+    per_shard = rows // 8
+    ids = jnp.asarray([0, per_shard - 1, per_shard, 3 * per_shard + 7, rows - 1])
+    out = jax.jit(
+        lambda t, i: table_lib.lookup(t, i, mesh=mesh_model8, strategy="shard_map",
+                                      ids_data_sharded=False)
+    )(tbl, ids)
+    np.testing.assert_allclose(np.asarray(out), _dense(tbl, ids), rtol=1e-6)
+
+    def loss(t):
+        e = table_lib.lookup(t, ids, mesh=mesh_model8, strategy="shard_map",
+                             ids_data_sharded=False)
+        return jnp.sum(e)
+
+    g = jax.jit(jax.grad(loss))(tbl)
+    # trailing Nones may be trimmed; row dim must be model-sharded
+    assert g.sharding.spec[0] == "model"
+    np.testing.assert_allclose(float(jnp.sum(g)), len(ids) * dim)
