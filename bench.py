@@ -63,29 +63,36 @@ def main():
     }
 
     # ---------------- ours: batched step, on-device negatives ----------------
-    # B=2048 playlists/step + an 8-step device loop (fit(steps_per_call=8))
-    # to amortize host dispatch — both framework features the reference lacks.
-    B, SPC = 2048, 8
+    # B=8192 playlists/step, a shared 1024-negative pool per step (each
+    # playlist sees 16x the reference's 64 negatives at ~1/512 the gather
+    # rows), row-sparse SGD updates (gradients never densify to table shape),
+    # and a 16-step device loop (fit(steps_per_call=16)) to amortize host
+    # dispatch — all framework features the reference lacks.
+    B, SPC = 8192, 16
     cfg = pl.PlaylistConfig(
         feature_size=32, album_hash_buckets=NUM_ALBUMS, num_artists=NUM_ARTISTS,
-        num_negatives=NNEG, batch_size=B, context_size=C, max_next=M,
+        num_negatives=1024, batch_size=B, context_size=C, max_next=M,
+        shared_negatives=True, sparse_updates=True, momentum=0.0,
     )
     model, state = pl.init_state(cfg, mesh=None)
-    train_step = pl.make_train_step(model, cfg, corpus, prng.base_key(0))
+    train_step = pl.select_train_step(model, cfg, corpus, prng.base_key(0))
 
     def multi_step(state, stacked):
-        return jax.lax.scan(lambda s, b: train_step(s, b), state, stacked)
+        new_state, metrics = jax.lax.scan(
+            lambda s, b: train_step(s, b), state, stacked)
+        return new_state, metrics["loss"][-1]
 
     step = jax.jit(multi_step, donate_argnums=0)
     one = _batch(rng, B, C, M, NNEG, NUM_ALBUMS, NUM_ARTISTS, False)
     stacked = {k: jnp.asarray(np.stack([v] * SPC)) for k, v in one.items()}
     state, m0 = step(state, stacked)  # compile
-    jax.block_until_ready(m0["loss"])
-    n_calls = 8
+    _ = jax.device_get(m0)  # true barrier (block_until_ready does not
+    # round-trip through the axon tunnel)
+    n_calls = 4
     t0 = time.perf_counter()
     for _ in range(n_calls):
-        state, metrics = step(state, stacked)
-    jax.block_until_ready(metrics["loss"])
+        state, last_loss = step(state, stacked)
+    _ = jax.device_get(last_loss)
     ours = n_calls * SPC * B / (time.perf_counter() - t0)
 
     # -------------- reference-style: B=1, host negatives, 2 dispatches -------
@@ -122,14 +129,14 @@ def main():
 
     b1 = _batch(rng, 1, C, M, NNEG, NUM_ALBUMS, NUM_ARTISTS, True)
     g, l = jit_grads(state1, host_sample(dict(b1))); state1 = jit_update(state1, g)
-    jax.block_until_ready(state1.params["album_embed"]["embedding"])
+    _ = jax.device_get(l)
     n_ref = 100
     t0 = time.perf_counter()
     for _ in range(n_ref):
         nb = host_sample(dict(b1))
         g, l = jit_grads(state1, nb)
         state1 = jit_update(state1, g)
-    jax.block_until_ready(state1.params["album_embed"]["embedding"])
+    _ = jax.device_get(l)
     ref = n_ref * 1 / (time.perf_counter() - t0)
 
     print(json.dumps({

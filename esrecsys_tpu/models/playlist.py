@@ -40,6 +40,67 @@ def batched_isin(element: jax.Array, test_set: jax.Array) -> jax.Array:
     return jnp.any(element[..., :, None] == test_set[..., None, :], axis=-1)
 
 
+def score_embeddings(
+    context_embed: jax.Array,   # (B, C, D)
+    next_embed: jax.Array,      # (B, M, D)
+    neg_embed: jax.Array,       # (B, N, D) or shared (N, D)
+    next_album: jax.Array,
+    next_artist: jax.Array,
+    neg_album: jax.Array,
+    neg_artist: jax.Array,
+    album_context: jax.Array,
+    artist_context: jax.Array,
+) -> Tuple[jax.Array, ...]:
+    """Post-gather scoring math shared by :meth:`PlaylistModel.__call__` and
+    the sparse-update train step (which gathers table rows itself so its
+    gradients stay row-shaped instead of densifying to table shape).
+
+    Returns the reference's six outputs (spotify/models.py:82-91), batched:
+    (pos_affinity, neg_affinity, ctx/next/neg self-affinity, L2 norms —
+    a ((B, C+M), (N,)) pair in shared-negative mode).
+    """
+    shared = neg_embed.ndim == 2
+
+    def affinity(item_embed, item_album, item_artist):
+        if item_embed.ndim == 2:
+            dots = jnp.einsum("md,bcd->bmc", item_embed, context_embed)
+        else:
+            dots = jnp.einsum("bmd,bcd->bmc", item_embed, context_embed)
+        aff = jnp.max(dots, axis=-1)
+        aff = aff + 0.1 * batched_isin(item_album, album_context)
+        aff = aff + 0.1 * batched_isin(item_artist, artist_context)
+        return aff
+
+    pos_affinity = affinity(next_embed, next_album, next_artist)
+    neg_affinity = affinity(neg_embed, neg_album, neg_artist)
+
+    l2 = lambda e: jnp.sqrt(jnp.sum(jnp.square(e), axis=-1))
+    if shared:
+        all_embeddings_l2 = (
+            l2(jnp.concatenate([context_embed, next_embed], axis=-2)),
+            l2(neg_embed),
+        )
+    else:
+        all_embeddings_l2 = l2(
+            jnp.concatenate([context_embed, next_embed, neg_embed], axis=-2))
+
+    # Flip-paired self-affinities (spotify/models.py:85-87): row i vs
+    # row C-1-i of the same group, so each group's embeddings spread out.
+    def self_aff(e):
+        if e.ndim == 2:
+            return jnp.einsum("md,nd->mn", jnp.flip(e, axis=-2), e)
+        return jnp.einsum("bmd,bnd->bmn", jnp.flip(e, axis=-2), e)
+
+    return (
+        pos_affinity,
+        neg_affinity,
+        self_aff(context_embed),
+        self_aff(next_embed),
+        self_aff(neg_embed),
+        all_embeddings_l2,
+    )
+
+
 class PlaylistModel(nn.Module):
     feature_size: int
     album_hash_buckets: int = 100_000
@@ -70,15 +131,23 @@ class PlaylistModel(nn.Module):
     def affinity(
         self,
         context_embed: jax.Array,   # (B, C, D)
-        item_embed: jax.Array,      # (B, M, D)
-        item_album: jax.Array,      # (B, M)
-        item_artist: jax.Array,     # (B, M)
+        item_embed: jax.Array,      # (B, M, D) or shared (M, D)
+        item_album: jax.Array,      # (B, M) or shared (M,)
+        item_artist: jax.Array,     # (B, M) or shared (M,)
         album_context: jax.Array,   # (B, C)
         artist_context: jax.Array,  # (B, C)
     ) -> jax.Array:
         """max-dot over context slots + 0.1 album/artist membership boosts
-        (spotify/models.py:74-80), batched: → (B, M)."""
-        dots = jnp.einsum("bmd,bcd->bmc", item_embed, context_embed)
+        (spotify/models.py:74-80), batched: → (B, M).
+
+        A 2-D ``item_embed`` is a *shared* item set (one pool scored against
+        every playlist in the batch — used for shared negative pools): the
+        dot becomes a single (M, D) × (B, C, D) MXU contraction instead of a
+        per-playlist batched one."""
+        if item_embed.ndim == 2:
+            dots = jnp.einsum("md,bcd->bmc", item_embed, context_embed)
+        else:
+            dots = jnp.einsum("bmd,bcd->bmc", item_embed, context_embed)
         aff = jnp.max(dots, axis=-1)
         aff = aff + 0.1 * batched_isin(item_album, album_context)
         aff = aff + 0.1 * batched_isin(item_artist, artist_context)
@@ -92,38 +161,26 @@ class PlaylistModel(nn.Module):
         next_track: jax.Array,      # (B, M)
         next_album: jax.Array,
         next_artist: jax.Array,
-        neg_track: jax.Array,       # (B, N)
+        neg_track: jax.Array,       # (B, N), or (N,) for a shared pool
         neg_album: jax.Array,
         neg_artist: jax.Array,
     ) -> Tuple[jax.Array, ...]:
         """Returns (pos_affinity (B,M), neg_affinity (B,N), context/next/neg
         self-affinity matrices, all embedding L2 norms) — the same six outputs
-        as the reference (spotify/models.py:82-91), with a batch dim."""
+        as the reference (spotify/models.py:82-91), with a batch dim.
+
+        Shared-negative mode: 1-D ``neg_*`` ids are one pool scored against
+        every playlist (neg_affinity still (B, N); neg self-affinity is the
+        pool's (N, N); the L2 output becomes a ((B, C+M), (N,)) pair). One
+        pool per step costs N gather/scatter rows instead of B·N and every
+        playlist sees N negatives instead of the reference's 64
+        (train_spotify.py:60)."""
         del track_context, neg_track
         context_embed = self.get_embeddings(album_context, artist_context)
         next_embed = self.get_embeddings(next_album, next_artist)
         neg_embed = self.get_embeddings(neg_album, neg_artist)
-
-        pos_affinity = self.affinity(
-            context_embed, next_embed, next_album, next_artist,
-            album_context, artist_context)
-        neg_affinity = self.affinity(
-            context_embed, neg_embed, neg_album, neg_artist,
-            album_context, artist_context)
-
-        all_embeddings = jnp.concatenate([context_embed, next_embed, neg_embed], axis=-2)
-        all_embeddings_l2 = jnp.sqrt(jnp.sum(jnp.square(all_embeddings), axis=-1))
-
-        # Flip-paired self-affinities (spotify/models.py:85-87): row i vs
-        # row C-1-i of the same group, so each group's embeddings spread out.
-        def self_aff(e):
-            return jnp.einsum("bmd,bnd->bmn", jnp.flip(e, axis=-2), e)
-
-        return (
-            pos_affinity,
-            neg_affinity,
-            self_aff(context_embed),
-            self_aff(next_embed),
-            self_aff(neg_embed),
-            all_embeddings_l2,
+        return score_embeddings(
+            context_embed, next_embed, neg_embed,
+            next_album, next_artist, neg_album, neg_artist,
+            album_context, artist_context,
         )

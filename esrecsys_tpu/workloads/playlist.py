@@ -32,7 +32,7 @@ from esrecsys_tpu.core import mesh as mesh_lib
 from esrecsys_tpu.core import prng
 from esrecsys_tpu.core.tracking import make_tracker
 from esrecsys_tpu.data import pipelines
-from esrecsys_tpu.models.playlist import PlaylistModel, batched_isin
+from esrecsys_tpu.models.playlist import PlaylistModel, batched_isin, score_embeddings
 from esrecsys_tpu.ops import losses
 from esrecsys_tpu.parallel.sharding import apply_partition_rules
 from esrecsys_tpu.retrieval.mips import chunked_topk
@@ -56,6 +56,10 @@ class PlaylistConfig:
     album_hash_buckets: int = 100_000
     num_artists: int = 295_861
     num_negatives: int = 64
+    shared_negatives: bool = False  # one pool of num_negatives per step,
+    # scored against every playlist (N gather rows instead of B·N)
+    sparse_updates: bool = False  # row-sparse SGD (requires momentum=0.0):
+    # grads stay row-shaped and scatter straight into the tables
     learning_rate: float = 1e-3
     momentum: float = 0.98
     regularization: float = 10.0   # L2-norm cap
@@ -85,8 +89,15 @@ def playlist_loss(result: Tuple[jax.Array, ...], next_mask: jax.Array,
     triplet relu(1 + mean(neg) - mean(pos)) + self-affinity hinges + norm
     cap; averaged over the batch. With B=1 and a full mask this equals the
     reference loss exactly.
+
+    Shared-negative results (2-D ``neg_self``, paired L2 output — see
+    :meth:`PlaylistModel.__call__`) are handled too: the pool's spread hinge
+    and norm cap are step-level terms added once per playlist, a deliberate
+    divergence from the reference's per-playlist 64-negative terms
+    (train_spotify.py:96-107) documented in PARITY.md.
     """
     (pos_aff, neg_aff, ctx_self, next_self, neg_self, l2) = result
+    shared = neg_self.ndim == 2
     m = next_mask  # (B, M) 1.0 for real next tracks
     count = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
 
@@ -104,16 +115,23 @@ def playlist_loss(result: Tuple[jax.Array, ...], next_mask: jax.Array,
     pair_count = jnp.maximum(jnp.sum(pair_mask, axis=(-1, -2)), 1.0)
     ctx_floor = jnp.mean(losses.relu(0.5 - ctx_self), axis=(-1, -2))
     next_floor = jnp.sum(losses.relu(0.5 - next_self) * pair_mask, axis=(-1, -2)) / pair_count
-    neg_ceiling = jnp.mean(losses.relu(neg_self), axis=(-1, -2))
+    neg_ceiling = jnp.mean(losses.relu(neg_self), axis=(-1, -2))  # scalar if shared
 
-    # norm cap: exclude padded next rows (l2 layout: [C ctx | M next | N neg])
+    # norm cap: exclude padded next rows (l2 layout: [C ctx | M next | N neg];
+    # shared mode carries the pool's norms separately as a step-level term)
     ctx_n = ctx_self.shape[-1]
-    next_n = next_self.shape[-1]
-    norm_mask = jnp.concatenate(
-        [jnp.ones_like(l2[:, :ctx_n]), m, jnp.ones_like(l2[:, ctx_n + next_n :])],
-        axis=-1,
-    )
-    reg_loss = jnp.sum(losses.relu(l2 - regularization) * norm_mask, axis=-1)
+    if shared:
+        ctx_next_l2, neg_l2 = l2
+        norm_mask = jnp.concatenate([jnp.ones_like(ctx_next_l2[:, :ctx_n]), m], axis=-1)
+        reg_loss = jnp.sum(losses.relu(ctx_next_l2 - regularization) * norm_mask, axis=-1)
+        reg_loss = reg_loss + jnp.sum(losses.relu(neg_l2 - regularization))
+    else:
+        next_n = next_self.shape[-1]
+        norm_mask = jnp.concatenate(
+            [jnp.ones_like(l2[:, :ctx_n]), m, jnp.ones_like(l2[:, ctx_n + next_n :])],
+            axis=-1,
+        )
+        reg_loss = jnp.sum(losses.relu(l2 - regularization) * norm_mask, axis=-1)
 
     loss = (
         extremal_triplet + mean_triplet + reg_loss
@@ -137,10 +155,12 @@ def make_train_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str,
     def train_step(state: TrainState, batch):
         # On-device negative sampling, deterministic per step.
         key = prng.key_for_step(base_key, state.step, prng.STREAM_NEGATIVES)
-        neg_idx = jax.random.randint(
-            key, (batch["track_context"].shape[0], cfg.num_negatives),
-            0, neg_albums.shape[0],
+        shape = (
+            (cfg.num_negatives,)
+            if cfg.shared_negatives
+            else (batch["track_context"].shape[0], cfg.num_negatives)
         )
+        neg_idx = jax.random.randint(key, shape, 0, neg_albums.shape[0])
         neg_album = neg_albums[neg_idx]
         neg_artist = neg_artists[neg_idx]
 
@@ -158,6 +178,88 @@ def make_train_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str,
         return state.apply_gradients(grads=grads), metrics
 
     return train_step
+
+
+def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
+                           corpus: Dict[str, jax.Array], base_key: jax.Array):
+    """Row-sparse SGD train step.
+
+    The dense step above differentiates through ``jnp.take``, so each table
+    gradient materializes at full table shape (scatter-add into zeros), then
+    SGD makes another full pass — for the reference-scale tables that is the
+    dominant per-step cost. This step instead:
+
+      1. gathers each table's touched rows once (ctx ∥ next ∥ neg ids),
+      2. differentiates the loss w.r.t. the *gathered rows* (row-shaped
+         gradients, no table-shaped intermediate),
+      3. scatter-adds ``-lr * row_grad`` straight into the donated table.
+
+    Duplicate ids accumulate in the scatter exactly as the dense gradient
+    would. Requires ``momentum == 0`` (plain SGD): momentum would need a
+    dense second pass, which is the thing this path exists to avoid.
+    Divergence from the reference's SGD(momentum=0.98)
+    (train_spotify.py:238-243) — documented in PARITY.md; the dense step
+    remains the parity default.
+    """
+    if cfg.momentum:
+        raise ValueError("sparse_updates requires momentum=0.0 (plain SGD)")
+    neg_albums = corpus["albums"]
+    neg_artists = corpus["artists"]
+    n_albums = cfg.album_hash_buckets
+
+    def train_step(state: TrainState, batch):
+        key = prng.key_for_step(base_key, state.step, prng.STREAM_NEGATIVES)
+        b = batch["track_context"].shape[0]
+        shape = (cfg.num_negatives,) if cfg.shared_negatives else (b, cfg.num_negatives)
+        neg_idx = jax.random.randint(key, shape, 0, neg_albums.shape[0])
+        neg_album = neg_albums[neg_idx]
+        neg_artist = neg_artists[neg_idx]
+
+        c, m = cfg.context_size, cfg.max_next
+        alb_ids = jnp.concatenate([
+            batch["album_context"].reshape(-1), batch["next_album"].reshape(-1),
+            neg_album.reshape(-1)]) % n_albums
+        art_ids = jnp.concatenate([
+            batch["artist_context"].reshape(-1), batch["next_artist"].reshape(-1),
+            neg_artist.reshape(-1)])
+
+        t_alb = state.params["album_embed"]["embedding"]
+        t_art = state.params["artist_embed"]["embedding"]
+        rows_alb = jnp.take(t_alb, alb_ids, axis=0)
+        rows_art = jnp.take(t_art, art_ids, axis=0)
+
+        def loss_fn(rows_alb, rows_art):
+            e = jnp.concatenate([rows_alb, rows_art], axis=-1)  # (n, 2F)
+            d = e.shape[-1]
+            ctx_e = e[: b * c].reshape(b, c, d)
+            nxt_e = e[b * c : b * (c + m)].reshape(b, m, d)
+            neg_e = e[b * (c + m) :]
+            if not cfg.shared_negatives:
+                neg_e = neg_e.reshape(b, cfg.num_negatives, d)
+            result = score_embeddings(
+                ctx_e, nxt_e, neg_e,
+                batch["next_album"], batch["next_artist"], neg_album, neg_artist,
+                batch["album_context"], batch["artist_context"])
+            metrics = playlist_loss(result, batch["next_mask"], cfg.regularization)
+            return metrics["loss"], metrics
+
+        (_, metrics), (g_alb, g_art) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(rows_alb, rows_art)
+
+        lr = cfg.learning_rate
+        new_params = dict(state.params)
+        new_params["album_embed"] = {"embedding": t_alb.at[alb_ids].add(-lr * g_alb)}
+        new_params["artist_embed"] = {"embedding": t_art.at[art_ids].add(-lr * g_art)}
+        return state.replace(step=state.step + 1, params=new_params), metrics
+
+    return train_step
+
+
+def select_train_step(model: PlaylistModel, cfg: PlaylistConfig,
+                      corpus: Dict[str, jax.Array], base_key: jax.Array):
+    if getattr(cfg, "sparse_updates", False):
+        return make_sparse_train_step(model, cfg, corpus, base_key)
+    return make_train_step(model, cfg, corpus, base_key)
 
 
 def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, jax.Array]):
@@ -305,7 +407,7 @@ def init_state(cfg: PlaylistConfig, mesh) -> Tuple[PlaylistModel, TrainState]:
     )["params"]
     if mesh is not None:
         params = apply_partition_rules(params, mesh)
-    tx = optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
+    tx = optax.sgd(cfg.learning_rate, momentum=cfg.momentum or None)
     return model, TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
@@ -346,7 +448,7 @@ def train(cfg: PlaylistConfig, tracker=None):
     base_key = prng.base_key(cfg.seed)
     result = fit(
         state,
-        make_train_step(model, cfg, corpus, base_key),
+        select_train_step(model, cfg, corpus, base_key),
         train_iter,
         num_steps=cfg.max_steps,
         eval_step=select_eval_step(model, cfg, corpus, mesh),

@@ -255,3 +255,99 @@ def test_sharded_eval_matches_unsharded(tiny_mpd):
         float(plain["track_recall"]), float(sharded["track_recall"]), rtol=1e-5)
     np.testing.assert_allclose(
         float(plain["artist_recall"]), float(sharded["artist_recall"]), rtol=1e-5)
+
+
+def _rand_batch(rng, b, c, m, nalb=50, nart=40, ntrk=100):
+    ri = lambda hi, *s: jnp.asarray(rng.integers(0, hi, s), jnp.int32)
+    return {
+        "track_context": ri(ntrk, b, c), "album_context": ri(nalb * 3, b, c),
+        "artist_context": ri(nart, b, c), "next_track": ri(ntrk, b, m),
+        "next_album": ri(nalb * 3, b, m), "next_artist": ri(nart, b, m),
+        "next_mask": jnp.asarray(rng.integers(0, 2, (b, m)).astype(np.float32))
+        .at[:, 0].set(1.0),
+    }
+
+
+def _tiny_corpus(rng, n=32, nalb=50, nart=40, ntrk=100):
+    return {
+        "tracks": jnp.asarray(rng.integers(0, ntrk, n), jnp.int32),
+        "albums": jnp.asarray(rng.integers(0, nalb * 3, n), jnp.int32),
+        "artists": jnp.asarray(rng.integers(0, nart, n), jnp.int32),
+    }
+
+
+def test_shared_negative_pool_shapes_and_equivalence():
+    """Shared-pool outputs must equal the batched path fed the same pool
+    broadcast to every playlist."""
+    model = _small_model()
+    variables = _init(model)
+    rng = np.random.default_rng(0)
+    b, c, m, n = 3, 3, 4, 6
+    batch = _rand_batch(rng, b, c, m)
+    neg_alb = jnp.asarray(rng.integers(0, 150, n), jnp.int32)
+    neg_art = jnp.asarray(rng.integers(0, 40, n), jnp.int32)
+
+    shared = model.apply(
+        variables, batch["track_context"], batch["album_context"],
+        batch["artist_context"], batch["next_track"], batch["next_album"],
+        batch["next_artist"], jnp.zeros(n, jnp.int32), neg_alb, neg_art)
+    tiled = model.apply(
+        variables, batch["track_context"], batch["album_context"],
+        batch["artist_context"], batch["next_track"], batch["next_album"],
+        batch["next_artist"], jnp.zeros((b, n), jnp.int32),
+        jnp.broadcast_to(neg_alb, (b, n)), jnp.broadcast_to(neg_art, (b, n)))
+
+    assert shared[0].shape == (b, m) and shared[1].shape == (b, n)
+    np.testing.assert_allclose(np.asarray(shared[0]), np.asarray(tiled[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(shared[1]), np.asarray(tiled[1]), rtol=1e-6)
+    assert shared[4].shape == (n, n)  # pool self-affinity
+    np.testing.assert_allclose(np.asarray(shared[4]), np.asarray(tiled[4][0]), rtol=1e-6)
+    ctx_next_l2, neg_l2 = shared[5]
+    assert ctx_next_l2.shape == (b, c + m) and neg_l2.shape == (n,)
+    np.testing.assert_allclose(np.asarray(neg_l2), np.asarray(tiled[5][0, c + m:]), rtol=1e-6)
+
+    # loss runs and matches the tiled loss on everything but the pool-level
+    # terms (neg ceiling / pool norm cap are step-level in shared mode)
+    ls = pl.playlist_loss(shared, batch["next_mask"], 10.0)
+    lt = pl.playlist_loss(tiled, batch["next_mask"], 10.0)
+    np.testing.assert_allclose(
+        float(ls["mean_triplet"]), float(lt["mean_triplet"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(ls["extremal_triplet"]), float(lt["extremal_triplet"]), rtol=1e-6)
+
+
+def test_sparse_step_matches_dense_step():
+    """Row-sparse SGD must produce bit-comparable tables to the dense step
+    when momentum=0 (same grads, same update, different plumbing)."""
+    rng = np.random.default_rng(1)
+    for shared in (False, True):
+        cfg = pl.PlaylistConfig(
+            feature_size=4, album_hash_buckets=50, num_artists=40,
+            num_negatives=6, batch_size=3, context_size=3, max_next=4,
+            momentum=0.0, learning_rate=0.05, shared_negatives=shared,
+            sparse_updates=True)
+        model, state_d = pl.init_state(cfg, mesh=None)
+        _, state_s = pl.init_state(cfg, mesh=None)
+        corpus = _tiny_corpus(rng)
+        dense = pl.make_train_step(model, cfg, corpus, jax.random.PRNGKey(7))
+        sparse = pl.make_sparse_train_step(model, cfg, corpus, jax.random.PRNGKey(7))
+        batch = _rand_batch(rng, 3, 3, 4)
+        for _ in range(3):
+            state_d, md = jax.jit(dense)(state_d, batch)
+            state_s, ms = jax.jit(sparse)(state_s, batch)
+        np.testing.assert_allclose(float(md["loss"]), float(ms["loss"]), rtol=1e-5)
+        for name in ("album_embed", "artist_embed"):
+            np.testing.assert_allclose(
+                np.asarray(state_d.params[name]["embedding"]),
+                np.asarray(state_s.params[name]["embedding"]),
+                rtol=2e-5, atol=1e-7, err_msg=f"{name} shared={shared}")
+
+
+def test_sparse_step_requires_zero_momentum():
+    cfg = pl.PlaylistConfig(momentum=0.9, sparse_updates=True)
+    model, _ = pl.init_state(
+        pl.PlaylistConfig(feature_size=4, album_hash_buckets=10, num_artists=10,
+                          momentum=0.0), mesh=None)
+    with pytest.raises(ValueError):
+        pl.make_sparse_train_step(model, cfg, _tiny_corpus(np.random.default_rng(0)),
+                                  jax.random.PRNGKey(0))
