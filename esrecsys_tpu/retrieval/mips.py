@@ -89,6 +89,93 @@ def chunked_topk(
     return vals, idxs
 
 
+def chunked_grouped_topk(
+    score_block_fn: Callable[[jax.Array], jax.Array],
+    score_items_fn: Callable[[jax.Array], jax.Array],
+    num_items: int,
+    k: int,
+    block_size: int = 8192,
+    group: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact streaming top-k with a group-max prefilter — ~4-6x cheaper than
+    :func:`chunked_topk` on TPU, where ``lax.top_k`` cost is linear in the
+    number of scored elements (~1 ns/element on v5e).
+
+    Phase 1 streams the catalog keeping the top-k *groups* of ``group``
+    consecutive items, ranked by group max (top_k over ``block/group``
+    elements per block instead of ``block``). Phase 2 rescores the k·group
+    candidate items and takes the final exact top-k.
+
+    Exactness: any group containing a true top-k item has group-max >= that
+    item's score; if such a group were outside the k selected groups, the k
+    selected groups would each contain a distinct item scoring above it —
+    contradiction. So the k top groups cover all true top-k items. (Exact
+    score ties at the k-th boundary may resolve in a different-but-equally-
+    scored order than ``lax.top_k``'s index order.)
+
+    Args:
+      score_block_fn: start index → (B, block) scores, as in
+        :func:`chunked_topk`.
+      score_items_fn: item indices (B, n) → (B, n) scores for arbitrary
+        items; used to rescore the k·group candidates. Indices may include
+        padding >= num_items; their scores are ignored.
+      num_items / k / block_size: as in :func:`chunked_topk`.
+      group: items per group; ``block_size`` must be divisible by it.
+
+    Returns:
+      (values (B, k), indices (B, k)), sorted descending per row.
+    """
+    probe = jax.eval_shape(score_block_fn, jax.ShapeDtypeStruct((), jnp.int32))
+    block_size = probe.shape[-1]
+    if block_size % group:
+        raise ValueError(f"block_size {block_size} not divisible by group {group}")
+    batch_shape = probe.shape[:-1]
+    num_blocks = -(-num_items // block_size)
+    groups_per_block = block_size // group
+    num_groups = num_blocks * groups_per_block
+    kg = min(k, num_groups)
+
+    def body(carry, b):
+        gvals, gidxs = carry
+        start = b * block_size
+        scores = score_block_fn(start)  # (B, S)
+        local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+        scores = jnp.where(start + local < num_items, scores, NEG_INF)
+        gmax = jnp.max(
+            scores.reshape(batch_shape + (groups_per_block, group)), axis=-1)
+        gid = (start // group) + jax.lax.broadcasted_iota(
+            jnp.int32, gmax.shape, gmax.ndim - 1)
+        cat_vals = jnp.concatenate([gvals, gmax], axis=-1)
+        cat_idxs = jnp.concatenate([gidxs, gid], axis=-1)
+        new_vals, sel = jax.lax.top_k(cat_vals, kg)
+        return (new_vals, jnp.take_along_axis(cat_idxs, sel, axis=-1)), None
+
+    init = (
+        jnp.full(batch_shape + (kg,), NEG_INF, jnp.float32),
+        # distinct out-of-range group ids: if a -inf init slot survives the
+        # scan (k close to num_items), its candidates mask out in the rescore
+        # instead of duplicating group 0's items
+        jnp.broadcast_to(num_groups + jnp.arange(kg, dtype=jnp.int32),
+                         batch_shape + (kg,)),
+    )
+    (gvals, win_groups), _ = jax.lax.scan(body, init, jnp.arange(num_blocks))
+
+    # Phase 2: rescore the winning groups' members exactly.
+    cand = win_groups[..., :, None] * group + jnp.arange(group)  # (B, kg, G)
+    cand = cand.reshape(batch_shape + (kg * group,))
+    cand_scores = score_items_fn(jnp.minimum(cand, num_items - 1))
+    cand_scores = jnp.where(cand < num_items, cand_scores, NEG_INF)
+    k_eff = min(k, num_items)
+    vals, sel = jax.lax.top_k(cand_scores, k_eff)
+    idxs = jnp.take_along_axis(cand, sel, axis=-1)
+    if k_eff < k:
+        pad = k - k_eff
+        vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)],
+                       constant_values=NEG_INF)
+        idxs = jnp.pad(idxs, [(0, 0)] * (idxs.ndim - 1) + [(0, pad)])
+    return vals, idxs
+
+
 def topk_over_matrix(
     queries: jax.Array,  # (B, D)
     items: jax.Array,    # (M, D)

@@ -34,6 +34,7 @@ def fit(
     num_steps: int,
     *,
     eval_step: Optional[Callable[[Any, Any], Dict[str, Any]]] = None,
+    eval_setup_fn: Optional[Callable[[Any], Any]] = None,
     eval_iter_fn: Optional[Callable[[], Iterator[Any]]] = None,
     eval_every: int = 0,
     eval_steps: int = 0,
@@ -60,6 +61,11 @@ def fit(
       train_iter: infinite iterator of device-ready batches.
       num_steps: final step number (absolute, not incremental).
       eval_step: (state, batch) -> metrics dict; averaged over ``eval_steps``.
+        With ``eval_setup_fn``, called as (state, batch, aux).
+      eval_setup_fn: (state) -> aux computed ONCE per eval round and passed to
+        every eval_step call in the round (e.g. the full-corpus embedding
+        matrix — the reference recomputes it per eval example,
+        train_spotify.py:113-131).
       eval_iter_fn: builds a fresh eval iterator each eval round.
       hooks: qualitative callbacks, e.g. probe-KNN dumps
         (train_cooccurence.py:114-126 parity).
@@ -92,6 +98,7 @@ def fit(
     else:
         jit_train = jax.jit(train_step, donate_argnums=donate)
     jit_eval = jax.jit(eval_step) if eval_step is not None else None
+    jit_eval_setup = jax.jit(eval_setup_fn) if eval_setup_fn is not None else None
 
     timer = (
         StepTimer(examples_per_step * spc, window=max(log_every // spc, 1))
@@ -156,9 +163,10 @@ def fit(
         if jit_eval is not None and crossed(step, eval_every):
             acc: Dict[str, list] = {}
             it = eval_iter_fn() if eval_iter_fn is not None else None
+            aux = (jit_eval_setup(state),) if jit_eval_setup is not None else ()
             for _ in range(eval_steps):
                 ebatch = next(it if it is not None else train_iter)
-                em = jax.device_get(jit_eval(state, ebatch))
+                em = jax.device_get(jit_eval(state, ebatch, *aux))
                 for k, v in em.items():
                     acc.setdefault(k, []).append(v)
             last_eval = {f"eval_{k}": float(np.mean(v)) for k, v in acc.items()}

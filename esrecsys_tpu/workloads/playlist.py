@@ -35,7 +35,7 @@ from esrecsys_tpu.data import pipelines
 from esrecsys_tpu.models.playlist import PlaylistModel, batched_isin, score_embeddings
 from esrecsys_tpu.ops import losses
 from esrecsys_tpu.parallel.sharding import apply_partition_rules
-from esrecsys_tpu.retrieval.mips import chunked_topk
+from esrecsys_tpu.retrieval.mips import chunked_grouped_topk, chunked_topk
 from esrecsys_tpu.train import Checkpointer, TrainState, fit
 
 log = logging.getLogger(__name__)
@@ -71,8 +71,10 @@ class PlaylistConfig:
     eval_every_steps: int = 10_000
     eval_steps: int = 1000
     eval_k: int = 500
+    eval_group: int = 8  # group-max prefilter width for the exact streaming
+    # top-k (retrieval.mips.chunked_grouped_topk); 0 = plain chunked_topk
     checkpoint_every_steps: int = 100_000
-    corpus_block: int = 16384
+    corpus_block: int = 131072
     seed: int = 0
     n_model_shards: int = 1
     steps_per_call: int = 1
@@ -262,14 +264,36 @@ def select_train_step(model: PlaylistModel, cfg: PlaylistConfig,
     return make_train_step(model, cfg, corpus, base_key)
 
 
+def make_corpus_embed_setup(model: PlaylistModel, cfg: PlaylistConfig,
+                            corpus: Dict[str, jax.Array]):
+    """(state) → (N_pad, D) corpus embedding matrix, computed ONCE per eval
+    round and shared by every eval batch in the round (the reference re-embeds
+    all 2.26M rows per eval playlist, train_spotify.py:113-131 +
+    models.py:82)."""
+    num_items = int(corpus["tracks"].shape[0])
+    block = min(cfg.corpus_block, mesh_lib.pad_to_multiple(num_items, 256))
+    pad = mesh_lib.pad_to_multiple(num_items, block) - num_items
+    albums_p = jnp.pad(corpus["albums"], (0, pad))
+    artists_p = jnp.pad(corpus["artists"], (0, pad))
+
+    def setup(state: TrainState):
+        return state.apply_fn(
+            {"params": state.params}, albums_p, artists_p,
+            method=PlaylistModel.get_embeddings,
+        )  # (N_pad, D)
+
+    return setup
+
+
 def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, jax.Array]):
     """recall@k of next tracks/artists against the full corpus.
 
-    The corpus is scored in blocks: each block's album/artist ids are gathered
-    from the (sharded) tables, embedded, and max-dot-scored against the
-    context — the full corpus embedding matrix is never materialized
-    (contrast train_spotify.py:113-131 + models.py:82 which embeds all 2.26M
-    rows per eval call).
+    The corpus is scored in blocks of a precomputed embedding matrix (built
+    once per eval round via :func:`make_corpus_embed_setup`, or per batch
+    when no setup aux is passed), streamed through the exact group-max
+    top-k (:func:`esrecsys_tpu.retrieval.mips.chunked_grouped_topk`) —
+    contrast train_spotify.py:113-131 + models.py:82 which embeds all 2.26M
+    rows and exact-sorts the full score vector per eval playlist.
     """
     tracks, albums, artists = corpus["tracks"], corpus["albums"], corpus["artists"]
     num_items = int(tracks.shape[0])
@@ -277,8 +301,11 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
     pad = mesh_lib.pad_to_multiple(num_items, block) - num_items
     albums_p = jnp.pad(albums, (0, pad))
     artists_p = jnp.pad(artists, (0, pad))
+    setup = make_corpus_embed_setup(model, cfg, corpus)
 
-    def eval_step(state: TrainState, batch):
+    def eval_step(state: TrainState, batch, corpus_embed=None):
+        if corpus_embed is None:
+            corpus_embed = setup(state)
         ctx_embed = state.apply_fn(
             {"params": state.params},
             batch["album_context"], batch["artist_context"],
@@ -288,20 +315,33 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
         artist_ctx = batch["artist_context"]
         bsz = album_ctx.shape[0]
 
-        def score_block(start):
-            blk_album = jax.lax.dynamic_slice_in_dim(albums_p, start, block)
-            blk_artist = jax.lax.dynamic_slice_in_dim(artists_p, start, block)
-            item = state.apply_fn(
-                {"params": state.params}, blk_album, blk_artist,
-                method=PlaylistModel.get_embeddings,
-            )  # (S, D)
-            dots = jnp.einsum("sd,bcd->bsc", item, ctx_embed)
-            aff = jnp.max(dots, axis=-1)  # (B, S)
-            aff = aff + 0.1 * batched_isin(jnp.broadcast_to(blk_album, (bsz, block)), album_ctx)
-            aff = aff + 0.1 * batched_isin(jnp.broadcast_to(blk_artist, (bsz, block)), artist_ctx)
+        def affinity(item_embed, item_album, item_artist):
+            if item_embed.ndim == 2:  # shared block (S, D)
+                dots = jnp.einsum("sd,bcd->bsc", item_embed, ctx_embed)
+                item_album = jnp.broadcast_to(item_album, (bsz,) + item_album.shape)
+                item_artist = jnp.broadcast_to(item_artist, (bsz,) + item_artist.shape)
+            else:                      # per-query candidates (B, n, D)
+                dots = jnp.einsum("bnd,bcd->bnc", item_embed, ctx_embed)
+            aff = jnp.max(dots, axis=-1)
+            aff = aff + 0.1 * batched_isin(item_album, album_ctx)
+            aff = aff + 0.1 * batched_isin(item_artist, artist_ctx)
             return aff
 
-        _, top_idx = chunked_topk(score_block, num_items, cfg.eval_k, block)
+        def score_block(start):
+            blk_embed = jax.lax.dynamic_slice_in_dim(corpus_embed, start, block)
+            blk_album = jax.lax.dynamic_slice_in_dim(albums_p, start, block)
+            blk_artist = jax.lax.dynamic_slice_in_dim(artists_p, start, block)
+            return affinity(blk_embed, blk_album, blk_artist)
+
+        if cfg.eval_group:
+            def score_items(cand):  # (B, n) item indices
+                return affinity(corpus_embed[cand], albums_p[cand], artists_p[cand])
+
+            _, top_idx = chunked_grouped_topk(
+                score_block, score_items, num_items, cfg.eval_k, block,
+                group=cfg.eval_group)
+        else:
+            _, top_idx = chunked_topk(score_block, num_items, cfg.eval_k, block)
         top_tracks = tracks[top_idx]    # (B, k)
         top_artists = artists[top_idx]
 
@@ -452,6 +492,11 @@ def train(cfg: PlaylistConfig, tracker=None):
         train_iter,
         num_steps=cfg.max_steps,
         eval_step=select_eval_step(model, cfg, corpus, mesh),
+        eval_setup_fn=(
+            make_corpus_embed_setup(model, cfg, corpus)
+            if mesh is None or mesh.shape[mesh_lib.MODEL_AXIS] == 1
+            else None
+        ),
         eval_iter_fn=lambda: make_iter(cfg.test_pattern, 0),
         eval_every=cfg.eval_every_steps,
         eval_steps=max(1, cfg.eval_steps // cfg.batch_size),

@@ -114,3 +114,47 @@ def test_sharded_scored_topk_custom_affinity(mesh_model8):
     exp_vals = np.take_along_axis(dense, exp_idx, axis=-1)
     np.testing.assert_allclose(np.asarray(vals), exp_vals, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx), exp_idx)
+
+
+def test_chunked_grouped_topk_exact():
+    """Group-max prefilter + rescore must match brute-force top-k exactly."""
+    from esrecsys_tpu.retrieval.mips import chunked_grouped_topk
+
+    rng = np.random.default_rng(3)
+    B, N, K, BLK, G = 4, 1000, 37, 128, 8
+    scores = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+    padded = jnp.pad(scores, ((0, 0), (0, BLK - N % BLK)))
+
+    def score_block(start):
+        return jax.lax.dynamic_slice_in_dim(padded, start, BLK, axis=1)
+
+    def score_items(cand):  # (B, n)
+        return jnp.take_along_axis(scores, cand, axis=-1)
+
+    vals, idxs = jax.jit(
+        lambda: chunked_grouped_topk(score_block, score_items, N, K, BLK, group=G)
+    )()
+    ref_vals, ref_idxs = jax.lax.top_k(scores, K)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ref_idxs))
+
+
+def test_chunked_grouped_topk_k_exceeds_items():
+    from esrecsys_tpu.retrieval.mips import chunked_grouped_topk
+
+    rng = np.random.default_rng(4)
+    B, N, K, BLK = 2, 50, 64, 32
+    scores = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+    padded = jnp.pad(scores, ((0, 0), (0, 14)))
+
+    def score_block(start):
+        return jax.lax.dynamic_slice_in_dim(padded, start, BLK, axis=1)
+
+    def score_items(cand):
+        return jnp.take_along_axis(scores, jnp.minimum(cand, N - 1), axis=-1)
+
+    vals, idxs = chunked_grouped_topk(score_block, score_items, N, K, BLK, group=4)
+    assert vals.shape == (B, K) and idxs.shape == (B, K)
+    ref_vals, ref_idxs = jax.lax.top_k(scores, N)
+    np.testing.assert_allclose(np.asarray(vals[:, :N]), np.asarray(ref_vals), rtol=1e-6)
+    assert np.all(np.isneginf(np.asarray(vals[:, N:])))
