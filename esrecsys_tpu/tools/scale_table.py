@@ -1,0 +1,103 @@
+"""Embedding-table scale demo/benchmark (the 100M-row stretch target).
+
+The reference's largest table is 295,861 rows living whole on one device
+(spotify/models.py:31). This tool stands up an arbitrarily large row-sharded
+table (``--n_model`` shards over the ``model`` mesh axis, or single-chip) and
+drives training-shaped traffic through it: on-device id sampling → row gather
+→ loss → row-sparse update (scatter-add of −lr·grad, no dense table pass —
+the same path as ``workloads/playlist.py`` ``make_sparse_train_step``).
+
+Example (one TPU v5e chip, 100M bf16 rows = 6.4 GB of 16 GB HBM):
+  python -m esrecsys_tpu.tools.scale_table --rows 100000000 --dtype bfloat16
+
+Prints one JSON line with lookup+update rows/s.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from esrecsys_tpu.core import config as config_lib
+from esrecsys_tpu.core import mesh as mesh_lib
+from esrecsys_tpu.core import prng
+from esrecsys_tpu.parallel.table import init_table, lookup
+
+
+@dataclasses.dataclass(frozen=True)
+class ScaleConfig:
+    rows: int = 100_000_000
+    dim: int = 32
+    dtype: str = "bfloat16"
+    ids_per_step: int = 262_144
+    steps_per_call: int = 4
+    calls: int = 4
+    learning_rate: float = 0.01
+    n_model: int = 1
+    seed: int = 0
+
+
+def run(cfg: ScaleConfig) -> dict:
+    mesh = mesh_lib.make_mesh(n_model=cfg.n_model) if cfg.n_model > 1 else None
+    dtype = jnp.dtype(cfg.dtype)
+    key = prng.base_key(cfg.seed)
+    table = jax.jit(
+        lambda k: init_table(k, cfg.rows, cfg.dim, mesh=mesh, dtype=dtype),
+    )(prng.stream(key, prng.STREAM_INIT))
+    w = jnp.ones((cfg.ids_per_step, cfg.dim), jnp.float32)
+
+    def one_step(table, step):
+        k = prng.key_for_step(key, step, prng.STREAM_NEGATIVES)
+        ids = jax.random.randint(k, (cfg.ids_per_step,), 0, cfg.rows)
+        rows = lookup(table, ids, mesh=mesh).astype(jnp.float32)
+
+        def loss_fn(rows):
+            return jnp.vdot(jnp.tanh(rows), w)
+
+        loss, g = jax.value_and_grad(loss_fn)(rows)
+        upd = (-cfg.learning_rate * g).astype(table.dtype)
+        return table.at[ids].add(upd), loss
+
+    def multi(table, steps):
+        def body(t, s):
+            t, loss = one_step(t, s)
+            return t, loss
+
+        return jax.lax.scan(body, table, steps)
+
+    f = jax.jit(multi, donate_argnums=0)
+    spc = cfg.steps_per_call
+    table, losses = f(table, jnp.arange(spc))
+    _ = jax.device_get(losses[-1])  # true barrier through the tunnel
+    t0 = time.perf_counter()
+    for c in range(cfg.calls):
+        table, losses = f(table, jnp.arange((c + 1) * spc, (c + 2) * spc))
+    _ = jax.device_get(losses[-1])
+    dt = time.perf_counter() - t0
+    n_steps = cfg.calls * spc
+    result = {
+        "metric": "table_lookup_update_rows_per_sec",
+        "rows": cfg.rows,
+        "dim": cfg.dim,
+        "dtype": cfg.dtype,
+        "table_gb": round(cfg.rows * cfg.dim * dtype.itemsize / 1e9, 2),
+        "n_model": cfg.n_model,
+        "ids_per_step": cfg.ids_per_step,
+        "ms_per_step": round(dt / n_steps * 1e3, 3),
+        "value": round(n_steps * cfg.ids_per_step / dt, 1),
+        "platform": jax.devices()[0].platform,
+    }
+    return result
+
+
+def main(argv=None):
+    cfg = config_lib.from_cli(ScaleConfig, argv)
+    print(json.dumps(run(cfg)))
+
+
+if __name__ == "__main__":
+    main()

@@ -152,3 +152,13 @@ def test_large_table_sharded_lookup(mesh_model8):
     # trailing Nones may be trimmed; row dim must be model-sharded
     assert g.sharding.spec[0] == "model"
     np.testing.assert_allclose(float(jnp.sum(g)), len(ids) * dim)
+
+
+def test_scale_table_tool_sharded(mesh8):
+    """The scale CLI's core loop runs sharded and updates the table."""
+    from esrecsys_tpu.tools.scale_table import ScaleConfig, run
+
+    res = run(ScaleConfig(rows=1024, dim=8, dtype="float32", ids_per_step=64,
+                          steps_per_call=2, calls=1, n_model=8))
+    assert res["value"] > 0
+    assert res["rows"] == 1024 and res["n_model"] == 8
