@@ -39,31 +39,35 @@ def _pool_kernel(ids_ref, table_ref, out_ref, scratch, sems, *, block_b, k_ids,
     pipelines them; per-row latency is amortized across the whole block),
     then pooling runs vectorized on the VPU over the (block_b, K, D) scratch.
 
-    ids_ref:   SMEM (B, K) int32 (scalar prefetch)
+    ids_ref:   SMEM (block_b, K) int32 — this program's id block (blocking
+               the ids instead of scalar-prefetching the full (B, K) array
+               keeps SMEM usage constant; a prefetched full array overflows
+               the ~1 MB SMEM budget at production batch sizes)
     table_ref: HBM (R, D)
     out_ref:   VMEM (block_b, D) block of the output
     scratch:   VMEM (block_b, K, D)
-    sems:      DMA semaphores (block_b, K)
+    sems:      DMA semaphores (block_b,) — one per batch row, shared by its K
+               row copies (each completion signals +1; K waits drain it).
+               TPU caps semaphore scratch at ~512 entries per program, so
+               per-(b, k) semaphores overflow at production block sizes.
     """
-    b0 = pl.program_id(0) * block_b
-
     for b in range(block_b):
         for k in range(k_ids):
             pltpu.make_async_copy(
-                table_ref.at[ids_ref[b0 + b, k]],
+                table_ref.at[ids_ref[b, k]],
                 scratch.at[b, k],
-                sems.at[b, k],
+                sems.at[b],
             ).start()
     for b in range(block_b):
         for k in range(k_ids):
             pltpu.make_async_copy(
-                table_ref.at[0], scratch.at[b, k], sems.at[b, k]
+                table_ref.at[0], scratch.at[b, k], sems.at[b]
             ).wait()
 
     # Vectorized masked pool over K.
     ids_block = jnp.stack(
         [
-            jnp.stack([ids_ref[b0 + b, k] for k in range(k_ids)])
+            jnp.stack([ids_ref[b, k] for k in range(k_ids)])
             for b in range(block_b)
         ]
     )  # (block_b, K) from SMEM scalars
@@ -76,7 +80,7 @@ def _pool_kernel(ids_ref, table_ref, out_ref, scratch, sems, *, block_b, k_ids,
 
 
 def _forward(table: jax.Array, ids: jax.Array, pool: str, mask_id: int,
-             block_b: int) -> jax.Array:
+             block_b: int, interpret: bool = False) -> jax.Array:
     b, k = ids.shape
     r, d = table.shape
     grid = (b // block_b,)
@@ -86,18 +90,20 @@ def _forward(table: jax.Array, ids: jax.Array, pool: str, mask_id: int,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, d), table.dtype),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table in HBM
-            out_specs=pl.BlockSpec(
-                (block_b, d), lambda i, ids_ref: (i, 0), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((block_b, k, d), table.dtype),
-                pltpu.SemaphoreType.DMA((block_b, k)),
-            ],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, k), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, k, d), table.dtype),
+            pltpu.SemaphoreType.DMA((block_b,)),
+        ],
+        interpret=interpret,
     )(ids, table)
 
 
@@ -147,8 +153,10 @@ def fused_lookup_pool(
     b, k = ids.shape
     r, d = table.shape
     on_tpu = jax.default_backend() == "tpu"
-    # TPU semaphore scratch caps in-flight DMA semaphores at ~512 per program.
-    while block_b > 1 and (block_b * k > 512 or b % block_b):
+    # TPU semaphore scratch caps at ~512 entries/program (one sem per batch
+    # row here); also keep the (block_b, K, D) VMEM scratch modest.
+    while block_b > 1 and (block_b > 256 or block_b * k * d * 4 > 4 << 20
+                           or b % block_b):
         block_b //= 2
     ok = (
         pool in _SUPPORTED_POOLS
@@ -168,25 +176,4 @@ def fused_lookup_pool(
 
 def fused_lookup_pool_interpret(table, ids, pool="mean", mask_id=0, block_b=8):
     """Interpreter-mode version for CPU testing of the kernel logic."""
-    b, k = ids.shape
-    r, d = table.shape
-    kernel = functools.partial(
-        _pool_kernel, block_b=block_b, k_ids=k, mask_id=mask_id, pool=pool
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, d), table.dtype),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b // block_b,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(
-                (block_b, d), lambda i, ids_ref: (i, 0), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((block_b, k, d), table.dtype),
-                pltpu.SemaphoreType.DMA((block_b, k)),
-            ],
-        ),
-        interpret=True,
-    )(ids, table)
+    return _forward(table, ids, pool, mask_id, block_b, interpret=True)
