@@ -181,10 +181,18 @@ def topk_over_matrix(
     items: jax.Array,    # (M, D)
     k: int,
     block_size: int = 8192,
+    group: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Dot-product top-k of each query against an in-memory catalog matrix."""
+    """Dot-product top-k of each query against an in-memory catalog matrix.
+
+    ``group > 0`` uses the exact group-max prefilter
+    (:func:`chunked_grouped_topk`); ``group=0`` falls back to the plain
+    streaming top-k.
+    """
     num_items = items.shape[0]
     block = min(block_size, pad_to_multiple(num_items, 128))
+    if group and block % group:
+        block = pad_to_multiple(block, group)
     padded_rows = pad_to_multiple(num_items, block)
     if padded_rows != num_items:
         # Pad so dynamic_slice never clamps (which would mislabel indices).
@@ -194,6 +202,14 @@ def topk_over_matrix(
         blk = jax.lax.dynamic_slice_in_dim(items, start, block, axis=0)
         return jnp.dot(queries, blk.T, preferred_element_type=jnp.float32)
 
+    if group:
+        def score_items(cand):  # (B, n) indices
+            rows = jnp.take(items, cand.reshape(-1), axis=0)
+            rows = rows.reshape(cand.shape + (items.shape[-1],))
+            return jnp.einsum("bd,bnd->bn", queries, rows)
+
+        return chunked_grouped_topk(
+            score_block, score_items, num_items, k, block, group=group)
     return chunked_topk(score_block, num_items, k, block)
 
 

@@ -1,0 +1,202 @@
+"""Online retrieval serving — the piece the reference describes but never
+builds.
+
+The book's serving chapter frames a collector/ranker/server architecture
+(book-text/CH6-Serving-models-and-architecture.tex:6,55-59); the reference
+code stops at offline HTML page generation (pinterest/make_recommendations.py
+— "no online server exists", SURVEY.md §1). This module closes that gap with
+a dependency-free HTTP service over the TPU retrieval path:
+
+  * ``RetrievalService`` — loads an :class:`EmbeddingIndex`, keeps the
+    catalog matrix device-resident, and answers top-k queries through ONE
+    jitted, fixed-shape MIPS call (queries are padded to ``max_batch`` so the
+    query path compiles exactly once, the same static-shape discipline as the
+    trainers). Queries can be raw vectors or catalog ids (item-to-item).
+  * ``serve`` — a stdlib ``ThreadingHTTPServer`` exposing:
+      GET  /healthz                 → {"status": "ok", "items": N}
+      POST /v1/topk                 → body {"vector": [...] | "id": "...",
+                                           "k": 10} → {"ids": [...],
+                                           "scores": [...]}
+    Requests are JSON; concurrency is handled by padding into the single
+    compiled batch (device work is serialized by JAX's dispatch lock, which
+    on one chip is the right behavior anyway).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esrecsys_tpu.retrieval.index import EmbeddingIndex
+from esrecsys_tpu.retrieval.mips import topk_over_matrix
+
+log = logging.getLogger(__name__)
+
+_UPLOAD_CHUNK_BYTES = 64 << 20
+
+
+def _chunked_device_put(x: np.ndarray) -> jax.Array:
+    """Host→device transfer in ~64 MB slices.
+
+    Single large transfers degrade badly on tunneled PJRT backends (observed
+    on axon: ~30 MB/s with multi-minute stalls past a few hundred MB); sliced
+    uploads + one on-device concatenate stay predictable.
+    """
+    rows_per_chunk = max(1, _UPLOAD_CHUNK_BYTES // max(x[0:1].nbytes, 1))
+    if x.shape[0] <= rows_per_chunk:
+        return jnp.asarray(x)
+    parts = [
+        jnp.asarray(x[i : i + rows_per_chunk])
+        for i in range(0, x.shape[0], rows_per_chunk)
+    ]
+    out = jnp.concatenate(parts, axis=0)
+    return out
+
+
+class RetrievalService:
+    """Device-resident brute-force MIPS over an embedding index.
+
+    One compiled query path: (max_batch, D) queries → top ``max_k``
+    values/indices. Single queries are padded in; results are trimmed.
+    """
+
+    def __init__(self, index: EmbeddingIndex, max_k: int = 100,
+                 max_batch: int = 8, block_size: int = 8192):
+        self.index = index
+        self.max_k = min(max_k, len(index))
+        self.max_batch = max_batch
+        self._items = _chunked_device_put(index.vectors)  # (N, D) resident
+        self._dim = int(self._items.shape[1])
+
+        # The catalog is an ARGUMENT of the jitted query, never a closure:
+        # closed-over arrays become compile-time constants, which tunneled
+        # PJRT backends re-ship with the program (a 580 MB catalog stalls the
+        # compile request entirely).
+        def query(q, items):  # (max_batch, D), (N, D)
+            return topk_over_matrix(q, items, self.max_k, block_size)
+
+        self._query = jax.jit(query)
+        # Compile once at construction so first request latency is steady.
+        warm = jnp.zeros((max_batch, self._dim), jnp.float32)
+        jax.device_get(jax.tree_util.tree_leaves(
+            self._query(warm, self._items))[0][:1])
+        self._lock = threading.Lock()
+
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    def topk(self, vectors: np.ndarray, k: Optional[int] = None
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        """(B, D) query vectors → (ids (B, k) of str, scores (B, k))."""
+        k = self.max_k if k is None else min(k, self.max_k)
+        q = np.atleast_2d(np.asarray(vectors, np.float32))
+        if q.shape[1] != self._dim:
+            raise ValueError(f"query dim {q.shape[1]} != index dim {self._dim}")
+        out_v, out_i = [], []
+        for start in range(0, q.shape[0], self.max_batch):
+            chunk = q[start:start + self.max_batch]
+            pad = self.max_batch - chunk.shape[0]
+            padded = np.pad(chunk, ((0, pad), (0, 0)))
+            with self._lock:
+                vals, idxs = jax.device_get(
+                    self._query(jnp.asarray(padded), self._items))
+            out_v.append(vals[: chunk.shape[0], :k])
+            out_i.append(idxs[: chunk.shape[0], :k])
+        vals = np.concatenate(out_v, axis=0)
+        idxs = np.concatenate(out_i, axis=0)
+        ids = np.asarray(self.index.ids, dtype=object)[idxs]
+        return ids, vals
+
+    def topk_by_id(self, item_id: str, k: Optional[int] = None):
+        """Item-to-item: query with a catalog item's own vector."""
+        ids, vals = self.topk(self.index.vector(item_id)[None, :], k)
+        return ids[0], vals[0]
+
+
+def _make_handler(service: RetrievalService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            log.debug("serving: " + fmt, *args)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", "items": len(service.index),
+                                 "dim": service.dim, "max_k": service.max_k})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/topk":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                k = int(req.get("k", service.max_k))
+                if "vector" in req:
+                    ids, scores = service.topk(
+                        np.asarray(req["vector"], np.float32)[None, :], k)
+                    ids, scores = ids[0], scores[0]
+                elif "id" in req:
+                    ids, scores = service.topk_by_id(str(req["id"]), k)
+                else:
+                    self._send(400, {"error": "need 'vector' or 'id'"})
+                    return
+                self._send(200, {"ids": [str(x) for x in ids],
+                                 "scores": [float(s) for s in scores]})
+            except KeyError as e:
+                self._send(404, {"error": f"unknown id {e}"})
+            except Exception as e:  # malformed JSON, wrong dim, ...
+                self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
+          max_k: int = 100, max_batch: int = 8) -> ThreadingHTTPServer:
+    """Load an index and return a ready (not yet running) HTTP server.
+
+    Call ``.serve_forever()`` to block, or run it in a thread for tests.
+    """
+    index = EmbeddingIndex.load(index_path)
+    service = RetrievalService(index, max_k=max_k, max_batch=max_batch)
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    httpd.service = service  # exposed for tests/tools
+    log.info("serving %d items (dim %d) on %s:%d", len(index), service.dim,
+             host, port)
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_k", type=int, default=100)
+    p.add_argument("--max_batch", type=int, default=8)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, force=True)
+    serve(args.index, args.host, args.port, args.max_k, args.max_batch
+          ).serve_forever()
+
+
+if __name__ == "__main__":
+    main()
