@@ -75,6 +75,7 @@ def playlist_batches(
     shuffle_buffer: int = 0,
     batch_size: int = 1,
     seed: int = 0,
+    drop_remainder: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Parse playlist tfrecords into fixed-shape numpy batches.
 
@@ -113,9 +114,90 @@ def playlist_batches(
     if shuffle_buffer:
         ds = ds.shuffle(shuffle_buffer, seed=seed)
     if batch_size > 1:
-        ds = ds.batch(batch_size, drop_remainder=True)
+        ds = ds.batch(batch_size, drop_remainder=drop_remainder)
     ds = ds.prefetch(tf.data.AUTOTUNE)
     return ds.as_numpy_iterator()
+
+
+PLAYLIST_PACKED_KEYS = PLAYLIST_CONTEXT_KEYS + PLAYLIST_NEXT_KEYS + ("next_mask",)
+
+
+def pack_playlists(
+    tfrecord_pattern: str,
+    out_dir: str,
+    context_size: int = 5,
+    max_next: int = 64,
+    examples_per_shard: int = 262_144,
+) -> List[str]:
+    """ETL-time batch packing: tfrecords → fixed-shape npz shards.
+
+    Per-example tfrecord parsing (VarLen decode, pad, mask) costs real host
+    CPU at train time — on a weak host it caps the feed rate orders of
+    magnitude below what one chip consumes. Packing does that work ONCE:
+    each shard holds dense int32 arrays of shape (N, C)/(N, M) plus the
+    float mask, so the train-time iterator is mmap + slice.
+    (The reference pays the parse cost per step, spotify/input_pipeline.py.)
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    it = playlist_batches(
+        tfrecord_pattern, context_size=context_size, max_next=max_next,
+        repeat=False, batch_size=1024, drop_remainder=False,
+    )
+    buf: Dict[str, List[np.ndarray]] = {k: [] for k in PLAYLIST_PACKED_KEYS}
+    count, shard, paths = 0, 0, []
+
+    def flush():
+        nonlocal count, shard
+        if not count:
+            return
+        path = f"{out_dir}/packed-{shard:05d}.npz"
+        np.savez(path, **{k: np.concatenate(v, axis=0) for k, v in buf.items()})
+        paths.append(path)
+        for v in buf.values():
+            v.clear()
+        count, shard = 0, shard + 1
+
+    for batch in it:
+        for k in PLAYLIST_PACKED_KEYS:
+            buf[k].append(batch[k])
+        count += batch["next_mask"].shape[0]
+        if count >= examples_per_shard:
+            flush()
+    flush()
+    return paths
+
+
+def packed_playlist_batches(
+    pattern: str,
+    batch_size: int,
+    repeat: bool = True,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Train-time iterator over :func:`pack_playlists` shards.
+
+    Per epoch: shards in random order, a fresh permutation within each
+    shard, fixed-shape ``batch_size`` slices (trailing partial batches are
+    dropped, matching the tfrecord path's drop_remainder).
+    """
+    files = sorted(glob_lib.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no files match {pattern}")
+    rng = np.random.default_rng(seed)
+    while True:
+        order = rng.permutation(len(files)) if shuffle else np.arange(len(files))
+        for fi in order:
+            with np.load(files[fi]) as z:
+                arrays = {k: z[k] for k in PLAYLIST_PACKED_KEYS}
+            n = arrays["next_mask"].shape[0]
+            perm = rng.permutation(n) if shuffle else np.arange(n)
+            for start in range(0, n - batch_size + 1, batch_size):
+                sel = perm[start : start + batch_size]
+                yield {k: v[sel] for k, v in arrays.items()}
+        if not repeat:
+            return
 
 
 def load_track_corpus(

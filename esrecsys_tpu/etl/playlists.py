@@ -37,6 +37,8 @@ class PlaylistEtlConfig:
     context_size: int = 5         # reference --topk (make_training.py:40)
     min_tracks: int = 10          # reference --min_next (make_training.py:41)
     records_per_file: int = 0     # 0 = one tfrecord per input slice (reference layout)
+    pack: bool = False            # also emit packed fixed-shape npz shards
+    pack_max_next: int = 64       # next-group padding for packed shards
 
 
 def iter_playlists(pattern: str) -> Iterator[Tuple[str, list]]:
@@ -126,6 +128,16 @@ def main(argv=None):
     cfg = config_lib.from_cli(PlaylistEtlConfig, argv)
     build_dictionaries(cfg.playlists, cfg.dictionaries or cfg.output)
     build_training(cfg)
+    if cfg.pack:
+        from esrecsys_tpu.data.pipelines import pack_playlists
+
+        paths = pack_playlists(
+            os.path.join(cfg.output, "*.tfrecord"),
+            os.path.join(cfg.output, "packed"),
+            context_size=cfg.context_size,
+            max_next=cfg.pack_max_next,
+        )
+        log.info("packed %d npz shards", len(paths))
 
 
 if __name__ == "__main__":

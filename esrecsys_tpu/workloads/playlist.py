@@ -476,12 +476,20 @@ def train(cfg: PlaylistConfig, tracker=None):
         log.info("resumed from step %d", int(state.step))
 
     tracker = tracker or make_tracker(run_dir=cfg.work_dir, config=config_lib.to_dict(cfg))
-    make_iter = lambda pattern, shuf: pipelines.playlist_batches(
-        pattern, context_size=cfg.context_size, max_next=cfg.max_next,
-        batch_size=cfg.batch_size, shuffle_buffer=shuf, seed=cfg.seed,
-    )
+
+    def make_iter(pattern, shuf):
+        if pattern.endswith(".npz"):  # ETL-packed shards (pipelines.pack_playlists)
+            return pipelines.packed_playlist_batches(
+                pattern, batch_size=cfg.batch_size, shuffle=shuf > 0, seed=cfg.seed)
+        return pipelines.playlist_batches(
+            pattern, context_size=cfg.context_size, max_next=cfg.max_next,
+            batch_size=cfg.batch_size, shuffle_buffer=shuf, seed=cfg.seed)
     train_iter = make_iter(cfg.train_pattern, 1000)
     first = next(train_iter)
+    assert first["next_track"].shape == (cfg.batch_size, cfg.max_next), (
+        f"batch shape {first['next_track'].shape} != config "
+        f"({cfg.batch_size}, {cfg.max_next}) — packed shards carry their own "
+        "max_next (pack_max_next at ETL time); set max_next to match")
     validate_batch(first, corpus_np["num_tracks"], corpus_np["num_albums"],
                    corpus_np["num_artists"])
 

@@ -351,3 +351,46 @@ def test_sparse_step_requires_zero_momentum():
     with pytest.raises(ValueError):
         pl.make_sparse_train_step(model, cfg, _tiny_corpus(np.random.default_rng(0)),
                                   jax.random.PRNGKey(0))
+
+
+def test_packed_pipeline_roundtrip(tiny_mpd):
+    """pack_playlists shards reproduce the tfrecord stream's example set."""
+    from esrecsys_tpu.data import pipelines
+
+    paths = pipelines.pack_playlists(
+        f"{tiny_mpd}/*.tfrecord", f"{tiny_mpd}/packed", context_size=5, max_next=8)
+    assert paths
+    ref = list(pipelines.playlist_batches(
+        f"{tiny_mpd}/*.tfrecord", context_size=5, max_next=8,
+        repeat=False, batch_size=1))
+    packed = list(pipelines.packed_playlist_batches(
+        f"{tiny_mpd}/packed/*.npz", batch_size=1, repeat=False, shuffle=False))
+    assert len(packed) == len(ref)
+    ref_set = {tuple(b["next_track"].ravel().tolist()) for b in ref}
+    packed_set = {tuple(b["next_track"].ravel().tolist()) for b in packed}
+    assert ref_set == packed_set
+    for b in packed:
+        assert b["next_track"].shape == (1, 8)
+        assert b["next_mask"].dtype == np.float32
+
+
+def test_train_routes_packed_pattern(tiny_mpd, tmp_path):
+    """train() consumes packed npz shards when the pattern says so."""
+    from esrecsys_tpu.data import pipelines
+
+    pipelines.pack_playlists(
+        f"{tiny_mpd}/*.tfrecord", f"{tiny_mpd}/packed2", context_size=5, max_next=8)
+    cfg = pl.PlaylistConfig(
+        train_pattern=f"{tiny_mpd}/packed2/*.npz",
+        test_pattern=f"{tiny_mpd}/packed2/*.npz",
+        all_tracks=f"{tiny_mpd}/all_tracks.json",
+        dictionaries=str(tiny_mpd),
+        work_dir=str(tmp_path),
+        feature_size=4, album_hash_buckets=50, num_artists=2000,
+        num_negatives=4, batch_size=8, context_size=5, max_next=8,
+        max_steps=4, eval_every_steps=0, eval_steps=0,
+        log_every_steps=2, checkpoint_every_steps=0, corpus_block=256,
+    )
+    result = pl.train(cfg)
+    assert result.steps_run == 4
+    assert np.isfinite(result.last_train_metrics["train_loss"])
