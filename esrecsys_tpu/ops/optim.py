@@ -1,0 +1,178 @@
+"""Row-lazy optimizers for embedding tables.
+
+Dense optimizers force a full-table pass per step (momentum/Adam moments
+decay everywhere), which dominates step time for reference-scale tables
+(BENCHMARKS.md). These helpers keep optimizer state row-sharded WITH the
+table and touch only the rows a step gathered:
+
+  * :func:`lazy_momentum_update` — **exactly** equivalent to dense SGD with
+    momentum when untouched rows have zero gradient (always true for
+    embedding lookups): a row idle for k steps would have accumulated
+    ``p -= lr * m * (mu + mu² + … + mu^k)`` and decayed ``m *= mu^k`` — both
+    closed forms, applied at the next touch ("catch-up"). A final
+    :func:`momentum_flush` settles all rows' outstanding catch-up (e.g.
+    before eval/checkpoint) so parameters equal the dense trajectory at any
+    synchronization point.
+  * :func:`lazy_adam_update` — TF-style LazyAdam: moments update only on
+    touch, bias correction uses the global step. This is the standard
+    approximation (NOT bit-equal to dense Adam, which moves idle rows while
+    their momentum decays); documented divergence.
+
+State lives in plain pytrees next to the table params, sharded by the same
+partition rules (rows over ``model``).
+
+Reference context: the reference runs dense optax SGD-momentum / Adam over
+whole tables every step (spotify/train_spotify.py:238-243,
+wikipedia/train_cooccurence.py:96-101).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def momentum_init(table: jax.Array) -> Dict[str, jax.Array]:
+    return {
+        "momentum": jnp.zeros_like(table),
+        # step at which each row's momentum/params were last settled
+        "last_step": jnp.zeros((table.shape[0],), jnp.int32),
+    }
+
+
+def momentum_catchup_rows(
+    state: Dict[str, jax.Array],
+    ids: jax.Array,
+    *,
+    lr: float,
+    mu: float,
+    step: jax.Array,
+) -> jax.Array:
+    """Per-occurrence settlement deltas for the rows a step is about to use.
+
+    The FORWARD pass must see settled row values (raw row + this delta) or
+    its gradients are taken at stale parameters and the trajectory diverges
+    from dense momentum. Duplicate ids get identical deltas (same row).
+    """
+    m_rows = jnp.take(state["momentum"], ids, axis=0)
+    last = jnp.take(state["last_step"], ids, axis=0)
+    k = jnp.maximum(step - last, 0).astype(m_rows.dtype)
+    mu_k = jnp.power(jnp.asarray(mu, m_rows.dtype), k)
+    geom = jnp.where(mu > 0, mu * (1.0 - mu_k) / max(1.0 - mu, 1e-12), 0.0)
+    return -lr * m_rows * geom[:, None]
+
+
+def lazy_momentum_update(
+    table: jax.Array,
+    state: Dict[str, jax.Array],
+    ids: jax.Array,        # (n,) rows touched this step (dups allowed)
+    row_grads: jax.Array,  # (n, D) gradients w.r.t. the gathered rows
+    *,
+    lr: float,
+    mu: float,
+    step: jax.Array,       # current global step (0-based)
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One exact sparse SGD-momentum step on the touched rows.
+
+    Duplicate ids are handled by pre-aggregating ``row_grads`` with a
+    segment-sum over the step's unique positions — the catch-up and momentum
+    updates must apply once per row, not once per occurrence.
+    """
+    n = ids.shape[0]
+    # Aggregate duplicate ids: sort ids, segment-sum grads onto the FIRST
+    # occurrence, zero elsewhere, and mask so only one occurrence updates.
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    sgrads = row_grads[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(first) - 1  # segment index per sorted row
+    agg = jax.ops.segment_sum(sgrads, seg, num_segments=n)  # (n, D), tail zeros
+    # scatter aggregated grad back to the first occurrence's slot
+    g = jnp.where(first[:, None], agg[seg], 0.0)
+    w = first.astype(table.dtype)[:, None]  # 1 for the row's single active slot
+
+    m_rows = jnp.take(state["momentum"], sids, axis=0)
+    last = jnp.take(state["last_step"], sids, axis=0)
+    # k idle steps since the row was settled (>= 0)
+    k = jnp.maximum(step - last, 0).astype(table.dtype)
+    mu_k = jnp.power(jnp.asarray(mu, table.dtype), k)
+    # idle catch-up: p -= lr * m * (mu + ... + mu^k) ; m *= mu^k
+    geom = jnp.where(mu > 0, mu * (1.0 - mu_k) / max(1.0 - mu, 1e-12), 0.0)
+    catchup = -lr * m_rows * geom[:, None]
+    m_caught = m_rows * mu_k[:, None]
+    # touched step: m = mu*m + g ; p -= lr*m
+    m_new = mu * m_caught + g
+    # total Δp = catch-up for the idle steps + this step's -lr*m
+    delta = (catchup - lr * m_new) * w
+
+    new_table = table.at[sids].add(delta)
+    new_mom = state["momentum"].at[sids].add((m_new - m_rows) * w)
+    new_last = state["last_step"].at[sids].max(
+        jnp.where(first, step + 1, 0).astype(jnp.int32))
+    return new_table, {"momentum": new_mom, "last_step": new_last}
+
+
+def momentum_flush(table: jax.Array, state: Dict[str, jax.Array], *,
+                   lr: float, mu: float, step: jax.Array) -> jax.Array:
+    """Settle every row's outstanding idle catch-up (no new gradients).
+
+    After this, ``table`` equals the dense SGD-momentum trajectory at
+    ``step``. Use before eval or checkpoint export. (State's last_step is
+    NOT advanced — flush returns the settled VIEW; training continues from
+    the same state.)
+    """
+    k = jnp.maximum(step - state["last_step"], 0).astype(table.dtype)
+    mu_k = jnp.power(jnp.asarray(mu, table.dtype), k)
+    geom = mu * (1.0 - mu_k) / max(1.0 - mu, 1e-12)
+    return table - lr * state["momentum"] * geom[:, None]
+
+
+def adam_init(table: jax.Array) -> Dict[str, jax.Array]:
+    return {
+        "m": jnp.zeros_like(table),
+        "v": jnp.zeros_like(table),
+    }
+
+
+def lazy_adam_update(
+    table: jax.Array,
+    state: Dict[str, jax.Array],
+    ids: jax.Array,
+    row_grads: jax.Array,
+    *,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    step: jax.Array,  # 0-based global step
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """TF-LazyAdam: update moments and params only for touched rows.
+
+    Duplicates pre-aggregated as in :func:`lazy_momentum_update`. Bias
+    correction uses the global step (standard LazyAdam semantics).
+    """
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    sgrads = row_grads[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(first) - 1
+    agg = jax.ops.segment_sum(sgrads, seg, num_segments=n)
+    g = jnp.where(first[:, None], agg[seg], 0.0)
+    w = first.astype(table.dtype)[:, None]
+
+    m_rows = jnp.take(state["m"], sids, axis=0)
+    v_rows = jnp.take(state["v"], sids, axis=0)
+    m_new = b1 * m_rows + (1.0 - b1) * g
+    v_new = b2 * v_rows + (1.0 - b2) * jnp.square(g)
+    t = (step + 1).astype(table.dtype)
+    m_hat = m_new / (1.0 - jnp.power(b1, t))
+    v_hat = v_new / (1.0 - jnp.power(b2, t))
+    delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps) * w
+
+    new_table = table.at[sids].add(delta)
+    new_m = state["m"].at[sids].add((m_new - m_rows) * w)
+    new_v = state["v"].at[sids].add((v_new - v_rows) * w)
+    return new_table, {"m": new_m, "v": new_v}

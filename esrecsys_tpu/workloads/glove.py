@@ -51,6 +51,10 @@ class GloveConfig:
     shuffle_buffer_size: int = 5_000_000
     seed: int = 12345
     terms: str = "news,apple,computer,physics,math,biology"
+    optimizer: str = "adam"  # adam (dense, reference parity,
+    # train_cooccurence.py:96-101) | lazy_adam (row-lazy: moments and params
+    # update only for the step's touched rows — TF-LazyAdam semantics,
+    # ops/optim.py; the win grows with vocab/batch ratio)
     checkpoint_every_epochs: int = 5
     n_model_shards: int = 1
     steps_per_call: int = 1
@@ -69,6 +73,58 @@ def make_train_step(model: Glove):
         return state.apply_gradients(grads=grads), {"loss": loss}
 
     return train_step
+
+
+def make_lazy_adam_train_step(model: Glove, cfg: GloveConfig):
+    """Row-sparse GloVe step: grads w.r.t. the gathered embedding/bias rows,
+    LazyAdam updates touching only those rows.
+
+    The dense step pays a full Adam pass over the 565k-row token table every
+    step (~4 ms at the reference batch 2048 — BENCHMARKS.md); here the
+    update cost scales with 2·batch rows instead. Divergence: LazyAdam is
+    the standard approximation of Adam (idle rows don't move while their
+    momentum decays); the dense step stays the parity default.
+    """
+    from esrecsys_tpu.ops import optim
+
+    def train_step(state: TrainState, batch):
+        (t1, t2), count = batch
+        b = t1.shape[0]
+        ids = jnp.concatenate([t1, t2])
+        t_emb = state.params["token_embedding"]["embedding"]
+        t_bias = state.params["bias"]["embedding"]
+        rows_e = jnp.take(t_emb, ids, axis=0)
+        rows_b = jnp.take(t_bias, ids, axis=0)
+
+        def loss_fn(rows_e, rows_b):
+            e1, e2 = rows_e[:b], rows_e[b:]
+            b1, b2 = rows_b[:b, 0], rows_b[b:, 0]
+            pred = jnp.sum(e1 * e2, axis=-1) + b1 + b2
+            return losses.glove_loss(pred, count)
+
+        loss, (g_e, g_b) = jax.value_and_grad(loss_fn, argnums=(0, 1))(rows_e, rows_b)
+        new_e, os_e = optim.lazy_adam_update(
+            t_emb, state.opt_state["embedding"], ids, g_e,
+            lr=cfg.learning_rate, step=state.step)
+        new_b, os_b = optim.lazy_adam_update(
+            t_bias, state.opt_state["bias"], ids, g_b,
+            lr=cfg.learning_rate, step=state.step)
+        return state.replace(
+            step=state.step + 1,
+            params={"token_embedding": {"embedding": new_e},
+                    "bias": {"embedding": new_b}},
+            opt_state={"embedding": os_e, "bias": os_b},
+        ), {"loss": loss}
+
+    return train_step
+
+
+def select_train_step(model: Glove, cfg: GloveConfig):
+    if cfg.optimizer == "lazy_adam":
+        return make_lazy_adam_train_step(model, cfg)
+    if cfg.optimizer != "adam":
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    return make_train_step(model)
 
 
 def make_eval_step(model: Glove):
@@ -112,6 +168,13 @@ def init_state(cfg: GloveConfig, num_embeddings: int, mesh) -> Tuple[Glove, Trai
         params = apply_partition_rules(params, mesh)
     tx = optax.adam(cfg.learning_rate)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    if cfg.optimizer == "lazy_adam":
+        from esrecsys_tpu.ops import optim
+
+        state = state.replace(opt_state={
+            "embedding": optim.adam_init(params["token_embedding"]["embedding"]),
+            "bias": optim.adam_init(params["bias"]["embedding"]),
+        })
     return model, state
 
 
@@ -139,7 +202,7 @@ def train(cfg: GloveConfig, tracker=None, vocab: Optional[Vocabulary] = None):
 
     result = fit(
         state,
-        make_train_step(model),
+        select_train_step(model, cfg),
         batches,
         num_steps=cfg.steps_per_epoch * cfg.num_epochs,
         log_every=min(1000, cfg.steps_per_epoch),

@@ -58,8 +58,9 @@ class PlaylistConfig:
     num_negatives: int = 64
     shared_negatives: bool = False  # one pool of num_negatives per step,
     # scored against every playlist (N gather rows instead of B·N)
-    sparse_updates: bool = False  # row-sparse SGD (requires momentum=0.0):
-    # grads stay row-shaped and scatter straight into the tables
+    sparse_updates: bool = False  # row-sparse updates: grads stay row-shaped
+    # and scatter straight into the tables; momentum>0 uses the exact lazy
+    # catch-up scheme (ops/optim.py) — read via settled_params for eval/export
     learning_rate: float = 1e-3
     momentum: float = 0.98
     regularization: float = 10.0   # L2-norm cap
@@ -197,14 +198,13 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
       3. scatter-adds ``-lr * row_grad`` straight into the donated table.
 
     Duplicate ids accumulate in the scatter exactly as the dense gradient
-    would. Requires ``momentum == 0`` (plain SGD): momentum would need a
-    dense second pass, which is the thing this path exists to avoid.
-    Divergence from the reference's SGD(momentum=0.98)
-    (train_spotify.py:238-243) — documented in PARITY.md; the dense step
-    remains the parity default.
+    would. With ``momentum > 0`` the update runs through
+    :func:`esrecsys_tpu.ops.optim.lazy_momentum_update` — row-lazy but
+    EXACTLY equivalent to the reference's dense SGD momentum
+    (train_spotify.py:238-243) at every settlement point; read params
+    through :func:`settled_params` for eval/export (training params lag
+    untouched rows' pending momentum catch-up).
     """
-    if cfg.momentum:
-        raise ValueError("sparse_updates requires momentum=0.0 (plain SGD)")
     neg_albums = corpus["albums"]
     neg_artists = corpus["artists"]
     n_albums = cfg.album_hash_buckets
@@ -229,6 +229,17 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
         t_art = state.params["artist_embed"]["embedding"]
         rows_alb = jnp.take(t_alb, alb_ids, axis=0)
         rows_art = jnp.take(t_art, art_ids, axis=0)
+        if cfg.momentum:
+            # forward must see SETTLED rows (raw + pending momentum catch-up)
+            # or grads are taken at stale params — see ops/optim.py
+            from esrecsys_tpu.ops import optim
+
+            rows_alb = rows_alb + optim.momentum_catchup_rows(
+                state.opt_state["album"], alb_ids,
+                lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)
+            rows_art = rows_art + optim.momentum_catchup_rows(
+                state.opt_state["artist"], art_ids,
+                lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)
 
         def loss_fn(rows_alb, rows_art):
             e = jnp.concatenate([rows_alb, rows_art], axis=-1)  # (n, 2F)
@@ -250,11 +261,47 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
 
         lr = cfg.learning_rate
         new_params = dict(state.params)
+        if cfg.momentum:
+            from esrecsys_tpu.ops import optim
+
+            new_alb, os_alb = optim.lazy_momentum_update(
+                t_alb, state.opt_state["album"], alb_ids, g_alb,
+                lr=lr, mu=cfg.momentum, step=state.step)
+            new_art, os_art = optim.lazy_momentum_update(
+                t_art, state.opt_state["artist"], art_ids, g_art,
+                lr=lr, mu=cfg.momentum, step=state.step)
+            new_params["album_embed"] = {"embedding": new_alb}
+            new_params["artist_embed"] = {"embedding": new_art}
+            return state.replace(
+                step=state.step + 1, params=new_params,
+                opt_state={"album": os_alb, "artist": os_art}), metrics
         new_params["album_embed"] = {"embedding": t_alb.at[alb_ids].add(-lr * g_alb)}
         new_params["artist_embed"] = {"embedding": t_art.at[art_ids].add(-lr * g_art)}
         return state.replace(step=state.step + 1, params=new_params), metrics
 
     return train_step
+
+
+def settled_params(state: TrainState, cfg: PlaylistConfig):
+    """Params with all pending lazy-momentum catch-up applied.
+
+    Under ``sparse_updates`` + momentum, untouched rows' momentum decay is
+    deferred to their next touch; this settles every row so the returned
+    params equal the dense SGD-momentum trajectory at ``state.step`` — use
+    for eval and export. No-op for other configs.
+    """
+    if not (cfg.sparse_updates and cfg.momentum):
+        return state.params
+    from esrecsys_tpu.ops import optim
+
+    p = dict(state.params)
+    p["album_embed"] = {"embedding": optim.momentum_flush(
+        state.params["album_embed"]["embedding"], state.opt_state["album"],
+        lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)}
+    p["artist_embed"] = {"embedding": optim.momentum_flush(
+        state.params["artist_embed"]["embedding"], state.opt_state["artist"],
+        lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)}
+    return p
 
 
 def select_train_step(model: PlaylistModel, cfg: PlaylistConfig,
@@ -278,7 +325,7 @@ def make_corpus_embed_setup(model: PlaylistModel, cfg: PlaylistConfig,
 
     def setup(state: TrainState):
         return state.apply_fn(
-            {"params": state.params}, albums_p, artists_p,
+            {"params": settled_params(state, cfg)}, albums_p, artists_p,
             method=PlaylistModel.get_embeddings,
         )  # (N_pad, D)
 
@@ -306,8 +353,9 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
     def eval_step(state: TrainState, batch, corpus_embed=None):
         if corpus_embed is None:
             corpus_embed = setup(state)
+        params = settled_params(state, cfg)
         ctx_embed = state.apply_fn(
-            {"params": state.params},
+            {"params": params},
             batch["album_context"], batch["artist_context"],
             method=PlaylistModel.get_embeddings,
         )  # (B, C, D)
@@ -390,13 +438,14 @@ def make_sharded_eval_step(model: PlaylistModel, cfg: PlaylistConfig,
         return aff
 
     def eval_step(state: TrainState, batch):
+        params = settled_params(state, cfg)
         ctx_embed = state.apply_fn(
-            {"params": state.params},
+            {"params": params},
             batch["album_context"], batch["artist_context"],
             method=PlaylistModel.get_embeddings,
         )
         corpus_embed = state.apply_fn(
-            {"params": state.params}, albums_p, artists_p,
+            {"params": params}, albums_p, artists_p,
             method=PlaylistModel.get_embeddings,
         )
         corpus_embed = jax.lax.with_sharding_constraint(
@@ -448,7 +497,15 @@ def init_state(cfg: PlaylistConfig, mesh) -> Tuple[PlaylistModel, TrainState]:
     if mesh is not None:
         params = apply_partition_rules(params, mesh)
     tx = optax.sgd(cfg.learning_rate, momentum=cfg.momentum or None)
-    return model, TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    if cfg.sparse_updates and cfg.momentum:
+        from esrecsys_tpu.ops import optim
+
+        state = state.replace(opt_state={
+            "album": optim.momentum_init(params["album_embed"]["embedding"]),
+            "artist": optim.momentum_init(params["artist_embed"]["embedding"]),
+        })
+    return model, state
 
 
 def validate_batch(batch, num_tracks: int, num_albums: int, num_artists: int) -> None:

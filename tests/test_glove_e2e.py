@@ -183,3 +183,35 @@ def test_fit_profile_dir(synthetic_data, tmp_path):
 
     found = [f for _, _, fs in os.walk(prof) for f in fs]
     assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz") for f in found), found
+
+
+def test_lazy_adam_matches_dense_when_all_rows_touched():
+    """With every row touched each step, LazyAdam == dense Adam exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from esrecsys_tpu.workloads import glove as gw
+
+    cfg_d = gw.GloveConfig(feature_size=4, learning_rate=0.01, optimizer="adam")
+    cfg_l = gw.GloveConfig(feature_size=4, learning_rate=0.01, optimizer="lazy_adam")
+    model, state_d = gw.init_state(cfg_d, num_embeddings=4, mesh=None)
+    _, state_l = gw.init_state(cfg_l, num_embeddings=4, mesh=None)
+    dense = jax.jit(gw.select_train_step(model, cfg_d))
+    lazy = jax.jit(gw.select_train_step(model, cfg_l))
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        # every token id appears: t1 covers 0..3, t2 a permutation of 0..3
+        t1 = jnp.asarray([0, 1, 2, 3], jnp.int32)
+        t2 = jnp.asarray(rng.permutation(4), jnp.int32)
+        count = jnp.asarray(rng.integers(1, 50, 4).astype(np.float32))
+        state_d, md = dense(state_d, ((t1, t2), count))
+        state_l, ml = lazy(state_l, ((t1, t2), count))
+        np.testing.assert_allclose(float(md["loss"]), float(ml["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state_d.params["token_embedding"]["embedding"]),
+        np.asarray(state_l.params["token_embedding"]["embedding"]),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state_d.params["bias"]["embedding"]),
+        np.asarray(state_l.params["bias"]["embedding"]),
+        rtol=1e-4, atol=1e-6)

@@ -1,0 +1,105 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from esrecsys_tpu.ops import optim
+
+
+def _dense_momentum_run(table, grads_per_step, lr, mu):
+    """Dense reference: optax.sgd(momentum) with full-table (scattered) grads."""
+    tx = optax.sgd(lr, momentum=mu)
+    state = tx.init(table)
+    for g in grads_per_step:
+        updates, state = tx.update(g, state, table)
+        table = optax.apply_updates(table, updates)
+    return table
+
+
+def test_lazy_momentum_matches_dense_with_flush():
+    rng = np.random.default_rng(0)
+    R, D, lr, mu, steps = 50, 4, 0.1, 0.9, 7
+    table0 = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+
+    ids_per_step = [jnp.asarray(rng.integers(0, R, 6), jnp.int32) for _ in range(steps)]
+    grads_per_step = [jnp.asarray(rng.normal(size=(6, D)).astype(np.float32))
+                      for _ in range(steps)]
+
+    # dense reference: scatter row grads to table shape each step
+    dense_grads = []
+    for ids, g in zip(ids_per_step, grads_per_step):
+        dense_grads.append(jnp.zeros((R, D)).at[ids].add(g))
+    want = _dense_momentum_run(table0, dense_grads, lr, mu)
+
+    table, state = table0, optim.momentum_init(table0)
+    for s, (ids, g) in enumerate(zip(ids_per_step, grads_per_step)):
+        table, state = optim.lazy_momentum_update(
+            table, state, ids, g, lr=lr, mu=mu, step=jnp.int32(s))
+    settled = optim.momentum_flush(table, state, lr=lr, mu=mu,
+                                   step=jnp.int32(steps))
+    np.testing.assert_allclose(np.asarray(settled), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_lazy_momentum_duplicate_ids_match_dense():
+    rng = np.random.default_rng(1)
+    R, D, lr, mu = 10, 3, 0.05, 0.8
+    table0 = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    ids = jnp.asarray([3, 3, 7, 3, 7, 1], jnp.int32)  # heavy duplication
+    g = jnp.asarray(rng.normal(size=(6, D)).astype(np.float32))
+    want = _dense_momentum_run(table0, [jnp.zeros((R, D)).at[ids].add(g)], lr, mu)
+
+    table, state = optim.lazy_momentum_update(
+        table0, optim.momentum_init(table0), ids, g,
+        lr=lr, mu=mu, step=jnp.int32(0))
+    settled = optim.momentum_flush(table, state, lr=lr, mu=mu, step=jnp.int32(1))
+    np.testing.assert_allclose(np.asarray(settled), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_lazy_momentum_mu_zero_is_plain_sgd():
+    rng = np.random.default_rng(2)
+    R, D = 8, 2
+    table0 = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    ids = jnp.asarray([0, 2, 2], jnp.int32)
+    g = jnp.asarray(rng.normal(size=(3, D)).astype(np.float32))
+    table, _ = optim.lazy_momentum_update(
+        table0, optim.momentum_init(table0), ids, g,
+        lr=0.5, mu=0.0, step=jnp.int32(0))
+    want = table0.at[ids].add(-0.5 * g)
+    np.testing.assert_allclose(np.asarray(table), np.asarray(want), rtol=1e-6)
+
+
+def test_lazy_adam_equals_dense_adam_when_all_rows_touched():
+    rng = np.random.default_rng(3)
+    R, D, lr, steps = 6, 4, 0.01, 5
+    table0 = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    tx = optax.adam(lr)
+    opt_state = tx.init(table0)
+    dense = table0
+
+    table, state = table0, optim.adam_init(table0)
+    all_ids = jnp.arange(R, dtype=jnp.int32)
+    for s in range(steps):
+        g = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+        updates, opt_state = tx.update(g, opt_state, dense)
+        dense = optax.apply_updates(dense, updates)
+        table, state = optim.lazy_adam_update(
+            table, state, all_ids, g, lr=lr, step=jnp.int32(s))
+    np.testing.assert_allclose(np.asarray(table), np.asarray(dense),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_lazy_adam_untouched_rows_stay_put():
+    rng = np.random.default_rng(4)
+    R, D = 12, 4
+    table0 = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    ids = jnp.asarray([1, 5], jnp.int32)
+    g = jnp.asarray(rng.normal(size=(2, D)).astype(np.float32))
+    table, _ = optim.lazy_adam_update(
+        table0, optim.adam_init(table0), ids, g, lr=0.1, step=jnp.int32(0))
+    untouched = np.setdiff1d(np.arange(R), np.asarray(ids))
+    np.testing.assert_array_equal(
+        np.asarray(table[untouched]), np.asarray(table0[untouched]))
+    assert not np.allclose(np.asarray(table[np.asarray(ids)]),
+                           np.asarray(table0[np.asarray(ids)]))

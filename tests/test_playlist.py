@@ -343,14 +343,13 @@ def test_sparse_step_matches_dense_step():
                 rtol=2e-5, atol=1e-7, err_msg=f"{name} shared={shared}")
 
 
-def test_sparse_step_requires_zero_momentum():
-    cfg = pl.PlaylistConfig(momentum=0.9, sparse_updates=True)
-    model, _ = pl.init_state(
-        pl.PlaylistConfig(feature_size=4, album_hash_buckets=10, num_artists=10,
-                          momentum=0.0), mesh=None)
-    with pytest.raises(ValueError):
-        pl.make_sparse_train_step(model, cfg, _tiny_corpus(np.random.default_rng(0)),
-                                  jax.random.PRNGKey(0))
+def test_sparse_momentum_init_state_carries_lazy_state():
+    cfg = pl.PlaylistConfig(feature_size=4, album_hash_buckets=10,
+                            num_artists=10, momentum=0.9, sparse_updates=True)
+    _, state = pl.init_state(cfg, mesh=None)
+    assert set(state.opt_state.keys()) == {"album", "artist"}
+    assert state.opt_state["album"]["momentum"].shape == (10, 4)
+    assert state.opt_state["album"]["last_step"].dtype == jnp.int32
 
 
 def test_packed_pipeline_roundtrip(tiny_mpd):
@@ -394,3 +393,31 @@ def test_train_routes_packed_pattern(tiny_mpd, tmp_path):
     result = pl.train(cfg)
     assert result.steps_run == 4
     assert np.isfinite(result.last_train_metrics["train_loss"])
+
+
+def test_sparse_momentum_matches_dense_momentum():
+    """Sparse lazy-momentum trajectory == dense optax momentum after settle."""
+    rng = np.random.default_rng(5)
+    cfg = pl.PlaylistConfig(
+        feature_size=4, album_hash_buckets=50, num_artists=40,
+        num_negatives=6, batch_size=3, context_size=3, max_next=4,
+        momentum=0.9, learning_rate=0.05, shared_negatives=True,
+        sparse_updates=True)
+    cfg_dense = pl.PlaylistConfig(**{**cfg.__dict__, "sparse_updates": False})
+    model, state_d = pl.init_state(cfg_dense, mesh=None)
+    _, state_s = pl.init_state(cfg, mesh=None)
+    corpus = _tiny_corpus(rng)
+    dense = pl.make_train_step(model, cfg_dense, corpus, jax.random.PRNGKey(7))
+    sparse = pl.make_sparse_train_step(model, cfg, corpus, jax.random.PRNGKey(7))
+    for i in range(4):
+        batch = _rand_batch(np.random.default_rng(100 + i), 3, 3, 4)
+        state_d, md = jax.jit(dense)(state_d, batch)
+        state_s, ms = jax.jit(sparse)(state_s, batch)
+        np.testing.assert_allclose(float(md["loss"]), float(ms["loss"]),
+                                   rtol=1e-4, err_msg=f"step {i}")
+    settled = pl.settled_params(state_s, cfg)
+    for name in ("album_embed", "artist_embed"):
+        np.testing.assert_allclose(
+            np.asarray(state_d.params[name]["embedding"]),
+            np.asarray(settled[name]["embedding"]),
+            rtol=1e-4, atol=1e-6, err_msg=name)
