@@ -34,9 +34,11 @@ import jax
 import jax.numpy as jnp
 
 
-def momentum_init(table: jax.Array) -> Dict[str, jax.Array]:
+def momentum_init(table: jax.Array, dtype=jnp.float32) -> Dict[str, jax.Array]:
     return {
-        "momentum": jnp.zeros_like(table),
+        # moments default to f32 even for low-precision tables; pass
+        # dtype=bfloat16 when HBM is the constraint (100M-row scale)
+        "momentum": jnp.zeros(table.shape, dtype),
         # step at which each row's momentum/params were last settled
         "last_step": jnp.zeros((table.shape[0],), jnp.int32),
     }
@@ -56,10 +58,10 @@ def momentum_catchup_rows(
     its gradients are taken at stale parameters and the trajectory diverges
     from dense momentum. Duplicate ids get identical deltas (same row).
     """
-    m_rows = jnp.take(state["momentum"], ids, axis=0)
+    m_rows = jnp.take(state["momentum"], ids, axis=0).astype(jnp.float32)
     last = jnp.take(state["last_step"], ids, axis=0)
-    k = jnp.maximum(step - last, 0).astype(m_rows.dtype)
-    mu_k = jnp.power(jnp.asarray(mu, m_rows.dtype), k)
+    k = jnp.maximum(step - last, 0).astype(jnp.float32)
+    mu_k = jnp.power(jnp.float32(mu), k)
     geom = jnp.where(mu > 0, mu * (1.0 - mu_k) / max(1.0 - mu, 1e-12), 0.0)
     return -lr * m_rows * geom[:, None]
 
@@ -91,13 +93,14 @@ def lazy_momentum_update(
     agg = jax.ops.segment_sum(sgrads, seg, num_segments=n)  # (n, D), tail zeros
     # scatter aggregated grad back to the first occurrence's slot
     g = jnp.where(first[:, None], agg[seg], 0.0)
-    w = first.astype(table.dtype)[:, None]  # 1 for the row's single active slot
+    w = first.astype(jnp.float32)[:, None]  # 1 for the row's single active slot
 
-    m_rows = jnp.take(state["momentum"], sids, axis=0)
+    m_rows = jnp.take(state["momentum"], sids, axis=0).astype(jnp.float32)
     last = jnp.take(state["last_step"], sids, axis=0)
-    # k idle steps since the row was settled (>= 0)
-    k = jnp.maximum(step - last, 0).astype(table.dtype)
-    mu_k = jnp.power(jnp.asarray(mu, table.dtype), k)
+    # k idle steps since the row was settled (>= 0); f32 math regardless of
+    # the table's (possibly low-precision) dtype
+    k = jnp.maximum(step - last, 0).astype(jnp.float32)
+    mu_k = jnp.power(jnp.float32(mu), k)
     # idle catch-up: p -= lr * m * (mu + ... + mu^k) ; m *= mu^k
     geom = jnp.where(mu > 0, mu * (1.0 - mu_k) / max(1.0 - mu, 1e-12), 0.0)
     catchup = -lr * m_rows * geom[:, None]
@@ -107,8 +110,9 @@ def lazy_momentum_update(
     # total Δp = catch-up for the idle steps + this step's -lr*m
     delta = (catchup - lr * m_new) * w
 
-    new_table = table.at[sids].add(delta)
-    new_mom = state["momentum"].at[sids].add((m_new - m_rows) * w)
+    new_table = table.at[sids].add(delta.astype(table.dtype))
+    new_mom = state["momentum"].at[sids].add(
+        ((m_new - m_rows) * w).astype(state["momentum"].dtype))
     new_last = state["last_step"].at[sids].max(
         jnp.where(first, step + 1, 0).astype(jnp.int32))
     return new_table, {"momentum": new_mom, "last_step": new_last}
@@ -123,16 +127,19 @@ def momentum_flush(table: jax.Array, state: Dict[str, jax.Array], *,
     NOT advanced — flush returns the settled VIEW; training continues from
     the same state.)
     """
-    k = jnp.maximum(step - state["last_step"], 0).astype(table.dtype)
-    mu_k = jnp.power(jnp.asarray(mu, table.dtype), k)
+    k = jnp.maximum(step - state["last_step"], 0).astype(jnp.float32)
+    mu_k = jnp.power(jnp.float32(mu), k)
     geom = mu * (1.0 - mu_k) / max(1.0 - mu, 1e-12)
-    return table - lr * state["momentum"] * geom[:, None]
+    settled = (table.astype(jnp.float32)
+               - lr * state["momentum"].astype(jnp.float32) * geom[:, None])
+    return settled.astype(table.dtype)
 
 
 def adam_init(table: jax.Array) -> Dict[str, jax.Array]:
     return {
-        "m": jnp.zeros_like(table),
-        "v": jnp.zeros_like(table),
+        # moments stay f32 even for low-precision tables
+        "m": jnp.zeros(table.shape, jnp.float32),
+        "v": jnp.zeros(table.shape, jnp.float32),
     }
 
 
@@ -161,18 +168,18 @@ def lazy_adam_update(
     seg = jnp.cumsum(first) - 1
     agg = jax.ops.segment_sum(sgrads, seg, num_segments=n)
     g = jnp.where(first[:, None], agg[seg], 0.0)
-    w = first.astype(table.dtype)[:, None]
+    w = first.astype(jnp.float32)[:, None]
 
     m_rows = jnp.take(state["m"], sids, axis=0)
     v_rows = jnp.take(state["v"], sids, axis=0)
     m_new = b1 * m_rows + (1.0 - b1) * g
     v_new = b2 * v_rows + (1.0 - b2) * jnp.square(g)
-    t = (step + 1).astype(table.dtype)
+    t = (step + 1).astype(jnp.float32)
     m_hat = m_new / (1.0 - jnp.power(b1, t))
     v_hat = v_new / (1.0 - jnp.power(b2, t))
     delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps) * w
 
-    new_table = table.at[sids].add(delta)
+    new_table = table.at[sids].add(delta.astype(table.dtype))
     new_m = state["m"].at[sids].add((m_new - m_rows) * w)
     new_v = state["v"].at[sids].add((v_new - v_rows) * w)
     return new_table, {"m": new_m, "v": new_v}

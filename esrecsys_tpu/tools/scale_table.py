@@ -37,6 +37,9 @@ class ScaleConfig:
     steps_per_call: int = 4
     calls: int = 4
     learning_rate: float = 0.01
+    momentum: float = 0.0  # >0 uses ops.optim.lazy_momentum_update — the
+    # exact dense-SGD-momentum trajectory without the dense per-step pass
+    # (at 100M rows a dense momentum pass moves ~38 GB/step)
     n_model: int = 1
     seed: int = 0
 
@@ -49,33 +52,47 @@ def run(cfg: ScaleConfig) -> dict:
         lambda k: init_table(k, cfg.rows, cfg.dim, mesh=mesh, dtype=dtype),
     )(prng.stream(key, prng.STREAM_INIT))
     w = jnp.ones((cfg.ids_per_step, cfg.dim), jnp.float32)
+    if cfg.momentum:
+        from esrecsys_tpu.ops import optim
 
-    def one_step(table, step):
+        # moments in the table's dtype: at this scale HBM is the constraint
+        carry0 = (table, optim.momentum_init(table, dtype=dtype))
+    else:
+        carry0 = (table, None)
+
+    def one_step(carry, step):
+        table, mstate = carry
         k = prng.key_for_step(key, step, prng.STREAM_NEGATIVES)
         ids = jax.random.randint(k, (cfg.ids_per_step,), 0, cfg.rows)
         rows = lookup(table, ids, mesh=mesh).astype(jnp.float32)
+        if cfg.momentum:
+            from esrecsys_tpu.ops import optim
+
+            rows = rows + optim.momentum_catchup_rows(
+                mstate, ids, lr=cfg.learning_rate, mu=cfg.momentum, step=step)
 
         def loss_fn(rows):
             return jnp.vdot(jnp.tanh(rows), w)
 
         loss, g = jax.value_and_grad(loss_fn)(rows)
+        if cfg.momentum:
+            table, mstate = optim.lazy_momentum_update(
+                table, mstate, ids, g,
+                lr=cfg.learning_rate, mu=cfg.momentum, step=step)
+            return (table, mstate), loss
         upd = (-cfg.learning_rate * g).astype(table.dtype)
-        return table.at[ids].add(upd), loss
+        return (table.at[ids].add(upd), mstate), loss
 
-    def multi(table, steps):
-        def body(t, s):
-            t, loss = one_step(t, s)
-            return t, loss
-
-        return jax.lax.scan(body, table, steps)
+    def multi(carry, steps):
+        return jax.lax.scan(one_step, carry, steps)
 
     f = jax.jit(multi, donate_argnums=0)
     spc = cfg.steps_per_call
-    table, losses = f(table, jnp.arange(spc))
+    carry, losses = f(carry0, jnp.arange(spc))
     _ = jax.device_get(losses[-1])  # true barrier through the tunnel
     t0 = time.perf_counter()
     for c in range(cfg.calls):
-        table, losses = f(table, jnp.arange((c + 1) * spc, (c + 2) * spc))
+        carry, losses = f(carry, jnp.arange((c + 1) * spc, (c + 2) * spc))
     _ = jax.device_get(losses[-1])
     dt = time.perf_counter() - t0
     n_steps = cfg.calls * spc

@@ -162,3 +162,11 @@ def test_scale_table_tool_sharded(mesh8):
                           steps_per_call=2, calls=1, n_model=8))
     assert res["value"] > 0
     assert res["rows"] == 1024 and res["n_model"] == 8
+
+
+def test_scale_table_tool_momentum(mesh8):
+    from esrecsys_tpu.tools.scale_table import ScaleConfig, run
+
+    res = run(ScaleConfig(rows=512, dim=8, dtype="float32", ids_per_step=32,
+                          steps_per_call=2, calls=1, momentum=0.9, n_model=1))
+    assert res["value"] > 0
