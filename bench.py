@@ -129,15 +129,20 @@ def main():
 
     b1 = _batch(rng, 1, C, M, NNEG, NUM_ALBUMS, NUM_ARTISTS, True)
     g, l = jit_grads(state1, host_sample(dict(b1))); state1 = jit_update(state1, g)
-    _ = jax.device_get(l)
-    n_ref = 100
-    t0 = time.perf_counter()
-    for _ in range(n_ref):
-        nb = host_sample(dict(b1))
-        g, l = jit_grads(state1, nb)
-        state1 = jit_update(state1, g)
-    _ = jax.device_get(l)
-    ref = n_ref * 1 / (time.perf_counter() - t0)
+    _ = jax.device_get(state1.params["album_embed"]["embedding"][:1, :1])
+    n_ref = 200
+    ref = 0.0
+    for _ in range(3):  # best of 3: tunnel dispatch jitter is large at B=1;
+        # crediting the reference its fastest trial keeps vs_baseline
+        # conservative
+        t0 = time.perf_counter()
+        for _ in range(n_ref):
+            nb = host_sample(dict(b1))
+            g, l = jit_grads(state1, nb)
+            state1 = jit_update(state1, g)
+        # barrier on the LAST update's output, not just the grads
+        _ = jax.device_get(state1.params["album_embed"]["embedding"][:1, :1])
+        ref = max(ref, n_ref / (time.perf_counter() - t0))
 
     print(json.dumps({
         "metric": "playlist_train_examples_per_sec_per_chip",

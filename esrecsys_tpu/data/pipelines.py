@@ -135,7 +135,10 @@ def pack_playlists(
     CPU at train time — on a weak host it caps the feed rate orders of
     magnitude below what one chip consumes. Packing does that work ONCE:
     each shard holds dense int32 arrays of shape (N, C)/(N, M) plus the
-    float mask, so the train-time iterator is mmap + slice.
+    float mask, so the train-time iterator is a whole-shard load + permute +
+    slice (~70x the parse rate; each shard is fully materialized in host RAM
+    while visited, so size ``examples_per_shard`` to the host — the default
+    is ~270 MB/shard).
     (The reference pays the parse cost per step, spotify/input_pipeline.py.)
     """
     import os

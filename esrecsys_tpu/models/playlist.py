@@ -40,6 +40,35 @@ def batched_isin(element: jax.Array, test_set: jax.Array) -> jax.Array:
     return jnp.any(element[..., :, None] == test_set[..., None, :], axis=-1)
 
 
+def affinity_scores(
+    context_embed: jax.Array,   # (B, C, D)
+    item_embed: jax.Array,      # (B, M, D), or shared (M, D)
+    item_album: jax.Array,      # (B, M), or shared (M,)
+    item_artist: jax.Array,     # (B, M), or shared (M,)
+    album_context: jax.Array,   # (B, C)
+    artist_context: jax.Array,  # (B, C)
+) -> jax.Array:
+    """max-dot over context slots + 0.1 album/artist membership boosts
+    (spotify/models.py:74-80), batched: → (B, M). The single definition used
+    by training (``score_embeddings``) and both eval paths.
+
+    A 2-D ``item_embed`` is a *shared* item set (one pool or corpus block
+    scored against every query): the dot becomes a single (M, D) × (B, C, D)
+    MXU contraction instead of a per-query batched one.
+    """
+    if item_embed.ndim == 2:
+        dots = jnp.einsum("md,bcd->bmc", item_embed, context_embed)
+        bsz = context_embed.shape[0]
+        item_album = jnp.broadcast_to(item_album, (bsz,) + item_album.shape)
+        item_artist = jnp.broadcast_to(item_artist, (bsz,) + item_artist.shape)
+    else:
+        dots = jnp.einsum("bmd,bcd->bmc", item_embed, context_embed)
+    aff = jnp.max(dots, axis=-1)
+    aff = aff + 0.1 * batched_isin(item_album, album_context)
+    aff = aff + 0.1 * batched_isin(item_artist, artist_context)
+    return aff
+
+
 def score_embeddings(
     context_embed: jax.Array,   # (B, C, D)
     next_embed: jax.Array,      # (B, M, D)
@@ -60,19 +89,12 @@ def score_embeddings(
     a ((B, C+M), (N,)) pair in shared-negative mode).
     """
     shared = neg_embed.ndim == 2
-
-    def affinity(item_embed, item_album, item_artist):
-        if item_embed.ndim == 2:
-            dots = jnp.einsum("md,bcd->bmc", item_embed, context_embed)
-        else:
-            dots = jnp.einsum("bmd,bcd->bmc", item_embed, context_embed)
-        aff = jnp.max(dots, axis=-1)
-        aff = aff + 0.1 * batched_isin(item_album, album_context)
-        aff = aff + 0.1 * batched_isin(item_artist, artist_context)
-        return aff
-
-    pos_affinity = affinity(next_embed, next_album, next_artist)
-    neg_affinity = affinity(neg_embed, neg_album, neg_artist)
+    pos_affinity = affinity_scores(
+        context_embed, next_embed, next_album, next_artist,
+        album_context, artist_context)
+    neg_affinity = affinity_scores(
+        context_embed, neg_embed, neg_album, neg_artist,
+        album_context, artist_context)
 
     l2 = lambda e: jnp.sqrt(jnp.sum(jnp.square(e), axis=-1))
     if shared:
@@ -127,31 +149,6 @@ class PlaylistModel(nn.Module):
         album_e = self.album_embed(jnp.mod(album, self.album_hash_buckets))
         artist_e = self.artist_embed(artist)
         return jnp.concatenate([album_e, artist_e], axis=-1)
-
-    def affinity(
-        self,
-        context_embed: jax.Array,   # (B, C, D)
-        item_embed: jax.Array,      # (B, M, D) or shared (M, D)
-        item_album: jax.Array,      # (B, M) or shared (M,)
-        item_artist: jax.Array,     # (B, M) or shared (M,)
-        album_context: jax.Array,   # (B, C)
-        artist_context: jax.Array,  # (B, C)
-    ) -> jax.Array:
-        """max-dot over context slots + 0.1 album/artist membership boosts
-        (spotify/models.py:74-80), batched: → (B, M).
-
-        A 2-D ``item_embed`` is a *shared* item set (one pool scored against
-        every playlist in the batch — used for shared negative pools): the
-        dot becomes a single (M, D) × (B, C, D) MXU contraction instead of a
-        per-playlist batched one."""
-        if item_embed.ndim == 2:
-            dots = jnp.einsum("md,bcd->bmc", item_embed, context_embed)
-        else:
-            dots = jnp.einsum("bmd,bcd->bmc", item_embed, context_embed)
-        aff = jnp.max(dots, axis=-1)
-        aff = aff + 0.1 * batched_isin(item_album, album_context)
-        aff = aff + 0.1 * batched_isin(item_artist, artist_context)
-        return aff
 
     def __call__(
         self,

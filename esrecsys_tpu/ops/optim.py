@@ -34,13 +34,33 @@ import jax
 import jax.numpy as jnp
 
 
+def _like_table_sharding(x: jax.Array, table: jax.Array) -> jax.Array:
+    """Place optimizer state with the table's row sharding (rows over
+    ``model``); 1-D state inherits the row axis of the table's spec."""
+    sharding = getattr(table, "sharding", None)
+    if sharding is None:
+        return x
+    try:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if isinstance(sharding, NamedSharding) and x.ndim != table.ndim:
+            row_axis = sharding.spec[0] if len(sharding.spec) else None
+            sharding = NamedSharding(sharding.mesh, P(row_axis))
+        return jax.device_put(x, sharding)
+    except (ValueError, TypeError):
+        return x
+
+
 def momentum_init(table: jax.Array, dtype=jnp.float32) -> Dict[str, jax.Array]:
     return {
         # moments default to f32 even for low-precision tables; pass
-        # dtype=bfloat16 when HBM is the constraint (100M-row scale)
-        "momentum": jnp.zeros(table.shape, dtype),
+        # dtype=bfloat16 when HBM is the constraint (100M-row scale).
+        # State is placed with the table's row sharding so the row-lazy
+        # optimizer scales where it matters (row-sharded tables).
+        "momentum": _like_table_sharding(jnp.zeros(table.shape, dtype), table),
         # step at which each row's momentum/params were last settled
-        "last_step": jnp.zeros((table.shape[0],), jnp.int32),
+        "last_step": _like_table_sharding(
+            jnp.zeros((table.shape[0],), jnp.int32), table),
     }
 
 
@@ -135,11 +155,12 @@ def momentum_flush(table: jax.Array, state: Dict[str, jax.Array], *,
     return settled.astype(table.dtype)
 
 
-def adam_init(table: jax.Array) -> Dict[str, jax.Array]:
+def adam_init(table: jax.Array, dtype=jnp.float32) -> Dict[str, jax.Array]:
     return {
-        # moments stay f32 even for low-precision tables
-        "m": jnp.zeros(table.shape, jnp.float32),
-        "v": jnp.zeros(table.shape, jnp.float32),
+        # moments default to f32 even for low-precision tables; placed with
+        # the table's row sharding (see momentum_init)
+        "m": _like_table_sharding(jnp.zeros(table.shape, dtype), table),
+        "v": _like_table_sharding(jnp.zeros(table.shape, dtype), table),
     }
 
 

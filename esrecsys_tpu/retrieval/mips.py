@@ -206,7 +206,11 @@ def topk_over_matrix(
         def score_items(cand):  # (B, n) indices
             rows = jnp.take(items, cand.reshape(-1), axis=0)
             rows = rows.reshape(cand.shape + (items.shape[-1],))
-            return jnp.einsum("bd,bnd->bn", queries, rows)
+            # f32 accumulation to match score_block's dot — keeps the
+            # grouped path's phase-2 rescoring consistent with phase 1 for
+            # low-precision catalogs
+            return jnp.einsum("bd,bnd->bn", queries, rows,
+                              preferred_element_type=jnp.float32)
 
         return chunked_grouped_topk(
             score_block, score_items, num_items, k, block, group=group)

@@ -32,7 +32,8 @@ from esrecsys_tpu.core import mesh as mesh_lib
 from esrecsys_tpu.core import prng
 from esrecsys_tpu.core.tracking import make_tracker
 from esrecsys_tpu.data import pipelines
-from esrecsys_tpu.models.playlist import PlaylistModel, batched_isin, score_embeddings
+from esrecsys_tpu.models.playlist import (PlaylistModel, affinity_scores,
+                                          batched_isin, score_embeddings)
 from esrecsys_tpu.ops import losses
 from esrecsys_tpu.parallel.sharding import apply_partition_rules
 from esrecsys_tpu.retrieval.mips import chunked_grouped_topk, chunked_topk
@@ -332,6 +333,33 @@ def make_corpus_embed_setup(model: PlaylistModel, cfg: PlaylistConfig,
     return setup
 
 
+def _settled_ctx_embed(state: TrainState, cfg: PlaylistConfig,
+                       album_ctx: jax.Array, artist_ctx: jax.Array) -> jax.Array:
+    """Context embeddings with per-row lazy-momentum settlement.
+
+    Settles ONLY the gathered context rows (O(B·C)) instead of flushing the
+    full tables per eval batch — the round-level corpus matrix is already
+    settled once by :func:`make_corpus_embed_setup`."""
+    if not (cfg.sparse_updates and cfg.momentum):
+        return state.apply_fn(
+            {"params": state.params}, album_ctx, artist_ctx,
+            method=PlaylistModel.get_embeddings)
+    from esrecsys_tpu.ops import optim
+
+    alb_ids = (album_ctx % cfg.album_hash_buckets).reshape(-1)
+    art_ids = artist_ctx.reshape(-1)
+    rows_a = jnp.take(state.params["album_embed"]["embedding"], alb_ids, axis=0)
+    rows_r = jnp.take(state.params["artist_embed"]["embedding"], art_ids, axis=0)
+    rows_a = rows_a + optim.momentum_catchup_rows(
+        state.opt_state["album"], alb_ids,
+        lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)
+    rows_r = rows_r + optim.momentum_catchup_rows(
+        state.opt_state["artist"], art_ids,
+        lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)
+    e = jnp.concatenate([rows_a, rows_r], axis=-1)
+    return e.reshape(album_ctx.shape + (e.shape[-1],))
+
+
 def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, jax.Array]):
     """recall@k of next tracks/artists against the full corpus.
 
@@ -353,37 +381,22 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
     def eval_step(state: TrainState, batch, corpus_embed=None):
         if corpus_embed is None:
             corpus_embed = setup(state)
-        params = settled_params(state, cfg)
-        ctx_embed = state.apply_fn(
-            {"params": params},
-            batch["album_context"], batch["artist_context"],
-            method=PlaylistModel.get_embeddings,
-        )  # (B, C, D)
         album_ctx = batch["album_context"]
         artist_ctx = batch["artist_context"]
-        bsz = album_ctx.shape[0]
-
-        def affinity(item_embed, item_album, item_artist):
-            if item_embed.ndim == 2:  # shared block (S, D)
-                dots = jnp.einsum("sd,bcd->bsc", item_embed, ctx_embed)
-                item_album = jnp.broadcast_to(item_album, (bsz,) + item_album.shape)
-                item_artist = jnp.broadcast_to(item_artist, (bsz,) + item_artist.shape)
-            else:                      # per-query candidates (B, n, D)
-                dots = jnp.einsum("bnd,bcd->bnc", item_embed, ctx_embed)
-            aff = jnp.max(dots, axis=-1)
-            aff = aff + 0.1 * batched_isin(item_album, album_ctx)
-            aff = aff + 0.1 * batched_isin(item_artist, artist_ctx)
-            return aff
+        ctx_embed = _settled_ctx_embed(state, cfg, album_ctx, artist_ctx)
 
         def score_block(start):
             blk_embed = jax.lax.dynamic_slice_in_dim(corpus_embed, start, block)
             blk_album = jax.lax.dynamic_slice_in_dim(albums_p, start, block)
             blk_artist = jax.lax.dynamic_slice_in_dim(artists_p, start, block)
-            return affinity(blk_embed, blk_album, blk_artist)
+            return affinity_scores(ctx_embed, blk_embed, blk_album, blk_artist,
+                                   album_ctx, artist_ctx)
 
         if cfg.eval_group:
             def score_items(cand):  # (B, n) item indices
-                return affinity(corpus_embed[cand], albums_p[cand], artists_p[cand])
+                return affinity_scores(
+                    ctx_embed, corpus_embed[cand], albums_p[cand],
+                    artists_p[cand], album_ctx, artist_ctx)
 
             _, top_idx = chunked_grouped_topk(
                 score_block, score_items, num_items, cfg.eval_k, block,
@@ -429,13 +442,8 @@ def make_sharded_eval_step(model: PlaylistModel, cfg: PlaylistConfig,
     artists_p = jnp.pad(artists, (0, padded - num_items))
 
     def score_fn(ctx_embed, album_ctx, artist_ctx, blk_embed, blk_album, blk_artist):
-        bsz = album_ctx.shape[0]
-        s = blk_album.shape[0]
-        dots = jnp.einsum("sd,bcd->bsc", blk_embed, ctx_embed)
-        aff = jnp.max(dots, axis=-1)
-        aff = aff + 0.1 * batched_isin(jnp.broadcast_to(blk_album, (bsz, s)), album_ctx)
-        aff = aff + 0.1 * batched_isin(jnp.broadcast_to(blk_artist, (bsz, s)), artist_ctx)
-        return aff
+        return affinity_scores(ctx_embed, blk_embed, blk_album, blk_artist,
+                               album_ctx, artist_ctx)
 
     def eval_step(state: TrainState, batch):
         params = settled_params(state, cfg)
