@@ -28,6 +28,11 @@ from esrecsys_tpu.data import recordio
 from esrecsys_tpu.data.protos import Page, TextDocument
 from esrecsys_tpu.data.vocab import simple_tokenize
 
+try:  # native tokenizer (~3x; byte-for-byte parity, esrecsys_tpu/native/text.cc)
+    from esrecsys_tpu.native import tokenize as _tokenize
+except Exception:  # pragma: no cover - missing toolchain
+    _tokenize = simple_tokenize
+
 log = logging.getLogger(__name__)
 
 # Pages in these namespaces are not for user consumption
@@ -128,7 +133,7 @@ def page_to_doc(page: Page, stopwords: Optional[Set[str]] = None) -> Optional[Te
     doc = TextDocument()
     doc.primary = normalize_title_url(page.title)
     doc.secondary.extend(normalize_title_url(t) for t in extract_links(text))
-    tokens = simple_tokenize(text)
+    tokens = _tokenize(text)
     if stopwords:
         tokens = [t for t in tokens if t not in stopwords]
     doc.tokens.extend(tokens)

@@ -86,3 +86,28 @@ def test_native_speedup_over_python():
         cc.add_window(d, 10)
     t_cc = time.perf_counter() - t0
     assert t_cc < t_py / 4, (t_py, t_cc)
+
+
+def test_native_tokenize_matches_python():
+    pytest.importorskip("numpy")
+    try:
+        from esrecsys_tpu.native import tokenize
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    from esrecsys_tpu.data.vocab import simple_tokenize
+
+    cases = [
+        "",
+        "    ",
+        "The Quick BROWN fox! jumps,over;the:lazy dog",
+        "café NAÏVE Straße ΛΌΓΟΣ мОсКвА [[Link|x]] a_b c\td",
+        "ALLCAPS lower 123#tags{weird} 'quoted' [brackets]",
+        "unicode: ÀÉÎÕÜ ß ﬁ Ⅷ ȘțĂâ",
+        "\n\nnewlines\nand\ttabs\t",
+    ]
+    for c in cases:
+        assert tokenize(c) == simple_tokenize(c), c
+    rng = np.random.default_rng(0)
+    words = ["the", "Quick", "bröwn", "FOX", "naïve", "ΛΌΓΟΣ", "a'b", "x|y"]
+    text = " ".join(rng.choice(words, 5000))
+    assert tokenize(text) == simple_tokenize(text)

@@ -421,3 +421,36 @@ def test_sparse_momentum_matches_dense_momentum():
             np.asarray(state_d.params[name]["embedding"]),
             np.asarray(settled[name]["embedding"]),
             rtol=1e-4, atol=1e-6, err_msg=name)
+
+
+def test_eval_with_lazy_momentum_settles_rows():
+    """Eval under sparse+momentum must use settled values: recall computed
+    via the eval step equals recall computed from settled_params directly."""
+    rng = np.random.default_rng(6)
+    cfg = pl.PlaylistConfig(
+        feature_size=4, album_hash_buckets=50, num_artists=40,
+        num_negatives=6, batch_size=3, context_size=3, max_next=4,
+        momentum=0.9, learning_rate=0.1, shared_negatives=True,
+        sparse_updates=True, eval_k=5, corpus_block=16, eval_group=4)
+    model, state = pl.init_state(cfg, mesh=None)
+    corpus = _tiny_corpus(rng)
+    step = jax.jit(pl.make_sparse_train_step(model, cfg, corpus, jax.random.PRNGKey(3)))
+    for i in range(3):
+        state, _ = step(state, _rand_batch(np.random.default_rng(i), 3, 3, 4))
+
+    eval_step = pl.make_eval_step(model, cfg, corpus)
+    setup = pl.make_corpus_embed_setup(model, cfg, corpus)
+    batch = _rand_batch(np.random.default_rng(9), 3, 3, 4)
+    m_aux = jax.jit(eval_step)(state, batch, jax.jit(setup)(state))
+
+    # reference: dense-equivalent state (settled params, plain TrainState)
+    settled = pl.settled_params(state, cfg)
+    cfg_plain = pl.PlaylistConfig(**{**cfg.__dict__, "sparse_updates": False,
+                                     "momentum": 0.0})
+    _, state_plain = pl.init_state(cfg_plain, mesh=None)
+    state_plain = state_plain.replace(params=settled, step=state.step)
+    m_ref = jax.jit(pl.make_eval_step(model, cfg_plain, corpus))(state_plain, batch)
+    np.testing.assert_allclose(float(m_aux["track_recall"]),
+                               float(m_ref["track_recall"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_aux["artist_recall"]),
+                               float(m_ref["artist_recall"]), rtol=1e-5)
