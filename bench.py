@@ -63,16 +63,18 @@ def main():
     }
 
     # ---------------- ours: batched step, on-device negatives ----------------
-    # B=8192 playlists/step, a shared 1024-negative pool per step (each
-    # playlist sees 16x the reference's 64 negatives at ~1/512 the gather
+    # B=2048 playlists/step, a shared 512-negative pool per step (each
+    # playlist sees 8x the reference's 64 negatives at ~1/256 the gather
     # rows), row-sparse SGD updates (gradients never densify to table shape),
-    # and a 16-step device loop (fit(steps_per_call=16)) to amortize host
-    # dispatch — all framework features the reference lacks.
-    B, SPC = 8192, 16
+    # bf16 scoring einsums with f32 accumulation, and a 32-step device loop
+    # (fit(steps_per_call=32)) to amortize host dispatch — all framework
+    # features the reference lacks. (B/N swept on-chip; see BENCHMARKS.md.)
+    B, SPC = 2048, 32
     cfg = pl.PlaylistConfig(
         feature_size=32, album_hash_buckets=NUM_ALBUMS, num_artists=NUM_ARTISTS,
-        num_negatives=1024, batch_size=B, context_size=C, max_next=M,
+        num_negatives=512, batch_size=B, context_size=C, max_next=M,
         shared_negatives=True, sparse_updates=True, momentum=0.0,
+        compute_dtype="bfloat16",
     )
     model, state = pl.init_state(cfg, mesh=None)
     train_step = pl.select_train_step(model, cfg, corpus, prng.base_key(0))
@@ -88,7 +90,7 @@ def main():
     state, m0 = step(state, stacked)  # compile
     _ = jax.device_get(m0)  # true barrier (block_until_ready does not
     # round-trip through the axon tunnel)
-    n_calls = 4
+    n_calls = 8
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, last_loss = step(state, stacked)

@@ -454,3 +454,23 @@ def test_eval_with_lazy_momentum_settles_rows():
                                float(m_ref["track_recall"]), rtol=1e-5)
     np.testing.assert_allclose(float(m_aux["artist_recall"]),
                                float(m_ref["artist_recall"]), rtol=1e-5)
+
+
+def test_bf16_compute_dtype_close_to_f32():
+    rng = np.random.default_rng(8)
+    base = dict(feature_size=4, album_hash_buckets=50, num_artists=40,
+                num_negatives=6, batch_size=3, context_size=3, max_next=4,
+                momentum=0.0, learning_rate=0.05, shared_negatives=True,
+                sparse_updates=True)
+    cfg32 = pl.PlaylistConfig(**base)
+    cfg16 = pl.PlaylistConfig(**base, compute_dtype="bfloat16")
+    corpus = _tiny_corpus(rng)
+    m32, s32 = pl.init_state(cfg32, mesh=None)
+    m16, s16 = pl.init_state(cfg16, mesh=None)
+    step32 = jax.jit(pl.select_train_step(m32, cfg32, corpus, jax.random.PRNGKey(1)))
+    step16 = jax.jit(pl.select_train_step(m16, cfg16, corpus, jax.random.PRNGKey(1)))
+    batch = _rand_batch(rng, 3, 3, 4)
+    _, l32 = step32(s32, batch)
+    _, l16 = step16(s16, batch)
+    # bf16 scoring rounds at ~0.4%; losses must agree to that order
+    np.testing.assert_allclose(float(l32["loss"]), float(l16["loss"]), rtol=0.02)
