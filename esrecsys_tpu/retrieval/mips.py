@@ -282,6 +282,7 @@ def sharded_scored_topk(
     mesh: Mesh,
     block_size: int = 8192,
     valid_items: Optional[int] = None,
+    group: int = 0,
 ):
     """Catalog-sharded top-k with a CUSTOM block scorer.
 
@@ -293,6 +294,12 @@ def sharded_scored_topk(
     (B, S)``; local top-k candidates are all-gathered over ``model`` and
     re-topped. ICI traffic: O(B × k × n_shards), catalog-size independent.
 
+    ``group > 0`` applies the exact group-max prefilter inside each shard
+    (:func:`chunked_grouped_topk`); score_fn must then ALSO accept per-query
+    candidate item arrays shaped (B, n, ...) in addition to shared blocks
+    shaped (S, ...) — e.g. the playlist affinity does both
+    (models.playlist.affinity_scores).
+
     Returns (values (B, k), global indices (B, k)).
     """
     n_shards = mesh.shape[MODEL_AXIS]
@@ -302,6 +309,8 @@ def sharded_scored_topk(
     rows_per_shard = total_rows // n_shards
     valid = total_rows if valid_items is None else valid_items
     block = min(block_size, rows_per_shard)
+    if group:
+        block = pad_to_multiple(block, group)
     n_q = len(query_args)
 
     def local_fn(*args):
@@ -325,7 +334,21 @@ def sharded_scored_topk(
             return jnp.where(base + start + local < valid, s, NEG_INF)
 
         k_local = min(k, rows_per_shard)
-        vals, idxs = chunked_topk(score_block, rows_per_shard, k_local, block)
+        if group:
+            def score_items(cand):  # (B, n) local indices
+                rows = tuple(
+                    jnp.take(a, cand.reshape(-1), axis=0).reshape(
+                        cand.shape + a.shape[1:])
+                    for a in local_items
+                )
+                s = score_fn(*queries, *rows)
+                return jnp.where(base + cand < valid, s, NEG_INF)
+
+            vals, idxs = chunked_grouped_topk(
+                score_block, score_items, rows_per_shard, k_local, block,
+                group=group)
+        else:
+            vals, idxs = chunked_topk(score_block, rows_per_shard, k_local, block)
         idxs = idxs + base
         vals_g = jax.lax.all_gather(vals, MODEL_AXIS, axis=-1, tiled=True)
         idxs_g = jax.lax.all_gather(idxs, MODEL_AXIS, axis=-1, tiled=True)

@@ -467,6 +467,7 @@ def make_sharded_eval_step(model: PlaylistModel, cfg: PlaylistConfig,
             (ctx_embed, batch["album_context"], batch["artist_context"]),
             (corpus_embed, albums_p, artists_p),
             score_fn, cfg.eval_k, mesh, block, valid_items=num_items,
+            group=cfg.eval_group,
         )
         top_tracks = tracks[top_idx]
         top_artists = artists[top_idx]
