@@ -474,3 +474,37 @@ def test_bf16_compute_dtype_close_to_f32():
     _, l16 = step16(s16, batch)
     # bf16 scoring rounds at ~0.4%; losses must agree to that order
     np.testing.assert_allclose(float(l32["loss"]), float(l16["loss"]), rtol=0.02)
+
+
+def test_checkpoint_resume_with_lazy_momentum(tmp_path):
+    """Orbax round-trips the lazy-momentum opt_state (dict pytree)."""
+    from esrecsys_tpu.train import Checkpointer
+
+    rng = np.random.default_rng(11)
+    cfg = pl.PlaylistConfig(
+        feature_size=4, album_hash_buckets=50, num_artists=40,
+        num_negatives=6, batch_size=3, context_size=3, max_next=4,
+        momentum=0.9, learning_rate=0.05, shared_negatives=True,
+        sparse_updates=True)
+    model, state = pl.init_state(cfg, mesh=None)
+    corpus = _tiny_corpus(rng)
+    step = jax.jit(pl.make_sparse_train_step(model, cfg, corpus, jax.random.PRNGKey(2)))
+    for i in range(3):
+        state, _ = step(state, _rand_batch(np.random.default_rng(i), 3, 3, 4))
+
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(int(state.step), state)
+    _, template = pl.init_state(cfg, mesh=None)
+    restored = ckpt.restore(template)
+    assert int(restored.step) == 3
+    np.testing.assert_allclose(
+        np.asarray(restored.opt_state["album"]["momentum"]),
+        np.asarray(state.opt_state["album"]["momentum"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored.opt_state["artist"]["last_step"]),
+        np.asarray(state.opt_state["artist"]["last_step"]))
+    # continue training from the restored state: must match continuing live
+    b = _rand_batch(np.random.default_rng(99), 3, 3, 4)
+    s_live, ml = step(state, b)
+    s_rest, mr = step(restored, b)
+    np.testing.assert_allclose(float(ml["loss"]), float(mr["loss"]), rtol=1e-6)
