@@ -28,10 +28,24 @@ from esrecsys_tpu.data import recordio
 from esrecsys_tpu.data.protos import Page, TextDocument
 from esrecsys_tpu.data.vocab import simple_tokenize
 
-try:  # native tokenizer (~3x; byte-for-byte parity, esrecsys_tpu/native/text.cc)
-    from esrecsys_tpu.native import tokenize as _tokenize
-except Exception:  # pragma: no cover - missing toolchain
-    _tokenize = simple_tokenize
+_tokenize_impl = None
+
+
+def _tokenize(text):
+    """Native tokenizer (~3x, esrecsys_tpu/native/text.cc) with a permanent
+    fallback to the pure-Python tokenizer. The native library builds lazily
+    on FIRST CALL, so the fallback must wrap the call, not the import."""
+    global _tokenize_impl
+    if _tokenize_impl is None:
+        try:
+            from esrecsys_tpu.native import tokenize as native_tokenize
+
+            native_tokenize("probe Build")  # force the lazy g++ build now
+            _tokenize_impl = native_tokenize
+        except Exception:  # pragma: no cover - missing toolchain
+            log.info("native tokenizer unavailable; using simple_tokenize")
+            _tokenize_impl = simple_tokenize
+    return _tokenize_impl(text)
 
 log = logging.getLogger(__name__)
 

@@ -48,6 +48,7 @@ def affinity_scores(
     album_context: jax.Array,   # (B, C)
     artist_context: jax.Array,  # (B, C)
     compute_dtype=None,
+    precision=None,
 ) -> jax.Array:
     """max-dot over context slots + 0.1 album/artist membership boosts
     (spotify/models.py:74-80), batched: → (B, M). The single definition used
@@ -67,13 +68,15 @@ def affinity_scores(
         item_embed = item_embed.astype(compute_dtype)
     if item_embed.ndim == 2:
         dots = jnp.einsum("md,bcd->bmc", item_embed, context_embed,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
         bsz = context_embed.shape[0]
         item_album = jnp.broadcast_to(item_album, (bsz,) + item_album.shape)
         item_artist = jnp.broadcast_to(item_artist, (bsz,) + item_artist.shape)
     else:
         dots = jnp.einsum("bmd,bcd->bmc", item_embed, context_embed,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
     aff = jnp.max(dots, axis=-1)
     aff = aff + 0.1 * batched_isin(item_album, album_context)
     aff = aff + 0.1 * batched_isin(item_artist, artist_context)

@@ -84,9 +84,14 @@ def _kernel(starts_ref, ids_ref, upd_ref, table_ref, out_ref,
         cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, block_rows), 1)
         one_hot = ((local == cols) & valid).astype(compute_dtype)
         upd = upd_vmem[...].astype(compute_dtype)
+        # TPU default matmul precision is single-pass bf16 — the f32 mode
+        # must force HIGHEST or every update rounds at bf16 granularity
+        # (confirmed ~1e-2 relative error on v5e at default precision).
+        prec = (jax.lax.Precision.HIGHEST
+                if compute_dtype == jnp.float32 else None)
         tab_vmem[...] += jax.lax.dot_general(
             one_hot, upd, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         return 0
 

@@ -206,11 +206,14 @@ def topk_over_matrix(
         def score_items(cand):  # (B, n) indices
             rows = jnp.take(items, cand.reshape(-1), axis=0)
             rows = rows.reshape(cand.shape + (items.shape[-1],))
-            # f32 accumulation to match score_block's dot — keeps the
-            # grouped path's phase-2 rescoring consistent with phase 1 for
-            # low-precision catalogs
+            # high-precision rescore (TPU default matmul precision is
+            # single-pass bf16): the final ranking is exact w.r.t. these
+            # scores; phase-1 selection is internally consistent at its own
+            # precision, so only items within matmul rounding of the k-th
+            # boundary can differ from a full high-precision sort
             return jnp.einsum("bd,bnd->bn", queries, rows,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
 
         return chunked_grouped_topk(
             score_block, score_items, num_items, k, block, group=group)

@@ -256,8 +256,7 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
                 ctx_e, nxt_e, neg_e,
                 batch["next_album"], batch["next_artist"], neg_album, neg_artist,
                 batch["album_context"], batch["artist_context"],
-                compute_dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-                               else None))
+                compute_dtype=model.compute_dtype)
             metrics = playlist_loss(result, batch["next_mask"], cfg.regularization)
             return metrics["loss"], metrics
 
@@ -400,7 +399,8 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
             def score_items(cand):  # (B, n) item indices
                 return affinity_scores(
                     ctx_embed, corpus_embed[cand], albums_p[cand],
-                    artists_p[cand], album_ctx, artist_ctx)
+                    artists_p[cand], album_ctx, artist_ctx,
+                    precision=jax.lax.Precision.HIGHEST)
 
             _, top_idx = chunked_grouped_topk(
                 score_block, score_items, num_items, cfg.eval_k, block,

@@ -89,11 +89,9 @@ def test_native_speedup_over_python():
 
 
 def test_native_tokenize_matches_python():
-    pytest.importorskip("numpy")
-    try:
-        from esrecsys_tpu.native import tokenize
-    except Exception:
+    if not _has_toolchain():
         pytest.skip("native toolchain unavailable")
+    from esrecsys_tpu.native import tokenize
     from esrecsys_tpu.data.vocab import simple_tokenize
 
     cases = [
