@@ -6,7 +6,7 @@ The whole framework runs over one 2-axis named mesh:
     id batches feeding embedding lookups. DP gradient sync for dense params rides
     this axis (XLA inserts the reduce-scatter/all-gather).
   * ``model`` — row dimension of sharded embedding tables
-    (:class:`esrecsys_tpu.parallel.table.ShardedEmbeddingTable`) and the catalog
+    (:class:`esrecsys_tpu.parallel.table.ShardedTable`) and the catalog
     dimension of sharded MIPS retrieval (:mod:`esrecsys_tpu.retrieval`).
 
 The reference is single-device throughout — no pmap/pjit/shard_map exists there
@@ -17,28 +17,64 @@ TPU-native scaling layer.
 
 from __future__ import annotations
 
+import logging
 import math
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+log = logging.getLogger(__name__)
+
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def distributed_init_if_needed() -> None:
-    """Initialize multi-process JAX when launched under a multi-host runtime.
-
-    Safe no-op on a single host. The reference logs ``jax.process_index/count``
-    but never initializes or branches on them (train_cooccurence.py:148-150).
-    """
+def _distributed_initialized() -> bool:
     try:
-        if jax.process_count() > 1:
-            return  # already initialized by the launcher
-    except RuntimeError:
-        jax.distributed.initialize()
+        return bool(jax.distributed.is_initialized())
+    except AttributeError:  # older jax: peek at the client singleton
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+
+
+def distributed_init_if_needed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize multi-process JAX when multi-host coordinates are present.
+
+    Called from every workload's ``train()``. Coordinates come from explicit
+    args or the standard env vars (``JAX_COORDINATOR_ADDRESS`` /
+    ``COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``); with
+    none present this is a safe single-host no-op. Returns True when running
+    multi-process after the call.
+
+    The reference logs ``jax.process_index/count`` but never initializes or
+    branches on them (train_cooccurence.py:148-150); this plus
+    :func:`shard_files_for_process` is the live multi-host path it lacks.
+    """
+    if _distributed_initialized():
+        return jax.process_count() > 1
+    env = os.environ
+    addr = (coordinator_address or env.get("JAX_COORDINATOR_ADDRESS")
+            or env.get("COORDINATOR_ADDRESS"))
+    nproc = num_processes if num_processes is not None else env.get("JAX_NUM_PROCESSES")
+    pid = process_id if process_id is not None else env.get("JAX_PROCESS_ID")
+    if addr is None and nproc is None:
+        return False  # no coordinates: plain single-process run
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(nproc) if nproc is not None else None,
+        process_id=int(pid) if pid is not None else None,
+    )
+    log.info("jax.distributed initialized: process %d/%d",
+             jax.process_index(), jax.process_count())
+    return jax.process_count() > 1
 
 
 def make_mesh(

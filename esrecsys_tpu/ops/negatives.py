@@ -4,27 +4,41 @@ The reference samples negatives on the host every step with fancy indexing of
 three corpus arrays *outside* jit (train_spotify.py:139-150,256-257) — a
 host→device transfer and a pipeline bubble per step. Here sampling runs inside
 the jitted step from a folded-in key; the corpus arrays stay device-resident.
+Both playlist train steps (:mod:`esrecsys_tpu.workloads.playlist`) route
+through :func:`sample_negative_rows`.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 
-def sample_negative_ids(key: jax.Array, num_negatives: int, corpus_size: int) -> jax.Array:
-    """Uniform corpus indices. Parity note: the reference samples in
-    [0, corpus_size-1) — excluding the last row (train_spotify.py:149, an
-    off-by-one it inherits everywhere); we sample the full range [0, size)."""
-    return jax.random.randint(key, (num_negatives,), 0, corpus_size)
+def sample_negative_ids(
+    key: jax.Array,
+    num_negatives: int,
+    corpus_size: int,
+    batch_size: Optional[int] = None,
+) -> jax.Array:
+    """Uniform corpus indices: ``(num_negatives,)`` for a shared per-step
+    pool, ``(batch_size, num_negatives)`` for per-example negatives.
+
+    Parity note: the reference samples in [0, corpus_size-1) — excluding the
+    last row (train_spotify.py:149, an off-by-one it inherits everywhere); we
+    sample the full range [0, size)."""
+    shape = (num_negatives,) if batch_size is None else (batch_size, num_negatives)
+    return jax.random.randint(key, shape, 0, corpus_size)
 
 
 def sample_negative_rows(
-    key: jax.Array, num_negatives: int, corpora: Sequence[jax.Array]
+    key: jax.Array,
+    num_negatives: int,
+    corpora: Sequence[jax.Array],
+    batch_size: Optional[int] = None,
 ) -> Tuple[jax.Array, ...]:
     """Sample one index set, gather the same rows from several parallel
-    corpus arrays (tracks/albums/artists)."""
-    idx = sample_negative_ids(key, num_negatives, corpora[0].shape[0])
-    return tuple(c[idx] for c in corpora)
+    corpus arrays (tracks/albums/artists). Returns ``(ids, *rows)``."""
+    idx = sample_negative_ids(key, num_negatives, corpora[0].shape[0], batch_size)
+    return (idx,) + tuple(c[idx] for c in corpora)

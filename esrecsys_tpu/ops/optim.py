@@ -201,6 +201,9 @@ def lazy_adam_update(
     delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps) * w
 
     new_table = table.at[sids].add(delta.astype(table.dtype))
-    new_m = state["m"].at[sids].add((m_new - m_rows) * w)
-    new_v = state["v"].at[sids].add((v_new - v_rows) * w)
+    # cast to the state dtype (adam_init(dtype=bfloat16) is the documented
+    # HBM-saving option; scatter-add of f32 into bf16 warns today and will
+    # become an error in future JAX)
+    new_m = state["m"].at[sids].add(((m_new - m_rows) * w).astype(state["m"].dtype))
+    new_v = state["v"].at[sids].add(((v_new - v_rows) * w).astype(state["v"].dtype))
     return new_table, {"m": new_m, "v": new_v}

@@ -113,6 +113,14 @@ def chunked_grouped_topk(
     score ties at the k-th boundary may resolve in a different-but-equally-
     scored order than ``lax.top_k``'s index order.)
 
+    The proof assumes phase 1 and phase 2 score with the SAME function at the
+    same precision. When the caller rescores at a higher matmul precision
+    than phase 1 (e.g. ``Precision.HIGHEST`` rescoring after default
+    single-pass-bf16 block scoring — :func:`topk_over_matrix`), the result is
+    exact only up to phase-1 rounding at the k-th group boundary: a true
+    top-k item whose bf16-rounded group max falls below the k-th group can be
+    pruned before the rescore.
+
     Args:
       score_block_fn: start index → (B, block) scores, as in
         :func:`chunked_topk`.
@@ -185,9 +193,12 @@ def topk_over_matrix(
 ) -> Tuple[jax.Array, jax.Array]:
     """Dot-product top-k of each query against an in-memory catalog matrix.
 
-    ``group > 0`` uses the exact group-max prefilter
-    (:func:`chunked_grouped_topk`); ``group=0`` falls back to the plain
-    streaming top-k.
+    ``group > 0`` uses the group-max prefilter (:func:`chunked_grouped_topk`)
+    with a ``Precision.HIGHEST`` rescore; on TPU the phase-1 block scoring
+    runs at default (single-pass bf16) matmul precision, so the result is
+    exact up to phase-1 rounding at the k-th group boundary (see the
+    exactness note in :func:`chunked_grouped_topk`). ``group=0`` falls back
+    to the plain streaming top-k at one consistent precision.
     """
     num_items = items.shape[0]
     block = min(block_size, pad_to_multiple(num_items, 128))

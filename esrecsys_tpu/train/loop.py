@@ -46,6 +46,7 @@ def fit(
     hook_every: int = 0,
     examples_per_step: int = 0,
     donate_state: bool = True,
+    eval_on_train: bool = False,
     steps_per_call: int = 1,
     mesh: Optional[Any] = None,
     profile_dir: Optional[str] = None,
@@ -66,7 +67,10 @@ def fit(
         every eval_step call in the round (e.g. the full-corpus embedding
         matrix — the reference recomputes it per eval example,
         train_spotify.py:113-131).
-      eval_iter_fn: builds a fresh eval iterator each eval round.
+      eval_iter_fn: builds a fresh eval iterator each eval round. Required
+        when ``eval_step`` is given, unless ``eval_on_train=True`` explicitly
+        opts into evaluating on the next training batches (the metric then
+        measures train-data fit, not generalization).
       hooks: qualitative callbacks, e.g. probe-KNN dumps
         (train_cooccurence.py:114-126 parity).
       steps_per_call: run this many train steps per device dispatch via
@@ -85,6 +89,11 @@ def fit(
 
     from esrecsys_tpu.core.mesh import DATA_AXIS
     tracker = tracker or NullTracker()
+    if eval_step is not None and eval_iter_fn is None and not eval_on_train:
+        raise ValueError(
+            "eval_step given without eval_iter_fn — eval would silently run "
+            "on training batches; pass eval_iter_fn or set eval_on_train=True"
+        )
     donate = (0,) if donate_state else ()
     spc = max(1, steps_per_call)
     if spc > 1:

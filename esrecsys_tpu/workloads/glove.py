@@ -41,6 +41,10 @@ class GloveConfig:
     """Defaults follow the reference run (wikipedia/README.md:127-139)."""
 
     train_pattern: str = ""
+    eval_pattern: str = ""  # held-out co-occurrence shards; defaults to
+    # train_pattern (the reference has no GloVe eval split at all — its only
+    # quality signal is the probe-KNN dump, train_cooccurence.py:114-126;
+    # eval_loss on the training distribution is what sweeps minimize)
     token_dictionary: str = ""
     work_dir: str = "/tmp/glove"
     feature_size: int = 64
@@ -55,6 +59,8 @@ class GloveConfig:
     # train_cooccurence.py:96-101) | lazy_adam (row-lazy: moments and params
     # update only for the step's touched rows — TF-LazyAdam semantics,
     # ops/optim.py; the win grows with vocab/batch ratio)
+    eval_every_epochs: int = 1
+    eval_steps: int = 50
     checkpoint_every_epochs: int = 5
     n_model_shards: int = 1
     steps_per_call: int = 1
@@ -200,11 +206,19 @@ def train(cfg: GloveConfig, tracker=None, vocab: Optional[Vocabulary] = None):
     probe_terms = [t for t in cfg.terms.split(",") if t]
     hooks = [knn_hook(vocab, probe_terms)] if probe_terms else []
 
+    eval_pattern = cfg.eval_pattern or cfg.train_pattern
+    eval_iter_fn = lambda: pipelines.glove_batches(
+        eval_pattern, cfg.batch_size, shuffle_buffer=0, seed=cfg.seed + 1)
+
     result = fit(
         state,
         select_train_step(model, cfg),
         batches,
         num_steps=cfg.steps_per_epoch * cfg.num_epochs,
+        eval_step=make_eval_step(model),
+        eval_iter_fn=eval_iter_fn,
+        eval_every=cfg.steps_per_epoch * cfg.eval_every_epochs,
+        eval_steps=cfg.eval_steps,
         log_every=min(1000, cfg.steps_per_epoch),
         tracker=tracker,
         checkpointer=ckpt,

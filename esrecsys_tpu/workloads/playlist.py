@@ -34,7 +34,7 @@ from esrecsys_tpu.core.tracking import make_tracker
 from esrecsys_tpu.data import pipelines
 from esrecsys_tpu.models.playlist import (PlaylistModel, affinity_scores,
                                           batched_isin, score_embeddings)
-from esrecsys_tpu.ops import losses
+from esrecsys_tpu.ops import losses, negatives
 from esrecsys_tpu.parallel.sharding import apply_partition_rules
 from esrecsys_tpu.retrieval.mips import chunked_grouped_topk, chunked_topk
 from esrecsys_tpu.train import Checkpointer, TrainState, fit
@@ -161,14 +161,9 @@ def make_train_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str,
     def train_step(state: TrainState, batch):
         # On-device negative sampling, deterministic per step.
         key = prng.key_for_step(base_key, state.step, prng.STREAM_NEGATIVES)
-        shape = (
-            (cfg.num_negatives,)
-            if cfg.shared_negatives
-            else (batch["track_context"].shape[0], cfg.num_negatives)
-        )
-        neg_idx = jax.random.randint(key, shape, 0, neg_albums.shape[0])
-        neg_album = neg_albums[neg_idx]
-        neg_artist = neg_artists[neg_idx]
+        neg_idx, neg_album, neg_artist = negatives.sample_negative_rows(
+            key, cfg.num_negatives, (neg_albums, neg_artists),
+            batch_size=None if cfg.shared_negatives else batch["track_context"].shape[0])
 
         def loss_fn(params):
             result = state.apply_fn(
@@ -215,10 +210,9 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
     def train_step(state: TrainState, batch):
         key = prng.key_for_step(base_key, state.step, prng.STREAM_NEGATIVES)
         b = batch["track_context"].shape[0]
-        shape = (cfg.num_negatives,) if cfg.shared_negatives else (b, cfg.num_negatives)
-        neg_idx = jax.random.randint(key, shape, 0, neg_albums.shape[0])
-        neg_album = neg_albums[neg_idx]
-        neg_artist = neg_artists[neg_idx]
+        neg_idx, neg_album, neg_artist = negatives.sample_negative_rows(
+            key, cfg.num_negatives, (neg_albums, neg_artists),
+            batch_size=None if cfg.shared_negatives else b)
 
         c, m = cfg.context_size, cfg.max_next
         alb_ids = jnp.concatenate([

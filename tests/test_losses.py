@@ -79,8 +79,14 @@ def test_sample_negatives_on_device():
     assert ids.shape == (64,)
     assert int(ids.min()) >= 0 and int(ids.max()) < 1000
     corpora = [jnp.arange(100), jnp.arange(100) * 2]
-    a, b = negatives.sample_negative_rows(key, 8, corpora)
+    idx, a, b = negatives.sample_negative_rows(key, 8, corpora)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(idx))
     np.testing.assert_array_equal(np.asarray(b), np.asarray(a) * 2)
+
+    # per-example shape: (batch, num_negatives)
+    idx2, a2, b2 = negatives.sample_negative_rows(key, 8, corpora, batch_size=3)
+    assert idx2.shape == (3, 8) and a2.shape == (3, 8)
+    np.testing.assert_array_equal(np.asarray(b2), np.asarray(a2) * 2)
 
     # must work inside jit (the whole point vs the reference's host sampling)
     @jax.jit
