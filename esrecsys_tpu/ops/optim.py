@@ -33,6 +33,8 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from esrecsys_tpu.ops.scatter import auto_scatter_add
+
 
 def _like_table_sharding(x: jax.Array, table: jax.Array) -> jax.Array:
     """Place optimizer state with the table's row sharding (rows over
@@ -130,9 +132,10 @@ def lazy_momentum_update(
     # total Δp = catch-up for the idle steps + this step's -lr*m
     delta = (catchup - lr * m_new) * w
 
-    new_table = table.at[sids].add(delta.astype(table.dtype))
-    new_mom = state["momentum"].at[sids].add(
-        ((m_new - m_rows) * w).astype(state["momentum"].dtype))
+    # scatter strategy (plain vs packed physical view) picked by shape —
+    # big narrow tables are in XLA's slow per-row regime (ops/scatter.py)
+    new_table = auto_scatter_add(table, sids, delta)
+    new_mom = auto_scatter_add(state["momentum"], sids, (m_new - m_rows) * w)
     new_last = state["last_step"].at[sids].max(
         jnp.where(first, step + 1, 0).astype(jnp.int32))
     return new_table, {"momentum": new_mom, "last_step": new_last}
@@ -200,10 +203,88 @@ def lazy_adam_update(
     v_hat = v_new / (1.0 - jnp.power(b2, t))
     delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps) * w
 
-    new_table = table.at[sids].add(delta.astype(table.dtype))
-    # cast to the state dtype (adam_init(dtype=bfloat16) is the documented
-    # HBM-saving option; scatter-add of f32 into bf16 warns today and will
-    # become an error in future JAX)
-    new_m = state["m"].at[sids].add(((m_new - m_rows) * w).astype(state["m"].dtype))
-    new_v = state["v"].at[sids].add(((v_new - v_rows) * w).astype(state["v"].dtype))
+    # scatter strategy (plain vs packed view) picked by shape; the casts to
+    # the state dtype keep adam_init(dtype=bfloat16) (the documented
+    # HBM-saving option) from scatter-adding f32 into bf16 (FutureWarning,
+    # later an error)
+    new_table = auto_scatter_add(table, sids, delta)
+    new_m = auto_scatter_add(state["m"], sids, (m_new - m_rows) * w)
+    new_v = auto_scatter_add(state["v"], sids, (v_new - v_rows) * w)
+    return new_table, {"m": new_m, "v": new_v}
+
+
+def pack_rows(a: jax.Array) -> jax.Array:
+    """(R, D) → its row-major (R·D/128, 128) physical view (free reshape).
+
+    XLA's TPU scatter cost is per-update-row at a latency that grows with the
+    table's ROW count (BENCHMARKS.md scatter study); updating through the
+    packed view cuts target rows by 128/D. The packed array must be the
+    stored layout (scan carry / params) — reshaping around a scatter inside a
+    step re-materializes the table per step and loses more than it saves
+    (measured). Requires R·D % 128 == 0: pad tables at creation.
+    """
+    rows, dim = a.shape
+    assert (rows * dim) % 128 == 0, (rows, dim)
+    return a.reshape(rows * dim // 128, 128)
+
+
+def unpack_rows(a: jax.Array, dim: int) -> jax.Array:
+    """Inverse of :func:`pack_rows`: (P, 128) → (P·128/dim, dim)."""
+    return a.reshape(a.shape[0] * 128 // dim, dim)
+
+
+def lazy_adam_packed_update(
+    table_p: jax.Array,    # (R·D/128, 128) packed table (pack_rows layout)
+    state: Dict[str, jax.Array],   # m/v packed to the same shape
+    ids: jax.Array,        # (n,) LOGICAL row ids (dups allowed)
+    row_grads: jax.Array,  # (n, D) gradients w.r.t. the gathered logical rows
+    *,
+    dim: int,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    step: jax.Array,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """:func:`lazy_adam_update` on a packed-layout table.
+
+    Bit-for-bit the same per-logical-row math: updates land in their row's
+    D-lane slot of the physical row, aggregation of duplicate logical ids
+    happens in the (exactly aligned) lane groups of the physical segment
+    sum, and a lane mask confines moment decay/updates to lanes whose
+    logical row was actually touched (neighbors sharing a physical row are
+    untouched, preserving row-lazy semantics). The win is the scatter target
+    shrinking by 128/D rows (see :func:`pack_rows`).
+    """
+    pack = 128 // dim
+    n = ids.shape[0]
+    pids = ids // pack
+    slotmask = (ids % pack)[:, None] == jnp.arange(pack)[None, :]  # (n, pack)
+    lanes = jnp.broadcast_to(slotmask[:, :, None], (n, pack, dim)).reshape(n, 128)
+    placed = (slotmask[:, :, None] * row_grads[:, None, :]).reshape(n, 128)
+
+    order = jnp.argsort(pids)
+    spids = pids[order]
+    sg = placed[order]
+    sl = lanes[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), spids[1:] != spids[:-1]])
+    seg = jnp.cumsum(first) - 1
+    g = jax.ops.segment_sum(sg, seg, num_segments=n)[seg]
+    touched = (jax.ops.segment_sum(sl.astype(jnp.float32), seg,
+                                   num_segments=n)[seg] > 0) & first[:, None]
+
+    m_rows = jnp.take(state["m"], spids, axis=0)
+    v_rows = jnp.take(state["v"], spids, axis=0)
+    # untouched lanes (and duplicate occurrences after the first) keep their
+    # moments and get zero delta — `touched` is False there
+    m_new = jnp.where(touched, b1 * m_rows + (1.0 - b1) * g, m_rows)
+    v_new = jnp.where(touched, b2 * v_rows + (1.0 - b2) * jnp.square(g), v_rows)
+    t = (step + 1).astype(jnp.float32)
+    m_hat = m_new / (1.0 - jnp.power(b1, t))
+    v_hat = v_new / (1.0 - jnp.power(b2, t))
+    delta = jnp.where(touched, -lr * m_hat / (jnp.sqrt(v_hat) + eps), 0.0)
+
+    new_table = table_p.at[spids].add(delta.astype(table_p.dtype))
+    new_m = state["m"].at[spids].add((m_new - m_rows).astype(state["m"].dtype))
+    new_v = state["v"].at[spids].add((v_new - v_rows).astype(state["v"].dtype))
     return new_table, {"m": new_m, "v": new_v}

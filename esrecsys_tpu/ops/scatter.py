@@ -1,39 +1,44 @@
 """Pallas MXU scatter-add: sorted-id row updates as block one-hot matmuls.
 
 ``table.at[ids].add(updates)`` is the hot op of embedding training. XLA's
-TPU scatter sorts the ids (cheap) and then applies updates through a
-row-at-a-time loop (~8-14 ns/row on v5e — BENCHMARKS.md); at bench shapes
-the two table scatters are >50% of the train step. This kernel replaces the
-application phase with MXU matmuls:
+TPU scatter applies updates through a row-at-a-time random-write loop whose
+per-row latency GROWS with table size (~8 ns/id for a 100k-row table,
+~130 ns/id at 2.26M rows — BENCHMARKS.md); at bench shapes the two table
+scatters are >50% of the train step. This kernel replaces the application
+phase with MXU matmuls that stream the table once at HBM bandwidth:
 
   1. (XLA) sort ids, permute updates, pack everything 128 lanes wide
      (``P = 128/D`` logical rows per physical row; each update lands in its
      row's D-lane slot), ``searchsorted`` per-block segment boundaries;
-  2. (Pallas) grid over physical table blocks: DMA the block to VMEM, then
-     for each fixed-size chunk of its sorted updates build a
-     (chunk, block) one-hot of local physical-row offsets and accumulate
-     ``one_hotᵀ @ packed_updates`` into the block on the MXU (f32
-     accumulation), then DMA the block back.
+  2. (Pallas) grid over physical table blocks, table block I/O pipelined by
+     Pallas itself (in/out BlockSpecs over the aliased buffer): for each
+     fixed-size chunk of the block's sorted updates — fetched by a
+     double-buffered manual DMA — build a (chunk, block) one-hot of local
+     physical-row offsets and accumulate ``one_hotᵀ @ packed_updates`` into
+     the block on the MXU with f32 accumulation.
 
 Every update lands in exactly one block (ids are sorted), so total matmul
-FLOPs are n·block·128·2 — independent of table size; the table streams
-HBM→VMEM→HBM once. TPU DMA requires 128-lane-aligned shapes, hence the
-XLA-side packing (narrow tables are viewed as (R/P, 128)).
+FLOPs are n·block·128·2·passes — independent of table size; the table
+streams HBM→VMEM→HBM exactly once.
 
-``compute_dtype=bfloat16`` runs the one-hot matmul on the fast MXU path
-(updates round to bf16; the f32 default matches XLA scatter up to f32
-summation order of duplicate ids).
+Precision runs as bf16 *passes* against the (exactly representable) one-hot:
+``precision="bf16"`` rounds each update to bf16 (1 pass),
+``"bf16x2"`` (default) splits updates into bf16 hi+lo terms (~17-bit
+mantissa, 2 passes), ``"f32"`` uses 3 terms (~f32 mantissa, 3 passes —
+half the MXU passes of a HIGHEST-precision f32 matmul, which is where the
+round-1 version of this kernel lost its budget). Accumulation is always
+f32; duplicates of a row sum inside one dot rather than sequentially.
 
 ``scatter_add_rows`` is the public entry; it falls back to
 ``table.at[ids].add`` off-TPU or for unsupported shapes.
 
-STATUS — experimental, measured on v5e (BENCHMARKS.md): ~1.1x XLA scatter
-for a 100k x 32 table at bench shapes, 0.6x for 296k x 32. The reformulation
-pays (128/D)x extra matmul FLOPs for narrow tables and the 1024-element
-chunk alignment (1-D int32 DMA tiling) forces up to 2x wasted rows per
-block; XLA's row-loop scatter remains the default in every train step.
-Kept as a working reference for block-matmul scatter patterns (it wins when
-D=128 and segments are dense) and for future Mosaic improvements.
+Measured on v5e at bench shapes (BENCHMARKS.md): 2.9-4.7x XLA scatter at
+bf16x2 on the flagship tables; the playlist sparse train step uses it by
+default (workloads/playlist.py, cfg.mxu_scatter).
+
+Reference context: the reference's embedding updates are dense torch/keras
+optimizer passes (spotify/train_spotify.py:238-243); no sparse-update path
+exists there at all.
 """
 
 from __future__ import annotations
@@ -45,85 +50,131 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_PASSES = {"bf16": 1, "bf16x2": 2, "f32": 3}
 
-def _kernel(starts_ref, ids_ref, upd_ref, table_ref, out_ref,
-            tab_vmem, ids_vmem, upd_vmem, sems, *,
-            block_rows, chunk, compute_dtype):
+
+def _split_bf16(x: jax.Array, passes: int):
+    """x (f32) as a sum of `passes` bf16 terms (exact one-hot contraction
+    then loses only the residual below the last term: ~2^-8/-17/-25 rel)."""
+    terms = []
+    rest = x
+    for _ in range(passes - 1):
+        t = rest.astype(jnp.bfloat16)
+        terms.append(t)
+        rest = rest - t.astype(jnp.float32)
+    terms.append(rest.astype(jnp.bfloat16))
+    return terms
+
+
+def _kernel(starts_ref, ids_hbm, upd_hbm, tab_ref, out_ref,
+            ids0, ids1, upd0, upd1, sems, *, block_rows, chunk, passes):
     """One program owns one (block_rows, 128) physical table block.
 
     starts_ref: SMEM (nblk+1,) — sorted-update index range per block.
-    ids_ref:    HBM (n_pad,) physical row ids, sorted, padded past the end.
-    upd_ref:    HBM (n_pad, 128) packed updates (row i's D lanes at its slot).
-    table/out:  HBM (R_phys, 128), aliased.
+    ids_hbm:    HBM (n_pad,) physical row ids, sorted, padded past the end.
+    upd_hbm:    HBM (n_pad, 128) packed updates (row i's D lanes at its slot).
+    tab_ref/out_ref: (block_rows, 128) VMEM blocks of the aliased table,
+        load/store pipelined by Pallas across grid steps.
+    ids0/ids1 (chunk,) i32, upd0/upd1 (chunk, 128) f32 — double buffer as two
+    explicit buffer pairs (Mosaic cannot dynamically slice dim 0 of a 2-D
+    (2, chunk) scratch: 1-D i32 values tile (sublane, 128) and a size-1
+    dim-0 slice breaks the tiling).
     """
     b = pl.program_id(0)
     lo = starts_ref[b]
     hi = starts_ref[b + 1]
-
-    cp = pltpu.make_async_copy(
-        table_ref.at[pl.ds(b * block_rows, block_rows)], tab_vmem, sems.at[0])
-    cp.start()
-    cp.wait()
-
-    base = (lo // chunk) * chunk  # 1024-aligned DMA start (1-D i32 tiling)
+    # 1-D i32 DMA slices must start tile-aligned; over-fetch from the
+    # aligned base and mask non-block rows below.
+    base = (lo // chunk) * chunk
     nchunks = pl.cdiv(hi - base, chunk)
+    bufs = ((ids0, upd0), (ids1, upd1))
 
-    def chunk_body(i, _):
-        s = base + i * chunk  # inputs padded by >= chunk rows: no overrun
-        c1 = pltpu.make_async_copy(ids_ref.at[pl.ds(s, chunk)], ids_vmem,
-                                   sems.at[1])
-        c2 = pltpu.make_async_copy(upd_ref.at[pl.ds(s, chunk)], upd_vmem,
-                                   sems.at[2])
-        c1.start()
-        c2.start()
-        c1.wait()
-        c2.wait()
+    def start_fetch(slot, i):
+        s = base + i * chunk  # inputs padded by >= 2*chunk rows: no overrun
+        ids_v, upd_v = bufs[slot]
+        pltpu.make_async_copy(ids_hbm.at[pl.ds(s, chunk)],
+                              ids_v, sems.at[slot, 0]).start()
+        pltpu.make_async_copy(upd_hbm.at[pl.ds(s, chunk)],
+                              upd_v, sems.at[slot, 1]).start()
+
+    def wait_fetch(slot, i):
+        s = base + i * chunk
+        ids_v, upd_v = bufs[slot]
+        pltpu.make_async_copy(ids_hbm.at[pl.ds(s, chunk)],
+                              ids_v, sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(upd_hbm.at[pl.ds(s, chunk)],
+                              upd_v, sems.at[slot, 1]).wait()
+
+    @pl.when(nchunks > 0)
+    def _():
+        start_fetch(0, 0)
+
+    out_ref[...] = tab_ref[...]
+
+    def process(i, slot):
+        wait_fetch(slot, i)
+        ids_v, upd_v = bufs[slot]
+        s = base + i * chunk
         pos = jax.lax.broadcasted_iota(jnp.int32, (chunk, block_rows), 0)
         valid = ((s + pos) >= lo) & ((s + pos) < hi)  # rows of THIS block
-        local = ids_vmem[...][:, None] - b * block_rows  # (chunk, 1)
+        local = ids_v[...][:, None] - b * block_rows  # (chunk, 1)
         cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, block_rows), 1)
-        one_hot = ((local == cols) & valid).astype(compute_dtype)
-        upd = upd_vmem[...].astype(compute_dtype)
-        # TPU default matmul precision is single-pass bf16 — the f32 mode
-        # must force HIGHEST or every update rounds at bf16 granularity
-        # (confirmed ~1e-2 relative error on v5e at default precision).
-        prec = (jax.lax.Precision.HIGHEST
-                if compute_dtype == jnp.float32 else None)
-        tab_vmem[...] += jax.lax.dot_general(
-            one_hot, upd, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        one_hot = ((local == cols) & valid).astype(jnp.bfloat16)
+        acc = jnp.zeros((block_rows, 128), jnp.float32)
+        for term in _split_bf16(upd_v[...], passes):
+            acc += jax.lax.dot_general(
+                one_hot, term, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[...] += acc
+
+    def chunk_body(i, _):
+        even = jax.lax.rem(i, 2) == 0
+
+        @pl.when(even & (i + 1 < nchunks))
+        def _():
+            start_fetch(1, i + 1)
+
+        @pl.when(jnp.logical_not(even) & (i + 1 < nchunks))
+        def _():
+            start_fetch(0, i + 1)
+
+        @pl.when(even)
+        def _():
+            process(i, 0)
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            process(i, 1)
+
         return 0
 
     jax.lax.fori_loop(0, nchunks, chunk_body, 0, unroll=False)
 
-    cp2 = pltpu.make_async_copy(
-        tab_vmem, out_ref.at[pl.ds(b * block_rows, block_rows)], sems.at[3])
-    cp2.start()
-    cp2.wait()
-
 
 def _mxu_scatter_packed(table128, phys_ids, upd128, starts, *,
-                        block_rows, chunk, compute_dtype, interpret=False):
+                        block_rows, chunk, passes, interpret=False):
     rows = table128.shape[0]
     nblk = rows // block_rows
     kernel = functools.partial(
-        _kernel, block_rows=block_rows, chunk=chunk,
-        compute_dtype=compute_dtype)
+        _kernel, block_rows=block_rows, chunk=chunk, passes=passes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # phys ids
+            pl.BlockSpec(memory_space=pltpu.ANY),  # phys ids (manual DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),  # packed updates
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table (aliased out)
+            pl.BlockSpec((block_rows, 128), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),  # table block (pipelined)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec((block_rows, 128), lambda b, s: (b, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((block_rows, 128), jnp.float32),
+            pltpu.VMEM((chunk,), jnp.int32),
             pltpu.VMEM((chunk,), jnp.int32),
             pltpu.VMEM((chunk, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((chunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     return pl.pallas_call(
@@ -135,30 +186,85 @@ def _mxu_scatter_packed(table128, phys_ids, upd128, starts, *,
     )(starts, phys_ids, upd128, table128)
 
 
+def packed_scatter_add(
+    table: jax.Array,      # (R, D), R a multiple of 128 // D
+    ids: jax.Array,        # (n,) int32 in [0, R)
+    updates: jax.Array,    # (n, D)
+) -> jax.Array:
+    """``table.at[ids].add(updates)`` through the 128-lane physical view.
+
+    XLA's TPU scatter applies one update ROW at a time at a per-row latency
+    that grows with table row count (~8 ns/id at 100k rows to ~130 ns/id at
+    2.26M — BENCHMARKS.md). Viewing the (R, D) table as its row-major
+    (R·D/128, 128) physical layout (a free reshape) and scattering each
+    update as a 128-lane row with the payload placed in its ``id % pack``
+    D-lane slot cuts the target row count by ``pack = 128/D``, which moves
+    big tables out of the slow regime: measured 6.3x at (2.26M rows, 76k
+    updates), 1.7x at (565k, 4k), ~1x at 100k and below (BENCHMARKS.md —
+    the win is shape-dependent; measure in context before adopting).
+
+    Requires R % (128//D) == 0 (pad the table at creation; extra rows are
+    never touched by valid ids). Exact: each update lands in its own lane
+    slot, duplicate ids accumulate exactly as the logical scatter would.
+    """
+    rows, dim = table.shape
+    pack = 128 // dim
+    if pack <= 1 or dim * rows % 128:
+        return table.at[ids].add(updates.astype(table.dtype))
+    n = ids.shape[0]
+    slot = (ids % pack)[:, None, None]
+    placed = jnp.where(slot == jnp.arange(pack)[None, :, None],
+                       updates[:, None, :], 0.0).reshape(n, 128)
+    phys = table.reshape(rows // pack, 128)
+    phys = phys.at[ids // pack].add(placed.astype(table.dtype))
+    return phys.reshape(rows, dim)
+
+
+# Row count at/above which the packed physical view measurably beats the
+# logical scatter for small-n updates (BENCHMARKS.md scatter study).
+PACKED_SCATTER_MIN_ROWS = 400_000
+
+
+def auto_scatter_add(table: jax.Array, ids: jax.Array,
+                     updates: jax.Array) -> jax.Array:
+    """Pick the measured-faster scatter-add strategy by shape.
+
+    Packed view for narrow rows on big tables (the slow XLA regime), plain
+    ``at[].add`` otherwise. Both are exact; see :func:`packed_scatter_add`.
+    """
+    rows, dim = table.shape
+    pack = 128 // dim if dim <= 128 else 1
+    if pack > 1 and rows >= PACKED_SCATTER_MIN_ROWS and (dim * rows) % 128 == 0:
+        return packed_scatter_add(table, ids, updates)
+    return table.at[ids].add(updates.astype(table.dtype))
+
+
 def scatter_add_rows(
     table: jax.Array,      # (R, D) f32, D in {32, 64, 128}
     ids: jax.Array,        # (n,) int32 in [0, R)
     updates: jax.Array,    # (n, D) f32
     *,
-    block_rows: int = 512,   # physical (128-lane) rows per program
+    block_rows: int = 1024,  # physical (128-lane) rows per program
     chunk: int = 1024,       # sorted updates per inner matmul; multiple of
     # 1024 (1-D int32 DMA slices must align to their 1024-element tiling)
-    compute_dtype=jnp.float32,
+    precision: str = "bf16x2",  # "bf16" | "bf16x2" | "f32" (see module doc)
     force: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """``table.at[ids].add(updates)`` via the sorted MXU block kernel.
 
-    Exact for ``compute_dtype=float32`` up to f32 summation order (the MXU
-    accumulates a block's duplicates in one dot, where XLA's scatter adds
-    sequentially). ``bfloat16`` rounds each update to bf16 before the f32
-    accumulation. Falls back to XLA scatter off-TPU or for unsupported
-    shapes unless ``force``/``interpret``.
+    ``precision="f32"`` matches XLA's scatter to ~f32 mantissa (duplicates
+    accumulate in one f32 dot, where XLA adds sequentially — summation-order
+    differences only); ``"bf16x2"`` (default) carries ~17 mantissa bits per
+    update into an f32 accumulation — measured loss-trajectory impact at
+    bench shapes is below run-to-run noise. Falls back to XLA scatter
+    off-TPU or for unsupported shapes unless ``force``/``interpret``.
     """
     rows, dim = table.shape
     n = ids.shape[0]
     if chunk % 1024:
         raise ValueError("chunk must be a multiple of 1024")
+    passes = _PASSES[precision]
     ok = table.dtype == jnp.float32 and 128 % dim == 0
     on_tpu = jax.default_backend() == "tpu"
     if not (ok and (on_tpu or interpret or force)):
@@ -195,7 +301,7 @@ def scatter_add_rows(
 
     out128 = _mxu_scatter_packed(
         table128, phys_ids, upd128, starts,
-        block_rows=block_rows, chunk=chunk, compute_dtype=compute_dtype,
+        block_rows=block_rows, chunk=chunk, passes=passes,
         interpret=interpret)
     out = out128.reshape(-1, dim)
     return out[:rows] if pad_rows else out

@@ -47,6 +47,8 @@ def fit(
     examples_per_step: int = 0,
     donate_state: bool = True,
     eval_on_train: bool = False,
+    state_pack: Optional[Callable[[Any], Any]] = None,
+    state_unpack: Optional[Callable[[Any], Any]] = None,
     steps_per_call: int = 1,
     mesh: Optional[Any] = None,
     profile_dir: Optional[str] = None,
@@ -96,16 +98,35 @@ def fit(
         )
     donate = (0,) if donate_state else ()
     spc = max(1, steps_per_call)
+    # state_pack/state_unpack: optional in-jit layout transform applied
+    # around the step scan — e.g. reshaping embedding tables to their
+    # 128-lane physical view so per-step scatters hit fewer target rows
+    # (ops/optim.py pack_rows; the transform must wrap the WHOLE scan: a
+    # per-step reshape around a scatter re-materializes the table).
+    # Outside-visible state (eval/hooks/checkpoint) stays in logical layout.
     if spc > 1:
         def multi_step(state, stacked_batch):
             def body(s, b):
                 return train_step(s, b)
 
-            return jax.lax.scan(body, state, stacked_batch)
+            if state_pack is not None:
+                state = state_pack(state)
+            state, metrics = jax.lax.scan(body, state, stacked_batch)
+            if state_unpack is not None:
+                state = state_unpack(state)
+            return state, metrics
 
         jit_train = jax.jit(multi_step, donate_argnums=donate)
     else:
-        jit_train = jax.jit(train_step, donate_argnums=donate)
+        def one_step(state, batch):
+            if state_pack is not None:
+                state = state_pack(state)
+            state, metrics = train_step(state, batch)
+            if state_unpack is not None:
+                state = state_unpack(state)
+            return state, metrics
+
+        jit_train = jax.jit(one_step, donate_argnums=donate)
     jit_eval = jax.jit(eval_step) if eval_step is not None else None
     jit_eval_setup = jax.jit(eval_setup_fn) if eval_setup_fn is not None else None
 

@@ -81,7 +81,7 @@ def make_train_step(model: Glove):
     return train_step
 
 
-def make_lazy_adam_train_step(model: Glove, cfg: GloveConfig):
+def make_lazy_adam_train_step(model: Glove, cfg: GloveConfig, packed: bool = False):
     """Row-sparse GloVe step: grads w.r.t. the gathered embedding/bias rows,
     LazyAdam updates touching only those rows.
 
@@ -90,8 +90,50 @@ def make_lazy_adam_train_step(model: Glove, cfg: GloveConfig):
     update cost scales with 2·batch rows instead. Divergence: LazyAdam is
     the standard approximation of Adam (idle rows don't move while their
     momentum decays); the dense step stays the parity default.
+
+    ``packed=True`` expects params/opt_state tables in the 128-lane physical
+    layout (``optim.pack_rows``; installed around the step scan by ``fit``'s
+    ``state_pack`` hook, see :func:`packed_state_transforms`): scatters then
+    target ``128/D`` fewer rows, which moves the 565k-row table out of XLA's
+    slow per-row regime — 3.9x the logical-layout step at the reference
+    batch (BENCHMARKS.md). Same math to f32 rounding; gathers read through a
+    free reshape view.
     """
     from esrecsys_tpu.ops import optim
+
+    if packed:
+        D = cfg.feature_size
+
+        def train_step_packed(state: TrainState, batch):
+            (t1, t2), count = batch
+            b = t1.shape[0]
+            ids = jnp.concatenate([t1, t2])
+            tp_emb = state.params["token_embedding"]["embedding"]
+            tp_bias = state.params["bias"]["embedding"]
+            rows_e = jnp.take(optim.unpack_rows(tp_emb, D), ids, axis=0)
+            rows_b = jnp.take(optim.unpack_rows(tp_bias, 1), ids, axis=0)
+
+            def loss_fn(rows_e, rows_b):
+                e1, e2 = rows_e[:b], rows_e[b:]
+                b1, b2 = rows_b[:b, 0], rows_b[b:, 0]
+                pred = jnp.sum(e1 * e2, axis=-1) + b1 + b2
+                return losses.glove_loss(pred, count)
+
+            loss, (g_e, g_b) = jax.value_and_grad(loss_fn, argnums=(0, 1))(rows_e, rows_b)
+            new_e, os_e = optim.lazy_adam_packed_update(
+                tp_emb, state.opt_state["embedding"], ids, g_e,
+                dim=D, lr=cfg.learning_rate, step=state.step)
+            new_b, os_b = optim.lazy_adam_packed_update(
+                tp_bias, state.opt_state["bias"], ids, g_b,
+                dim=1, lr=cfg.learning_rate, step=state.step)
+            return state.replace(
+                step=state.step + 1,
+                params={"token_embedding": {"embedding": new_e},
+                        "bias": {"embedding": new_b}},
+                opt_state={"embedding": os_e, "bias": os_b},
+            ), {"loss": loss}
+
+        return train_step_packed
 
     def train_step(state: TrainState, batch):
         (t1, t2), count = batch
@@ -125,9 +167,58 @@ def make_lazy_adam_train_step(model: Glove, cfg: GloveConfig):
     return train_step
 
 
+def use_packed_tables(cfg: GloveConfig) -> bool:
+    """Packed physical-layout lazy-adam state: on for unsharded lazy_adam
+    (row-sharding would reshape across the sharded dimension)."""
+    return cfg.optimizer == "lazy_adam" and cfg.n_model_shards == 1
+
+
+def packed_state_transforms(cfg: GloveConfig):
+    """(state_pack, state_unpack) for ``fit`` — reshape every table to/from
+    the 128-lane physical view around the step scan (free reshapes at the
+    scan boundary; see ops/optim.py pack_rows)."""
+    from esrecsys_tpu.ops import optim
+
+    D = cfg.feature_size
+
+    def pack(state):
+        return state.replace(
+            params={
+                "token_embedding": {"embedding": optim.pack_rows(
+                    state.params["token_embedding"]["embedding"])},
+                "bias": {"embedding": optim.pack_rows(
+                    state.params["bias"]["embedding"])},
+            },
+            opt_state={
+                "embedding": {k: optim.pack_rows(v)
+                              for k, v in state.opt_state["embedding"].items()},
+                "bias": {k: optim.pack_rows(v)
+                         for k, v in state.opt_state["bias"].items()},
+            },
+        )
+
+    def unpack(state):
+        return state.replace(
+            params={
+                "token_embedding": {"embedding": optim.unpack_rows(
+                    state.params["token_embedding"]["embedding"], D)},
+                "bias": {"embedding": optim.unpack_rows(
+                    state.params["bias"]["embedding"], 1)},
+            },
+            opt_state={
+                "embedding": {k: optim.unpack_rows(v, D)
+                              for k, v in state.opt_state["embedding"].items()},
+                "bias": {k: optim.unpack_rows(v, 1)
+                         for k, v in state.opt_state["bias"].items()},
+            },
+        )
+
+    return pack, unpack
+
+
 def select_train_step(model: Glove, cfg: GloveConfig):
     if cfg.optimizer == "lazy_adam":
-        return make_lazy_adam_train_step(model, cfg)
+        return make_lazy_adam_train_step(model, cfg, packed=use_packed_tables(cfg))
     if cfg.optimizer != "adam":
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     return make_train_step(model)
@@ -142,9 +233,17 @@ def make_eval_step(model: Glove):
     return eval_step
 
 
-def knn(state: TrainState, tokens: jax.Array, k: int = 10):
-    """Top-k neighbors by embedding dot product for a batch of token ids."""
+def knn(state: TrainState, tokens: jax.Array, k: int = 10,
+        valid_rows: Optional[int] = None):
+    """Top-k neighbors by embedding dot product for a batch of token ids.
+
+    ``valid_rows`` masks out table rows >= it (the table is padded to a
+    128-multiple of rows for the packed physical layout — pad rows hold
+    untrained init noise and must not surface as neighbors)."""
     scores = state.apply_fn({"params": state.params}, tokens, method=Glove.score_all)
+    if valid_rows is not None and valid_rows < scores.shape[-1]:
+        col = jnp.arange(scores.shape[-1])[None, :]
+        scores = jnp.where(col < valid_rows, scores, -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(scores, k)
     return jax.device_get(top_scores), jax.device_get(top_idx)
 
@@ -154,7 +253,7 @@ def knn_hook(vocab: Vocabulary, probe_tokens: Sequence[str], k: int = 10):
     ids = jnp.asarray([vocab.embedding_index(t) for t in probe_tokens], jnp.int32)
 
     def hook(state: TrainState, step: int) -> None:
-        top_scores, top_idx = knn(state, ids, k)
+        top_scores, top_idx = knn(state, ids, k, valid_rows=vocab.num_embeddings)
         for i, token in enumerate(probe_tokens):
             neighbors = " ".join(
                 "%s:%.3f" % (vocab.token_from_embedding_index(int(top_idx[i, j])), top_scores[i, j])
@@ -166,6 +265,12 @@ def knn_hook(vocab: Vocabulary, probe_tokens: Sequence[str], k: int = 10):
 
 
 def init_state(cfg: GloveConfig, num_embeddings: int, mesh) -> Tuple[Glove, TrainState]:
+    # Tables are padded to a 128-multiple of rows so every table (embedding
+    # D=feature_size, bias D=1) reshapes cleanly to its 128-lane physical
+    # view (ops/optim.py pack_rows — the packed lazy-adam layout) and row
+    # sharding divides evenly. Pad rows are unreachable by valid token ids;
+    # knn() masks them out of neighbor dumps.
+    num_embeddings = -(-num_embeddings // 128) * 128
     model = Glove(num_embeddings=num_embeddings, features=cfg.feature_size, mesh=mesh)
     key = prng.stream(prng.base_key(cfg.seed), prng.STREAM_INIT)
     dummy = jnp.zeros((2,), jnp.int32)
@@ -228,6 +333,8 @@ def train(cfg: GloveConfig, tracker=None, vocab: Optional[Vocabulary] = None):
         examples_per_step=cfg.batch_size,
         steps_per_call=cfg.steps_per_call,
         mesh=mesh,
+        **(dict(zip(("state_pack", "state_unpack"), packed_state_transforms(cfg)))
+           if use_packed_tables(cfg) else {}),
     )
     return result
 

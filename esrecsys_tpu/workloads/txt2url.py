@@ -110,8 +110,12 @@ def load_glove_word_embeddings(params, glove_params) -> dict:
     (train_txt2url.py:260-261 by-name transfer)."""
     table = glove_params["token_embedding"]["embedding"]
     target = params["encoder"]["word_embedding"]["embedding"]
-    if table.shape != target.shape:
+    if (table.shape[1] != target.shape[1] or table.shape[0] < target.shape[0]):
         raise ValueError(f"glove table {table.shape} != word table {target.shape}")
+    # GloVe tables are padded to a 128-multiple of rows (workloads/glove.py
+    # init_state, packed physical layout); pad rows are untrained — drop them.
+    if table.shape[0] > target.shape[0]:
+        table = table[: target.shape[0]]
     new = dict(params)
     enc = dict(new["encoder"])
     we = dict(enc["word_embedding"])

@@ -197,7 +197,16 @@ def test_lazy_adam_matches_dense_when_all_rows_touched():
     model, state_d = gw.init_state(cfg_d, num_embeddings=4, mesh=None)
     _, state_l = gw.init_state(cfg_l, num_embeddings=4, mesh=None)
     dense = jax.jit(gw.select_train_step(model, cfg_d))
-    lazy = jax.jit(gw.select_train_step(model, cfg_l))
+    # the packed lazy step expects physical-layout state: wrap with the same
+    # pack/unpack transforms fit installs (state_pack/state_unpack hooks)
+    raw_lazy = gw.select_train_step(model, cfg_l)
+    pk, unpk = gw.packed_state_transforms(cfg_l)
+
+    def lazy_step(s, b):
+        s2, m = raw_lazy(pk(s), b)
+        return unpk(s2), m
+
+    lazy = jax.jit(lazy_step)
     rng = np.random.default_rng(0)
     for _ in range(5):
         # every token id appears: t1 covers 0..3, t2 a permutation of 0..3

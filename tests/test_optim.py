@@ -103,3 +103,53 @@ def test_lazy_adam_untouched_rows_stay_put():
         np.asarray(table[untouched]), np.asarray(table0[untouched]))
     assert not np.allclose(np.asarray(table[np.asarray(ids)]),
                            np.asarray(table0[np.asarray(ids)]))
+
+
+def test_lazy_adam_packed_matches_logical():
+    """Packed-layout LazyAdam == logical LazyAdam, incl. duplicate ids and
+    physical rows shared by several touched/untouched logical rows."""
+    rng = np.random.default_rng(5)
+    R, D, steps = 256, 32, 4  # pack = 4
+    table0 = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    t_log, s_log = table0, optim.adam_init(table0)
+    t_pk = optim.pack_rows(table0)
+    s_pk = {k: optim.pack_rows(v) for k, v in optim.adam_init(table0).items()}
+    for s in range(steps):
+        # dups + neighbors sharing a physical row (ids 4,5,6 share row 1)
+        ids = jnp.asarray(
+            np.concatenate([[4, 5, 6, 4, 4], rng.integers(0, R, 40)]), jnp.int32)
+        g = jnp.asarray(rng.normal(size=(ids.shape[0], D)).astype(np.float32))
+        t_log, s_log = optim.lazy_adam_update(
+            t_log, s_log, ids, g, lr=0.05, step=jnp.int32(s))
+        t_pk, s_pk = optim.lazy_adam_packed_update(
+            t_pk, s_pk, ids, g, dim=D, lr=0.05, step=jnp.int32(s))
+    np.testing.assert_allclose(np.asarray(optim.unpack_rows(t_pk, D)),
+                               np.asarray(t_log), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(optim.unpack_rows(s_pk["m"], D)),
+                               np.asarray(s_log["m"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(optim.unpack_rows(s_pk["v"], D)),
+                               np.asarray(s_log["v"]), rtol=1e-5, atol=1e-7)
+
+
+def test_lazy_adam_packed_dim1_bias_table():
+    """The D=1 bias table packs 128 logical rows per physical row."""
+    rng = np.random.default_rng(6)
+    R = 512
+    table0 = jnp.asarray(rng.normal(size=(R, 1)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, R, 64), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(64, 1)).astype(np.float32))
+    t_log, _ = optim.lazy_adam_update(
+        table0, optim.adam_init(table0), ids, g, lr=0.1, step=jnp.int32(0))
+    t_pk, _ = optim.lazy_adam_packed_update(
+        optim.pack_rows(table0),
+        {k: optim.pack_rows(v) for k, v in optim.adam_init(table0).items()},
+        ids, g, dim=1, lr=0.1, step=jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(optim.unpack_rows(t_pk, 1)),
+                               np.asarray(t_log), rtol=1e-5, atol=1e-6)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.normal(size=(256, 32)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(optim.unpack_rows(optim.pack_rows(a), 32)), np.asarray(a))
