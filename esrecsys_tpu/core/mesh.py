@@ -104,6 +104,22 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_mesh_for_batch(global_batch: int, n_model: int = 1) -> Mesh:
+    """A ``(data, model)`` mesh whose data axis evenly divides the batch.
+
+    ``data = gcd(devices // n_model, global_batch)`` — uses fewer devices
+    than available when the batch is small rather than failing placement
+    (e.g. debug runs with batch 4 on an 8-device host). Production configs
+    should pick batch sizes divisible by the device count to use everything.
+    """
+    avail = len(jax.devices())
+    if avail % n_model:
+        raise ValueError(f"{avail} devices not divisible by n_model={n_model}")
+    n_data = math.gcd(avail // n_model, max(1, global_batch))
+    return make_mesh(n_data=n_data, n_model=n_model,
+                     devices=jax.devices()[: n_data * n_model])
+
+
 def single_device_mesh() -> Mesh:
     """A 1x1 mesh on the first device — lets every code path be mesh-shaped."""
     return make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
@@ -152,3 +168,43 @@ def shard_files_for_process(files: Sequence[str]) -> list:
     p = jax.process_index()
     n = jax.process_count()
     return sorted(files)[p::n]
+
+
+def process_local_files(files: Sequence[str]) -> list:
+    """:func:`shard_files_for_process` with a starvation guard.
+
+    Every input pipeline routes its globbed file list through here: on a
+    single process it is the identity, under multi-process each host reads
+    its deterministic slice. A host whose slice is empty (fewer files than
+    processes) falls back to ALL files so training can proceed — per-host
+    seeds keep the duplication from producing identical batch streams; the
+    warning tells the operator to re-shard the dataset.
+    """
+    mine = shard_files_for_process(files)
+    if not mine and files:
+        log.warning(
+            "process %d/%d got 0 of %d input files — falling back to all "
+            "files on this host; write >= process_count shards to fix",
+            jax.process_index(), jax.process_count(), len(files))
+        return sorted(files)
+    return mine
+
+
+def process_local_slice(items: Sequence) -> list:
+    """Example-level multi-host sharding: deterministic ``p::n`` slice in the
+    given order (for datasets that are a list of examples rather than files,
+    e.g. STL image triplets). Identity on a single process."""
+    return list(items)[jax.process_index()::jax.process_count()]
+
+
+def process_local_batch(global_batch: int) -> int:
+    """Per-host batch size: the global batch divided over processes.
+
+    ``fit`` reassembles per-host batches into global arrays with
+    ``jax.make_array_from_process_local_data`` (train/loop.py place()).
+    """
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by {n} processes")
+    return global_batch // n

@@ -95,6 +95,15 @@ def make_tracker(
     use_wandb: bool = False,
     wandb_project: Optional[str] = None,
 ) -> Tracker:
+    # multi-host: only process 0 writes metrics/artifacts (metrics are
+    # computed on global arrays, so every process would log identical rows)
+    try:
+        import jax
+
+        if jax.process_index() != 0:
+            return NullTracker()
+    except Exception:
+        pass
     trackers: list = []
     if run_dir:
         trackers.append(JsonlTracker(run_dir, config))

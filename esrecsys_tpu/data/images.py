@@ -77,6 +77,9 @@ def triplet_image_dataset(
 ) -> Iterator:
     """(scene, pos, neg) filename triplets → batched image triplets."""
     tf = _tf()
+    from esrecsys_tpu.core.mesh import process_local_slice
+
+    triplets = process_local_slice(triplets)  # multi-host: per-process slice
     files = [
         tuple(key_to_filename(k, image_dir) for k in t) for t in triplets
     ]

@@ -88,9 +88,12 @@ def playlist_batches(
     """
     import tensorflow as tf
 
+    from esrecsys_tpu.core.mesh import process_local_files
+
     files = sorted(glob_lib.glob(pattern))
     if not files:
         raise FileNotFoundError(f"no files match {pattern}")
+    files = process_local_files(files)  # multi-host: per-process shard slice
     schema = {
         **{k: tf.io.FixedLenFeature([context_size], tf.int64) for k in PLAYLIST_CONTEXT_KEYS},
         **{k: tf.io.VarLenFeature(tf.int64) for k in PLAYLIST_NEXT_KEYS},
@@ -185,9 +188,12 @@ def packed_playlist_batches(
     shard, fixed-shape ``batch_size`` slices (trailing partial batches are
     dropped, matching the tfrecord path's drop_remainder).
     """
+    from esrecsys_tpu.core.mesh import process_local_files
+
     files = sorted(glob_lib.glob(pattern))
     if not files:
         raise FileNotFoundError(f"no files match {pattern}")
+    files = process_local_files(files)  # multi-host: per-process shard slice
     rng = np.random.default_rng(seed)
     while True:
         order = rng.permutation(len(files)) if shuffle else np.arange(len(files))

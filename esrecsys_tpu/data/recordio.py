@@ -168,6 +168,12 @@ def proto_stream(
     files = sorted(glob_lib.glob(pattern))
     if not files:
         raise FileNotFoundError(f"no files match {pattern}")
+    # multi-host: each process streams only its slice of the shards
+    # (identity on a single process; lazy import keeps this module jax-free
+    # for host-side tools)
+    from esrecsys_tpu.core.mesh import process_local_files
+
+    files = process_local_files(files)
     rng = np.random.default_rng(seed)
     while True:
         order = rng.permutation(len(files)) if shuffle_files else np.arange(len(files))

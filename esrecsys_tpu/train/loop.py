@@ -148,16 +148,28 @@ def fit(
     step = init_step
     profiling = False
 
-    def place(batch):
+    multiproc = jax.process_count() > 1
+
+    def place(batch, lead=None):
         if mesh is None:
             return batch
-        lead = 1 if spc > 1 else 0
+        if lead is None:
+            lead = 1 if spc > 1 else 0
 
         def put(x):
             spec = [None] * x.ndim
             if x.ndim > lead:
                 spec[lead] = DATA_AXIS
-            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+            sharding = NamedSharding(mesh, P(*spec))
+            if multiproc:
+                # each host loaded only its batch slice (pipelines shard
+                # files per process); assemble the global array from the
+                # per-process local data — the multi-host input path the
+                # reference never has (train_cooccurence.py:148-150 logs
+                # process_index but loads everything everywhere)
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x))
+            return jax.device_put(x, sharding)
 
         return jax.tree_util.tree_map(put, batch)
 
@@ -196,6 +208,10 @@ def fit(
             aux = (jit_eval_setup(state),) if jit_eval_setup is not None else ()
             for _ in range(eval_steps):
                 ebatch = next(it if it is not None else train_iter)
+                if multiproc:
+                    # eval batches are also per-host slices; assemble them
+                    # (single-process keeps the established un-placed path)
+                    ebatch = place(ebatch, lead=0)
                 em = jax.device_get(jit_eval(state, ebatch, *aux))
                 for k, v in em.items():
                     acc.setdefault(k, []).append(v)

@@ -290,6 +290,12 @@ def init_state(cfg: GloveConfig, num_embeddings: int, mesh) -> Tuple[Glove, Trai
 
 
 def train(cfg: GloveConfig, tracker=None, vocab: Optional[Vocabulary] = None):
+    mesh_lib.distributed_init_if_needed()  # live multi-host bootstrap
+    # cfg.batch_size is the GLOBAL batch: each host's pipeline yields its
+    # 1/process_count slice (input files sharded per process inside the
+    # pipelines); fit() reassembles global arrays.
+    local_bs = mesh_lib.process_local_batch(cfg.batch_size)
+    host_seed = cfg.seed + jax.process_index()
     mesh = mesh_lib.make_mesh(n_model=cfg.n_model_shards)
     if vocab is None:
         vocab = Vocabulary.load(cfg.token_dictionary)
@@ -304,16 +310,16 @@ def train(cfg: GloveConfig, tracker=None, vocab: Optional[Vocabulary] = None):
     tracker = tracker or make_tracker(run_dir=cfg.work_dir, config=config_lib.to_dict(cfg))
     batches = pipelines.glove_batches(
         cfg.train_pattern,
-        cfg.batch_size,
+        local_bs,
         shuffle_buffer=cfg.shuffle_buffer_size,
-        seed=cfg.seed,
+        seed=host_seed,
     )
     probe_terms = [t for t in cfg.terms.split(",") if t]
     hooks = [knn_hook(vocab, probe_terms)] if probe_terms else []
 
     eval_pattern = cfg.eval_pattern or cfg.train_pattern
     eval_iter_fn = lambda: pipelines.glove_batches(
-        eval_pattern, cfg.batch_size, shuffle_buffer=0, seed=cfg.seed + 1)
+        eval_pattern, local_bs, shuffle_buffer=0, seed=host_seed + 1)
 
     result = fit(
         state,

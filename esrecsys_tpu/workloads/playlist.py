@@ -525,6 +525,11 @@ def validate_batch(batch, num_tracks: int, num_albums: int, num_artists: int) ->
 
 
 def train(cfg: PlaylistConfig, tracker=None):
+    mesh_lib.distributed_init_if_needed()  # live multi-host bootstrap
+    # cfg.batch_size is the GLOBAL batch; each host's pipeline yields its
+    # slice from its own file shard, fit() reassembles (train/loop.py place).
+    local_bs = mesh_lib.process_local_batch(cfg.batch_size)
+    host_seed = cfg.seed + jax.process_index()
     mesh = mesh_lib.make_mesh(n_model=cfg.n_model_shards)
     corpus_np = pipelines.load_track_corpus(
         cfg.all_tracks,
@@ -545,15 +550,15 @@ def train(cfg: PlaylistConfig, tracker=None):
     def make_iter(pattern, shuf):
         if pattern.endswith(".npz"):  # ETL-packed shards (pipelines.pack_playlists)
             return pipelines.packed_playlist_batches(
-                pattern, batch_size=cfg.batch_size, shuffle=shuf > 0, seed=cfg.seed)
+                pattern, batch_size=local_bs, shuffle=shuf > 0, seed=host_seed)
         return pipelines.playlist_batches(
             pattern, context_size=cfg.context_size, max_next=cfg.max_next,
-            batch_size=cfg.batch_size, shuffle_buffer=shuf, seed=cfg.seed)
+            batch_size=local_bs, shuffle_buffer=shuf, seed=host_seed)
     train_iter = make_iter(cfg.train_pattern, 1000)
     first = next(train_iter)
-    assert first["next_track"].shape == (cfg.batch_size, cfg.max_next), (
+    assert first["next_track"].shape == (local_bs, cfg.max_next), (
         f"batch shape {first['next_track'].shape} != config "
-        f"({cfg.batch_size}, {cfg.max_next}) — packed shards carry their own "
+        f"({local_bs}, {cfg.max_next}) — packed shards carry their own "
         "max_next (pack_max_next at ETL time); set max_next to match")
     validate_batch(first, corpus_np["num_tracks"], corpus_np["num_albums"],
                    corpus_np["num_artists"])

@@ -161,6 +161,20 @@ def _pairs(cfg: STLConfig) -> List[Tuple[str, str]]:
 
 
 def train(cfg: STLConfig, tracker=None):
+    from esrecsys_tpu.core import mesh as mesh_lib
+
+    mesh_lib.distributed_init_if_needed()  # live multi-host bootstrap
+    # DP mesh over all devices: image-triplet batches are sharded over the
+    # ``data`` axis (SURVEY §2.5 — the CNN towers are the pure-DP case);
+    # dense-param gradient sync is inserted by XLA. BatchNorm note: the
+    # whole step is one GSPMD program, so the BN mean/variance reductions
+    # over the batch axis lower to cross-device collectives — batch stats
+    # are GLOBAL-batch statistics, not per-device (torch would need
+    # SyncBatchNorm for this; reference trains BN on single-device,
+    # pinterest/models.py).
+    mesh = mesh_lib.make_mesh_for_batch(cfg.batch_size)
+    local_bs = mesh_lib.process_local_batch(cfg.batch_size)
+    host_seed = cfg.seed + jax.process_index()
     pairs = _pairs(cfg)
     train_trips, test_trips = generate_triplets(pairs, cfg.num_negatives, cfg.seed)
     log.info("%d train / %d test triplets", len(train_trips), len(test_trips))
@@ -173,10 +187,10 @@ def train(cfg: STLConfig, tracker=None):
 
     tracker = tracker or make_tracker(run_dir=cfg.work_dir, config=config_lib.to_dict(cfg))
     train_iter = images_lib.triplet_image_dataset(
-        train_trips, cfg.image_dir, cfg.batch_size, cfg.image_size, seed=cfg.seed
+        train_trips, cfg.image_dir, local_bs, cfg.image_size, seed=host_seed
     )
     eval_iter_fn = lambda: images_lib.triplet_image_dataset(
-        test_trips, cfg.image_dir, cfg.batch_size, cfg.image_size,
+        test_trips, cfg.image_dir, local_bs, cfg.image_size,
         repeat=True, shuffle=False,
     )
     return fit(
@@ -193,6 +207,7 @@ def train(cfg: STLConfig, tracker=None):
         checkpointer=ckpt,
         checkpoint_every=cfg.checkpoint_every_steps,
         examples_per_step=cfg.batch_size,
+        mesh=mesh,
     )
 
 

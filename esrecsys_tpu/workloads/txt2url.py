@@ -57,6 +57,9 @@ class Txt2UrlConfig:
     url_max_norm: float = 3.0       # flag url_max_norm
     text_objective: str = "margin"  # margin (reference) | softmax (in-batch)
     glove_checkpoint: str = ""      # pretrained word embeddings to transfer
+    n_model_shards: int = 1         # row-shard the ~1M-row url (and word)
+    # tables over the ``model`` mesh axis — the natural TP case for this
+    # workload (SURVEY §2.5); remaining devices form the data axis
     seed: int = 0
     resume: bool = False
     probe_words: str = ""
@@ -191,6 +194,10 @@ def init_state(cfg: Txt2UrlConfig, word_vocab_size: int, url_vocab_size: int,
         jnp.zeros(b, jnp.int32), jnp.zeros((b, L), jnp.int32),
         jnp.zeros(b, jnp.int32), jnp.zeros(b, jnp.int32),
     )["params"]
+    if mesh is not None:
+        from esrecsys_tpu.parallel.sharding import apply_partition_rules
+
+        params = apply_partition_rules(params, mesh)
     if cfg.learning_rate_decay < 1.0:
         schedule = optax.exponential_decay(
             cfg.learning_rate, cfg.steps_per_epoch, cfg.learning_rate_decay,
@@ -203,12 +210,17 @@ def init_state(cfg: Txt2UrlConfig, word_vocab_size: int, url_vocab_size: int,
 
 
 def train(cfg: Txt2UrlConfig, tracker=None):
+    mesh_lib.distributed_init_if_needed()  # live multi-host bootstrap
+    mesh = mesh_lib.make_mesh_for_batch(cfg.batch_size, n_model=cfg.n_model_shards)
+    local_bs = mesh_lib.process_local_batch(cfg.batch_size)
+    host_seed = cfg.seed + jax.process_index()
     token_vocab = Vocabulary.load(cfg.token_dictionary)
     title_vocab = Vocabulary.load(cfg.title_dictionary)
     doc_freq = np.asarray(
         [title_vocab.doc_frequency(i) for i in range(len(title_vocab))], np.float64
     )
-    model, state = init_state(cfg, token_vocab.num_embeddings, len(title_vocab))
+    model, state = init_state(cfg, token_vocab.num_embeddings, len(title_vocab),
+                              mesh=mesh)
 
     if cfg.glove_checkpoint:
         # Build a GloVe template matching the word table, restore its latest
@@ -233,8 +245,8 @@ def train(cfg: Txt2UrlConfig, tracker=None):
     tracker = tracker or make_tracker(run_dir=cfg.work_dir, config=config_lib.to_dict(cfg))
     batches = pipelines.txt2url_batches(
         cfg.txt2url_pattern, cfg.url2url_pattern, doc_freq,
-        cfg.batch_size, cfg.sentence_length, cfg.max_sentences_per_doc,
-        shuffle_buffer=cfg.shuffle_buffer, seed=cfg.seed,
+        local_bs, cfg.sentence_length, cfg.max_sentences_per_doc,
+        shuffle_buffer=cfg.shuffle_buffer, seed=host_seed,
     )
     hooks = []
     if cfg.probe_words:
@@ -255,6 +267,7 @@ def train(cfg: Txt2UrlConfig, tracker=None):
         hooks=hooks,
         hook_every=cfg.steps_per_epoch,
         examples_per_step=cfg.batch_size,
+        mesh=mesh,
     )
 
 
