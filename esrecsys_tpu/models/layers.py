@@ -60,6 +60,9 @@ class TableEmbed(nn.Module):
         return table
 
     def __call__(self, ids: jax.Array) -> jax.Array:
+        from esrecsys_tpu.ops import guards
+
+        ids = guards.check_ids(ids, self.num_embeddings, self.name or "embed")
         table = self._constrained()
         out = jnp.take(table, ids, axis=0)
         if self.dtype is not None:

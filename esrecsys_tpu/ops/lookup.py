@@ -51,10 +51,15 @@ def _pool_kernel(ids_ref, table_ref, out_ref, scratch, sems, *, block_b, k_ids,
                TPU caps semaphore scratch at ~512 entries per program, so
                per-(b, k) semaphores overflow at production block sizes.
     """
+    rows = table_ref.shape[0]
     for b in range(block_b):
         for k in range(k_ids):
+            # clamp: a corrupt id must not DMA outside the table (XLA's
+            # gather clamps too; ops/guards.py "error" mode catches it
+            # loudly at the step boundary before it ever reaches here)
+            idx = jnp.clip(ids_ref[b, k], 0, rows - 1)
             pltpu.make_async_copy(
-                table_ref.at[ids_ref[b, k]],
+                table_ref.at[idx],
                 scratch.at[b, k],
                 sems.at[b],
             ).start()

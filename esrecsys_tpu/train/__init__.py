@@ -3,5 +3,7 @@
 from esrecsys_tpu.train.state import TrainState
 from esrecsys_tpu.train.loop import fit, FitResult
 from esrecsys_tpu.train.checkpoint import Checkpointer
+from esrecsys_tpu.train.export import export_model, latest_artifact, load_model
 
-__all__ = ["TrainState", "fit", "FitResult", "Checkpointer"]
+__all__ = ["TrainState", "fit", "FitResult", "Checkpointer",
+           "export_model", "latest_artifact", "load_model"]

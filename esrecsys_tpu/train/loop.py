@@ -116,7 +116,7 @@ def fit(
                 state = state_unpack(state)
             return state, metrics
 
-        jit_train = jax.jit(multi_step, donate_argnums=donate)
+        step_fn = multi_step
     else:
         def one_step(state, batch):
             if state_pack is not None:
@@ -126,7 +126,13 @@ def fit(
                 state = state_unpack(state)
             return state, metrics
 
-        jit_train = jax.jit(one_step, donate_argnums=donate)
+        step_fn = one_step
+    # id-range guards: in "error" mode the step is checkify-functionalized so
+    # an out-of-range embedding id raises on the host (ops/guards.py)
+    from esrecsys_tpu.ops import guards as _guards
+
+    step_fn, _throws = _guards.wrap_step_if_checking(step_fn)
+    jit_train = jax.jit(step_fn, donate_argnums=donate)
     jit_eval = jax.jit(eval_step) if eval_step is not None else None
     jit_eval_setup = jax.jit(eval_setup_fn) if eval_setup_fn is not None else None
 
@@ -183,7 +189,11 @@ def fit(
             batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
         else:
             batch = next(train_iter)
-        state, metrics = jit_train(state, place(batch))
+        if _throws:
+            err, (state, metrics) = jit_train(state, place(batch))
+            err.throw()
+        else:
+            state, metrics = jit_train(state, place(batch))
         step += spc
         steps_run += spc
         for k, v in metrics.items():

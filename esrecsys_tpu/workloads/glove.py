@@ -108,6 +108,9 @@ def make_lazy_adam_train_step(model: Glove, cfg: GloveConfig, packed: bool = Fal
             (t1, t2), count = batch
             b = t1.shape[0]
             ids = jnp.concatenate([t1, t2])
+            from esrecsys_tpu.ops import guards
+
+            ids = guards.check_ids(ids, model.num_embeddings, "token_embedding")
             tp_emb = state.params["token_embedding"]["embedding"]
             tp_bias = state.params["bias"]["embedding"]
             rows_e = jnp.take(optim.unpack_rows(tp_emb, D), ids, axis=0)
@@ -139,6 +142,9 @@ def make_lazy_adam_train_step(model: Glove, cfg: GloveConfig, packed: bool = Fal
         (t1, t2), count = batch
         b = t1.shape[0]
         ids = jnp.concatenate([t1, t2])
+        from esrecsys_tpu.ops import guards
+
+        ids = guards.check_ids(ids, model.num_embeddings, "token_embedding")
         t_emb = state.params["token_embedding"]["embedding"]
         t_bias = state.params["bias"]["embedding"]
         rows_e = jnp.take(t_emb, ids, axis=0)
@@ -342,6 +348,17 @@ def train(cfg: GloveConfig, tracker=None, vocab: Optional[Vocabulary] = None):
         **(dict(zip(("state_pack", "state_unpack"), packed_state_transforms(cfg)))
            if use_packed_tables(cfg) else {}),
     )
+    # settled final model as a deployable artifact + artifacts.jsonl entry
+    # (train_cooccurence.py:188-192 parity — the reference registers its
+    # trained model with the tracker)
+    from esrecsys_tpu.train import export_model
+
+    export_model(
+        cfg.work_dir, "glove", result.state.params,
+        step=int(jax.device_get(result.state.step)), tracker=tracker,
+        metadata={"vocab_rows": vocab.num_embeddings,
+                  "padded_rows": model.num_embeddings,
+                  "feature_size": cfg.feature_size})
     return result
 
 

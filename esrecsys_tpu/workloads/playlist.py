@@ -221,6 +221,12 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
         art_ids = jnp.concatenate([
             batch["artist_context"].reshape(-1), batch["next_artist"].reshape(-1),
             neg_artist.reshape(-1)])
+        # id-range guards at the raw take/scatter boundary (ops/guards.py;
+        # the dense step's lookups are guarded inside TableEmbed)
+        from esrecsys_tpu.ops import guards
+
+        alb_ids = guards.check_ids(alb_ids, n_albums, "album_embed")
+        art_ids = guards.check_ids(art_ids, cfg.num_artists, "artist_embed")
 
         t_alb = state.params["album_embed"]["embedding"]
         t_art = state.params["artist_embed"]["embedding"]
@@ -586,6 +592,16 @@ def train(cfg: PlaylistConfig, tracker=None):
         steps_per_call=cfg.steps_per_call,
         mesh=mesh,
     )
+    # settled final model (lazy-momentum catch-up applied) as a deployable
+    # artifact (train_spotify.py:290-299 parity)
+    from esrecsys_tpu.train import export_model
+
+    export_model(
+        cfg.work_dir, "playlist", settled_params(result.state, cfg),
+        step=int(jax.device_get(result.state.step)), tracker=tracker,
+        metadata={"feature_size": cfg.feature_size,
+                  "album_hash_buckets": cfg.album_hash_buckets,
+                  "num_artists": cfg.num_artists})
     return result
 
 

@@ -193,7 +193,7 @@ def train(cfg: STLConfig, tracker=None):
         test_trips, cfg.image_dir, local_bs, cfg.image_size,
         repeat=True, shuffle=False,
     )
-    return fit(
+    result = fit(
         state,
         make_train_step(cfg),
         train_iter,
@@ -209,17 +209,43 @@ def train(cfg: STLConfig, tracker=None):
         examples_per_step=cfg.batch_size,
         mesh=mesh,
     )
+    # final CNN towers (+BatchNorm running stats) as a deployable artifact;
+    # index mode loads it (train_shop_the_look.py:223-232 parity)
+    from esrecsys_tpu.train import export_model
+
+    export_model(
+        cfg.work_dir, "stl", result.state.params,
+        step=int(jax.device_get(result.state.step)), tracker=tracker,
+        batch_stats=result.state.batch_stats,
+        metadata={"output_size": cfg.output_size, "image_size": cfg.image_size,
+                  "filters": list(cfg.filters)})
+    return result
 
 
 def build_catalog_indexes(cfg: STLConfig, state: Optional[TrainState] = None):
     """Embed unique scenes and products → two EmbeddingIndex files
-    (make_embeddings.py:64-130 parity, without the tail-drop)."""
+    (make_embeddings.py:64-130 parity, without the tail-drop).
+
+    Loads the final-model ARTIFACT written by :func:`train` when one exists
+    (the deploy path, train_shop_the_look.py:223-232); falls back to the
+    latest checkpoint otherwise."""
+    from esrecsys_tpu.train import latest_artifact, load_model
+
     pairs = _pairs(cfg)
     scenes = sorted({s for s, _ in pairs})
     products = sorted({p for _, p in pairs})
     model, template = init_state(cfg)
     if state is None:
-        state = Checkpointer(f"{cfg.work_dir}/checkpoints").restore(template)
+        artifact = latest_artifact(cfg.work_dir, "stl")
+        if artifact is not None:
+            params, batch_stats, meta = load_model(artifact)
+            state = template.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, params),
+                batch_stats=jax.tree_util.tree_map(jnp.asarray, batch_stats),
+            )
+            log.info("loaded model artifact %s (step %s)", artifact, meta["step"])
+        else:
+            state = Checkpointer(f"{cfg.work_dir}/checkpoints").restore(template)
 
     def embed(method):
         f = jax.jit(

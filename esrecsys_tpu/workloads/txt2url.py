@@ -255,7 +255,7 @@ def train(cfg: Txt2UrlConfig, tracker=None):
         hooks.append(sentence_nn_hook(model, token_vocab, title_vocab,
                                       cfg.probe_sentences.split("|"),
                                       cfg.sentence_length))
-    return fit(
+    result = fit(
         state,
         make_train_step(model, cfg),
         batches,
@@ -269,6 +269,16 @@ def train(cfg: Txt2UrlConfig, tracker=None):
         examples_per_step=cfg.batch_size,
         mesh=mesh,
     )
+    # final two-tower model as a deployable artifact (train_txt2url.py's
+    # saved keras model equivalent)
+    from esrecsys_tpu.train import export_model
+
+    export_model(
+        cfg.work_dir, "txt2url", result.state.params,
+        step=int(jax.device_get(result.state.step)), tracker=tracker,
+        metadata={"word_dim": cfg.word_dim, "url_dim": cfg.url_dim,
+                  "encoder_type": cfg.encoder_type})
+    return result
 
 
 def main(argv=None):
