@@ -144,3 +144,52 @@ def test_fetch_gives_up_after_max_retries(tmp_path, monkeypatch):
                          max_retries=2, backoff_seconds=0.0, sleep_seconds=0.0)
     stats = fi.fetch_all(cfg)
     assert stats == {"ok": 0, "failed": 2}
+
+
+def test_bayes_sweep_beats_random_at_equal_budget(quad_problem, tmp_path):
+    """GP-EI converges faster than random on a known quadratic: at equal
+    budget, bayes' best value must be at least as good and its best-found lr
+    closer to the optimum (pinterest/sweep.yaml:2 capability)."""
+    Cfg, train_fn = quad_problem
+    params = {"lr": {"min": 0.0, "max": 1.0}, "flag": {"values": [0, 1]}}
+    results = {}
+    for method in ("random", "bayes"):
+        spec = sweep_lib.SweepSpec(
+            method=method, metric_name="eval_loss", metric_goal="minimize",
+            parameters=params, max_runs=16, n_init=5, seed=7)
+        results[method] = sweep_lib.run_sweep(
+            spec, Cfg(), train_fn, str(tmp_path / method))
+    b = results["bayes"]["best"]["eval_loss"]
+    r = results["random"]["best"]["eval_loss"]
+    assert b <= r + 1e-12, (b, r)
+    assert abs(results["bayes"]["best"]["overrides"]["lr"] - 0.3) < 0.05
+
+
+def test_bayes_runs_wandb_style_spec_unmodified(quad_problem, tmp_path):
+    """The reference's sweep.yaml shape (method: bayes) runs as-is."""
+    Cfg, train_fn = quad_problem
+    spec = sweep_lib.SweepSpec.from_dict({
+        "method": "bayes",
+        "metric": {"name": "eval_loss", "goal": "minimize"},
+        "parameters": {"lr": {"min": 0.001, "max": 1.0,
+                              "distribution": "log_uniform_values"},
+                       "flag": {"values": [0, 1]}},
+        "max_runs": 8,
+        "n_init": 3,
+    })
+    out = sweep_lib.run_sweep(spec, Cfg(), train_fn, str(tmp_path / "s"))
+    assert len(out["runs"]) == 8
+    assert out["best"]["eval_loss"] < 0.3
+
+
+def test_sweep_early_stopping(quad_problem, tmp_path):
+    Cfg, train_fn = quad_problem
+    spec = sweep_lib.SweepSpec(
+        method="grid", metric_name="eval_loss", metric_goal="minimize",
+        parameters={"lr": {"values": [0.3, 0.9, 0.8, 0.7, 0.6, 0.5]},
+                    "flag": {"values": [0]}},
+        max_runs=6, early_stop_patience=2)
+    out = sweep_lib.run_sweep(spec, Cfg(), train_fn, str(tmp_path / "es"))
+    # best is the first run; patience 2 stops after runs 2 and 3
+    assert len(out["runs"]) == 3
+    assert out["best"]["overrides"]["lr"] == 0.3
