@@ -12,23 +12,31 @@ a dependency-free HTTP service over the TPU retrieval path:
     jitted, fixed-shape MIPS call (queries are padded to ``max_batch`` so the
     query path compiles exactly once, the same static-shape discipline as the
     trainers). Queries can be raw vectors or catalog ids (item-to-item).
+  * ``QueryBatcher`` — request coalescing: concurrent single queries are
+    collected (up to ``max_batch``, bounded by a short wait window) into ONE
+    compiled device call instead of one dispatch per request — the
+    collector-side batching the book's serving chapter describes
+    (CH6-Serving-models-and-architecture.tex:55-59).
+  * query-side model inference: pluggable ``encoders`` embed raw queries —
+    ``text`` through a trained txt2url sentence tower, ``image_key`` through
+    an STL tower (:mod:`esrecsys_tpu.serving.encoders`).
   * ``serve`` — a stdlib ``ThreadingHTTPServer`` exposing:
       GET  /healthz                 → {"status": "ok", "items": N}
-      POST /v1/topk                 → body {"vector": [...] | "id": "...",
-                                           "k": 10} → {"ids": [...],
-                                           "scores": [...]}
-    Requests are JSON; concurrency is handled by padding into the single
-    compiled batch (device work is serialized by JAX's dispatch lock, which
-    on one chip is the right behavior anyway).
+      POST /v1/topk                 → body {"vector": [...] | "id": "..." |
+                                           "text": "..." |
+                                           "image_key": "...", "k": 10}
+                                    → {"ids": [...], "scores": [...]}
 """
 
 from __future__ import annotations
 
 import json
 import logging
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,10 +76,14 @@ class RetrievalService:
     """
 
     def __init__(self, index: EmbeddingIndex, max_k: int = 100,
-                 max_batch: int = 8, block_size: int = 8192):
+                 max_batch: int = 8, block_size: int = 8192,
+                 encoders: Optional[Dict[str, Callable]] = None):
         self.index = index
         self.max_k = min(max_k, len(index))
         self.max_batch = max_batch
+        # raw-query embedders, e.g. {"text": txt2url_text_encoder(...)}
+        self.encoders = dict(encoders or {})
+        self.device_calls = 0  # compiled query dispatches (coalescing stat)
         self._items = _chunked_device_put(index.vectors)  # (N, D) resident
         self._dim = int(self._items.shape[1])
 
@@ -106,6 +118,7 @@ class RetrievalService:
             pad = self.max_batch - chunk.shape[0]
             padded = np.pad(chunk, ((0, pad), (0, 0)))
             with self._lock:
+                self.device_calls += 1
                 vals, idxs = jax.device_get(
                     self._query(jnp.asarray(padded), self._items))
             out_v.append(vals[: chunk.shape[0], :k])
@@ -120,8 +133,82 @@ class RetrievalService:
         ids, vals = self.topk(self.index.vector(item_id)[None, :], k)
         return ids[0], vals[0]
 
+    def encode(self, kind: str, payload) -> np.ndarray:
+        """Run a raw query through its registered model encoder."""
+        if kind not in self.encoders:
+            raise ValueError(
+                f"no {kind!r} encoder registered (have {sorted(self.encoders)})")
+        return np.asarray(self.encoders[kind](payload), np.float32)
 
-def _make_handler(service: RetrievalService):
+
+class QueryBatcher:
+    """Coalesce concurrent single-vector queries into one compiled call.
+
+    Requests park on a queue; a dispatcher thread drains up to
+    ``service.max_batch`` of them (waiting at most ``max_wait_ms`` for
+    followers after the first) and issues ONE padded device call, then
+    distributes per-request top-k slices. Under a burst of B <= max_batch
+    concurrent requests this is one dispatch instead of B.
+    """
+
+    def __init__(self, service: RetrievalService, max_wait_ms: float = 2.0):
+        self.service = service
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, vector: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking: one (D,) query → (ids (k,), scores (k,))."""
+        done = threading.Event()
+        slot: dict = {"k": k}
+        self._q.put((np.asarray(vector, np.float32), done, slot))
+        done.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["ids"], slot["scores"]
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.service.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._finish(batch)
+                    return
+                batch.append(nxt)
+            self._finish(batch)
+
+    def _finish(self, batch) -> None:
+        try:
+            vecs = np.stack([b[0] for b in batch])
+            kmax = max(b[2]["k"] for b in batch)
+            ids, scores = self.service.topk(vecs, kmax)
+            for i, (_, done, slot) in enumerate(batch):
+                slot["ids"] = ids[i, : slot["k"]]
+                slot["scores"] = scores[i, : slot["k"]]
+                done.set()
+        except Exception as e:  # propagate to every waiter
+            for _, done, slot in batch:
+                slot["err"] = e
+                done.set()
+
+
+def _make_handler(service: RetrievalService, batcher: Optional[QueryBatcher] = None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -149,15 +236,25 @@ def _make_handler(service: RetrievalService):
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 k = int(req.get("k", service.max_k))
+                # resolve the query to ONE vector: raw, catalog id, or a raw
+                # query embedded through a registered model encoder
                 if "vector" in req:
-                    ids, scores = service.topk(
-                        np.asarray(req["vector"], np.float32)[None, :], k)
-                    ids, scores = ids[0], scores[0]
+                    vec = np.asarray(req["vector"], np.float32)
                 elif "id" in req:
-                    ids, scores = service.topk_by_id(str(req["id"]), k)
+                    vec = service.index.vector(str(req["id"]))
+                elif "text" in req:
+                    vec = service.encode("text", str(req["text"]))
+                elif "image_key" in req:
+                    vec = service.encode("image_key", str(req["image_key"]))
                 else:
-                    self._send(400, {"error": "need 'vector' or 'id'"})
+                    self._send(400, {"error":
+                                     "need 'vector', 'id', 'text' or 'image_key'"})
                     return
+                if batcher is not None:
+                    ids, scores = batcher.submit(vec, k)
+                else:
+                    ids2, scores2 = service.topk(vec[None, :], k)
+                    ids, scores = ids2[0], scores2[0]
                 self._send(200, {"ids": [str(x) for x in ids],
                                  "scores": [float(s) for s in scores]})
             except KeyError as e:
@@ -169,15 +266,23 @@ def _make_handler(service: RetrievalService):
 
 
 def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
-          max_k: int = 100, max_batch: int = 8) -> ThreadingHTTPServer:
+          max_k: int = 100, max_batch: int = 8,
+          encoders: Optional[Dict[str, Callable]] = None,
+          coalesce: bool = True,
+          max_wait_ms: float = 2.0) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
 
     Call ``.serve_forever()`` to block, or run it in a thread for tests.
+    ``coalesce`` batches concurrent requests into the one compiled query
+    (QueryBatcher); ``encoders`` enables raw-text / image-key queries.
     """
     index = EmbeddingIndex.load(index_path)
-    service = RetrievalService(index, max_k=max_k, max_batch=max_batch)
-    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    service = RetrievalService(index, max_k=max_k, max_batch=max_batch,
+                               encoders=encoders)
+    batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service, batcher))
     httpd.service = service  # exposed for tests/tools
+    httpd.batcher = batcher
     log.info("serving %d items (dim %d) on %s:%d", len(index), service.dim,
              host, port)
     return httpd
@@ -192,10 +297,27 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_k", type=int, default=100)
     p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--no_coalesce", action="store_true")
+    # query-side model inference (serving/encoders.py)
+    p.add_argument("--txt2url_artifact", default="",
+                   help="enable 'text' queries via this trained artifact")
+    p.add_argument("--token_dictionary", default="")
+    p.add_argument("--stl_artifact", default="",
+                   help="enable 'image_key' queries via this trained artifact")
+    p.add_argument("--image_dir", default="")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
-    serve(args.index, args.host, args.port, args.max_k, args.max_batch
-          ).serve_forever()
+    from esrecsys_tpu.serving import encoders as encoders_lib
+
+    enc = {}
+    if args.txt2url_artifact:
+        enc["text"] = encoders_lib.txt2url_text_encoder(
+            args.txt2url_artifact, args.token_dictionary)
+    if args.stl_artifact:
+        enc["image_key"] = encoders_lib.stl_image_encoder(
+            args.stl_artifact, args.image_dir)
+    serve(args.index, args.host, args.port, args.max_k, args.max_batch,
+          encoders=enc, coalesce=not args.no_coalesce).serve_forever()
 
 
 if __name__ == "__main__":

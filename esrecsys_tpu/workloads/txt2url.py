@@ -277,7 +277,8 @@ def train(cfg: Txt2UrlConfig, tracker=None):
         cfg.work_dir, "txt2url", result.state.params,
         step=int(jax.device_get(result.state.step)), tracker=tracker,
         metadata={"word_dim": cfg.word_dim, "url_dim": cfg.url_dim,
-                  "encoder_type": cfg.encoder_type})
+                  "rnn_size": cfg.rnn_size, "encoder_type": cfg.encoder_type,
+                  "sentence_length": cfg.sentence_length})
     return result
 
 

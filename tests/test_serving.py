@@ -82,3 +82,99 @@ def test_http_server_end_to_end(index):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_query_batcher_coalesces_concurrent_requests(index):
+    from esrecsys_tpu.serving.server import QueryBatcher
+
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=10, max_batch=8)
+    batcher = QueryBatcher(svc, max_wait_ms=50.0)
+    rng = np.random.default_rng(2)
+    queries = rng.normal(size=(8, 16)).astype(np.float32)
+    before = svc.device_calls
+    results = [None] * 8
+
+    def worker(i):
+        results[i] = batcher.submit(queries[i], k=3)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    batcher.close()
+    # correctness: every request got ITS OWN top-k
+    ref = queries @ idx.vectors.T
+    for i, (ids, scores) in enumerate(results):
+        want = np.argsort(-ref[i])[:3]
+        assert [idx.ids.index(x) for x in ids] == list(want)
+    # coalescing: 8 concurrent requests -> far fewer compiled dispatches
+    calls = svc.device_calls - before
+    assert calls < 8, calls
+
+
+def test_text_query_matches_manual_embed(tmp_path):
+    """POST /v1/topk with raw text == encoder(text) + manual topk: the
+    query-side inference path end-to-end (trained txt2url artifact)."""
+    import urllib.error
+
+    from esrecsys_tpu.data.vocab import VocabEntry, Vocabulary, simple_tokenize
+    from esrecsys_tpu.models.txt2url import Txt2UrlModel
+    from esrecsys_tpu.serving.encoders import txt2url_text_encoder
+    from esrecsys_tpu.train import export_model
+
+    import jax
+    import jax.numpy as jnp
+
+    # tiny trained-ish txt2url model exported as an artifact
+    vocab = Vocabulary([VocabEntry(token=t, frequency=10)
+                        for t in ["deep", "learning", "music", "cats"]])
+    vocab.save(str(tmp_path / "tok.json"))
+    L, D = 6, 8
+    model = Txt2UrlModel(word_vocab_size=vocab.num_embeddings,
+                         url_vocab_size=32, word_dim=D, rnn_size=D,
+                         url_dim=D, encoder_type="mean")
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros(2, jnp.int32), jnp.zeros((2, L), jnp.int32),
+        jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32))["params"]
+    art = export_model(
+        str(tmp_path), "txt2url", params, step=1,
+        metadata={"word_dim": D, "url_dim": D, "rnn_size": D,
+                  "encoder_type": "mean", "sentence_length": L})
+
+    # catalog = the model's url embeddings (text scores against url space)
+    url_vecs = np.asarray(params["url_embedding"]["embedding"], np.float32)
+    cat = EmbeddingIndex([f"url{i}" for i in range(url_vecs.shape[0])], url_vecs)
+    cat_path = str(tmp_path / "urls.npz")
+    cat.save(cat_path)
+
+    encoder = txt2url_text_encoder(art, str(tmp_path / "tok.json"))
+    httpd = serve(cat_path, port=0, max_k=5, max_batch=2,
+                  encoders={"text": encoder})
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"text": "deep learning music", "k": 5}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            got = json.loads(r.read())
+        # manual: embed the same text, brute-force top-5
+        vec = encoder("deep learning music")
+        want = np.argsort(-(url_vecs @ vec))[:5]
+        assert got["ids"] == [f"url{i}" for i in want]
+
+        # unknown query type -> 400 with a helpful message
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"image_key": "nope"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
