@@ -1,0 +1,362 @@
+"""Measured quality parity: reference-shape configs vs this repo's fast configs.
+
+The reference publishes no quality numbers (BASELINE.md), so parity is
+established by experiment: on a deterministic synthetic corpus with known
+learnable structure, train (a) the reference's exact algorithmic shape and
+(b) this repo's fast config with the SAME step/eval machinery the real
+workloads use, across seeds, and compare the quality metric within
+run-to-run variance. Results are written as JSON (one file per workload)
+and summarized in PARITY_RUNS.md.
+
+Workloads / metrics (reference definitions):
+  * playlist — recall@500 of held-out next tracks vs the full corpus
+    (spotify/train_spotify.py:113-131). (a) B=1, 64 per-playlist negatives,
+    dense SGD momentum 0.98 (train_spotify.py:60-74);
+    (b) B=2048, 512 shared negatives, row-sparse SGD, bf16 scoring.
+  * glove — weighted-MSE eval loss (train_cooccurence.py:75-84) plus
+    neighbor-overlap@10 against the GROUND-TRUTH embedding that generated
+    the co-occurrence counts (a stronger, quantitative form of the
+    reference's qualitative probe-KNN dumps, train_cooccurence.py:114-126).
+    (a) dense Adam (reference config); (b) packed lazy-adam.
+  * stl — held-out triplet eval loss (train_shop_the_look.py:111-122).
+    (a) B=16 f32 (reference run, pinterest/README.md:85); (b) B=64 bf16.
+
+Run:  python -m esrecsys_tpu.tools.parity_runs --workload all \
+          --out_dir /tmp/parity [--seeds 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+# ------------------------------------------------------------- playlist
+
+def _playlist_corpus(rng, n_tracks=50_000, n_albums=15_000, n_artists=5_000,
+                     n_genres=50):
+    """Tracks partitioned into genres; playlists draw from one genre with a
+    popularity skew — recall@500 is learnable far above the 1% random rate."""
+    genre_of = rng.integers(0, n_genres, n_tracks).astype(np.int32)
+    album_of = rng.integers(0, n_albums, n_tracks).astype(np.int32)
+    # artists cluster within genres (8-ish artists per genre block)
+    artist_of = (genre_of * (n_artists // n_genres)
+                 + rng.integers(0, n_artists // n_genres, n_tracks)).astype(np.int32)
+    by_genre = [np.where(genre_of == g)[0].astype(np.int32)
+                for g in range(n_genres)]
+    # Zipf-ish popularity within each genre, materialized as iid presampled
+    # pools so batch generation is a vectorized gather (one rng.choice per
+    # TRACK per batch is far too slow for the fast config's data rate)
+    pool_n = 100_000
+    pools = np.empty((n_genres, pool_n), np.int32)
+    for g in range(n_genres):
+        n = len(by_genre[g])
+        p = 1.0 / (np.arange(n) + 10.0)
+        pools[g] = rng.choice(by_genre[g], size=pool_n, p=p / p.sum())
+    corpus = {
+        "tracks": np.arange(n_tracks, dtype=np.int32),
+        "albums": album_of,
+        "artists": artist_of,
+    }
+    return corpus, pools, album_of, artist_of
+
+
+def _playlist_batch(rng, b, c, m, pools, album_of, artist_of):
+    n_genres = pools.shape[0]
+    g = rng.integers(0, n_genres, b)
+    tracks = pools[g[:, None], rng.integers(0, pools.shape[1], (b, c + m))]
+    ctx, nxt = tracks[:, :c], tracks[:, c:]
+    return {
+        "track_context": ctx, "album_context": album_of[ctx],
+        "artist_context": artist_of[ctx],
+        "next_track": nxt, "next_album": album_of[nxt],
+        "next_artist": artist_of[nxt],
+        "next_mask": np.ones((b, m), np.float32),
+    }
+
+
+def run_playlist(seeds: List[int], out_dir: str, examples: int = 400_000,
+                 eval_playlists: int = 1024) -> Dict:
+    from esrecsys_tpu.workloads import playlist as pl
+    from esrecsys_tpu.core import prng
+
+    C, M = 5, 10
+    data_rng = np.random.default_rng(1234)  # corpus fixed across seeds/configs
+    corpus_np, pools, album_of, artist_of = _playlist_corpus(data_rng)
+    corpus = {k: jnp.asarray(v) for k, v in corpus_np.items()}
+    eval_rng = np.random.default_rng(999)
+    eval_batch = _playlist_batch(eval_rng, eval_playlists, C, M,
+                                 pools, album_of, artist_of)
+    eval_batch = {k: jnp.asarray(v) for k, v in eval_batch.items()}
+
+    # Equal-CHIP-TIME protocol: the reference shape processes `examples`
+    # playlists at B=1; the fast config gets the same device seconds, which
+    # at its ~64x step throughput means ~64x the examples — that is the
+    # framework's actual value proposition (quality per chip-second).
+    configs = {
+        "reference_shape": (dict(
+            batch_size=1, num_negatives=64, shared_negatives=False,
+            sparse_updates=False, momentum=0.98, learning_rate=1e-3,
+            steps_per_call=512), 1),
+        "fast": (dict(
+            batch_size=2048, num_negatives=512, shared_negatives=True,
+            sparse_updates=True, momentum=0.0, learning_rate=1e-3,
+            compute_dtype="bfloat16", steps_per_call=8), 64),
+    }
+    results = {}
+    for name, (overrides, ex_mult) in configs.items():
+        per_seed = []
+        for seed in seeds:
+            cfg = pl.PlaylistConfig(
+                feature_size=32, album_hash_buckets=20_000, num_artists=5_000,
+                context_size=C, max_next=M, eval_k=500, eval_group=8,
+                corpus_block=65536, seed=seed, **overrides)
+            model, state = pl.init_state(cfg, mesh=None)
+            step = pl.select_train_step(model, cfg, corpus, prng.base_key(seed))
+            spc = cfg.steps_per_call
+            b = cfg.batch_size
+
+            @jax.jit
+            def multi(state, stacked):
+                return jax.lax.scan(lambda s, x: step(s, x), state, stacked)
+
+            batch_rng = np.random.default_rng(seed + 71)
+            n_calls = max(1, examples * ex_mult // (b * spc))
+            t0 = time.time()
+            for ci in range(n_calls):
+                batches = [_playlist_batch(batch_rng, b, C, M, pools,
+                                           album_of, artist_of)
+                           for _ in range(spc)]
+                stacked = {k: jnp.asarray(np.stack([bb[k] for bb in batches]))
+                           for k in batches[0]}
+                state, _ = multi(state, stacked)
+            # settled params for eval (lazy-momentum exactness)
+            state = state.replace(params=pl.settled_params(state, cfg))
+            eval_step = pl.select_eval_step(model, cfg, corpus, mesh=None)
+            em = jax.device_get(jax.jit(eval_step)(state, eval_batch))
+            per_seed.append({
+                "seed": seed,
+                "track_recall@500": float(em["track_recall"]),
+                "artist_recall@500": float(em["artist_recall"]),
+                "train_seconds": round(time.time() - t0, 1),
+                "steps": n_calls * spc,
+                "examples": n_calls * spc * b,
+            })
+            log.info("playlist %s seed %d: %s", name, seed, per_seed[-1])
+        results[name] = per_seed
+    _dump(out_dir, "playlist", results, {
+        "examples": examples, "corpus": "50k tracks / 50 genres (seed 1234)",
+        "protocol": "equal chip-seconds (fast config processes ~64x examples "
+                    "in the same device time)",
+        "metric": ("recall@500 vs full 50k corpus, 1024 held-out playlists; "
+                   "artist recall follows the reference definition "
+                   "(train_spotify.py:123-127: every top-500 entry whose "
+                   "artist is in the next set counts, so values can "
+                   "exceed 1)")})
+    return results
+
+
+# ------------------------------------------------------------- glove
+
+def run_glove(seeds: List[int], out_dir: str, steps: int = 20_000,
+              vocab: int = 20_000, gt_dim: int = 16) -> Dict:
+    from esrecsys_tpu.workloads import glove as gw
+    from esrecsys_tpu.ops import losses
+
+    data_rng = np.random.default_rng(4321)
+    u = data_rng.normal(size=(vocab, gt_dim)).astype(np.float32) / np.sqrt(gt_dim)
+    probe = data_rng.integers(0, vocab, 100).astype(np.int32)
+    gt_scores = u[probe] @ u.T
+    gt_nn = np.argsort(-gt_scores, axis=1)[:, 1:11]  # skip self
+    # like real co-occurrence, RELATED tokens appear together far more often:
+    # half the pairs are drawn from each token's true top-64 neighborhood
+    top64 = np.argsort(-(u @ u.T), axis=1)[:, 1:65].astype(np.int32)
+
+    B = 2048
+
+    def batch_of(rng):
+        i = rng.integers(0, vocab, B).astype(np.int32)
+        j_uniform = rng.integers(0, vocab, B).astype(np.int32)
+        j_near = top64[i, rng.integers(0, 64, B)]
+        j = np.where(rng.random(B) < 0.5, j_near, j_uniform).astype(np.int32)
+        # count chosen so log10(1+count) == 2.5*relu(u_i·u_j) exactly: the
+        # model can drive eval loss to ~0 iff it recovers the geometry, and
+        # neighbor pairs carry GloVe-style high counts/weights
+        dot = np.maximum((u[i] * u[j]).sum(-1), 0.0)
+        count = np.power(10.0, 2.5 * dot) - 1.0
+        return (i, j), count.astype(np.float32)
+
+    configs = {
+        "reference_shape": dict(optimizer="adam", learning_rate=5e-4),
+        "fast": dict(optimizer="lazy_adam", learning_rate=5e-4),
+    }
+    results = {}
+    for name, overrides in configs.items():
+        per_seed = []
+        for seed in seeds:
+            cfg = gw.GloveConfig(feature_size=64, batch_size=B, seed=seed,
+                                 steps_per_call=32, **overrides)
+            model, state = gw.init_state(cfg, num_embeddings=vocab, mesh=None)
+            step = gw.select_train_step(model, cfg)
+            packed = gw.use_packed_tables(cfg)
+            if packed:
+                pk, unpk = gw.packed_state_transforms(cfg)
+
+            def multi_fn(state, xs):
+                if packed:
+                    state = pk(state)
+                state, _ = jax.lax.scan(
+                    lambda s, x: step(s, ((x[0], x[1]), x[2])), state, xs)
+                if packed:
+                    state = unpk(state)
+                return state
+
+            multi = jax.jit(multi_fn)
+            rng = np.random.default_rng(seed + 17)
+            t0 = time.time()
+            for _ in range(steps // 32):
+                bs = [batch_of(rng) for _ in range(32)]
+                xs = (jnp.asarray(np.stack([b[0][0] for b in bs])),
+                      jnp.asarray(np.stack([b[0][1] for b in bs])),
+                      jnp.asarray(np.stack([b[1] for b in bs])))
+                state = multi(state, xs)
+            # eval loss on fresh pairs
+            erng = np.random.default_rng(5555)
+            eval_losses = []
+            eval_step = gw.make_eval_step(model)
+            jes = jax.jit(eval_step)
+            for _ in range(20):
+                (i, j), ct = batch_of(erng)
+                em = jes(state, ((jnp.asarray(i), jnp.asarray(j)),
+                                 jnp.asarray(ct)))
+                eval_losses.append(float(jax.device_get(em["loss"])))
+            # probe-KNN overlap vs ground truth
+            _, top_idx = gw.knn(state, jnp.asarray(probe), k=11,
+                                valid_rows=vocab)
+            overlap = np.mean([
+                len(set(top_idx[p, 1:11]) & set(gt_nn[p])) / 10.0
+                for p in range(len(probe))])
+            per_seed.append({
+                "seed": seed,
+                "eval_loss": float(np.mean(eval_losses)),
+                "probe_nn_overlap@10": float(overlap),
+                "train_seconds": round(time.time() - t0, 1),
+                "steps": steps,
+            })
+            log.info("glove %s seed %d: %s", name, seed, per_seed[-1])
+        results[name] = per_seed
+    _dump(out_dir, "glove", results, {
+        "steps": steps, "vocab": vocab,
+        "metric": ("weighted-MSE eval loss on fresh pairs + probe "
+                   "neighbor-overlap@10 vs the generating embedding")})
+    return results
+
+
+# ------------------------------------------------------------- stl
+
+def _stl_images(rng, n_styles, size):
+    """Per style: a fixed color+stripe pattern; scenes/products of one style
+    are near-duplicates with independent noise."""
+    base = rng.random((n_styles, size, size, 3)).astype(np.float32)
+    for s in range(n_styles):
+        stripe = (np.arange(size) // 4 % 2).astype(np.float32)
+        base[s, :, :, s % 3] = 0.7 * stripe[None, :] + 0.3 * base[s, :, :, s % 3]
+    return base
+
+
+def run_stl(seeds: List[int], out_dir: str, steps: int = 600,
+            n_styles: int = 16, size: int = 32) -> Dict:
+    from esrecsys_tpu.workloads import stl as sw
+
+    data_rng = np.random.default_rng(777)
+    base = _stl_images(data_rng, n_styles, size)
+
+    def triplet_batch(rng, b):
+        s = rng.integers(0, n_styles, b)
+        neg = (s + 1 + rng.integers(0, n_styles - 1, b)) % n_styles
+        noise = lambda: rng.normal(0, 0.05, (b, size, size, 3)).astype(np.float32)
+        return (base[s] + noise(), base[s] + noise(), base[neg] + noise())
+
+    configs = {
+        "reference_shape": dict(batch_size=16, use_bf16=False),
+        "fast": dict(batch_size=64, use_bf16=True),
+    }
+    results = {}
+    for name, overrides in configs.items():
+        per_seed = []
+        for seed in seeds:
+            cfg = sw.STLConfig(image_size=size, output_size=64,
+                               filters=(16, 32), learning_rate=1e-4,
+                               regularization=0.2, seed=seed, **overrides)
+            model, state = sw.init_state(cfg)
+            step = jax.jit(sw.make_train_step(cfg), donate_argnums=0)
+            rng = np.random.default_rng(seed + 5)
+            t0 = time.time()
+            for _ in range(steps):
+                s_, p_, n_ = triplet_batch(rng, cfg.batch_size)
+                state, _ = step(state, (jnp.asarray(s_), jnp.asarray(p_),
+                                        jnp.asarray(n_)))
+            erng = np.random.default_rng(31337)
+            ev = jax.jit(sw.make_eval_step(cfg))
+            eval_losses = []
+            for _ in range(16):
+                s_, p_, n_ = triplet_batch(erng, cfg.batch_size)
+                em = ev(state, (jnp.asarray(s_), jnp.asarray(p_),
+                                jnp.asarray(n_)))
+                eval_losses.append(float(jax.device_get(em["loss"])))
+            per_seed.append({
+                "seed": seed,
+                "eval_triplet_loss": float(np.mean(eval_losses)),
+                "train_seconds": round(time.time() - t0, 1),
+                "steps": steps,
+            })
+            log.info("stl %s seed %d: %s", name, seed, per_seed[-1])
+        results[name] = per_seed
+    _dump(out_dir, "stl", results, {
+        "steps": steps, "styles": n_styles, "image_size": size,
+        "metric": "held-out triplet eval loss (per-example, margin 1.0)"})
+    return results
+
+
+# ------------------------------------------------------------- common
+
+def _dump(out_dir: str, workload: str, results: Dict, meta: Dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"parity_{workload}.json")
+    with open(path, "w") as f:
+        json.dump({"meta": meta, "results": results}, f, indent=2)
+    log.info("wrote %s", path)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, force=True)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workload", default="all",
+                   choices=["all", "playlist", "glove", "stl"])
+    p.add_argument("--out_dir", default="/tmp/parity")
+    p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--playlist_examples", type=int, default=400_000)
+    p.add_argument("--glove_steps", type=int, default=20_000)
+    p.add_argument("--stl_steps", type=int, default=600)
+    args = p.parse_args(argv)
+    seeds = list(range(args.seeds))
+    if args.workload in ("all", "playlist"):
+        run_playlist(seeds, args.out_dir, examples=args.playlist_examples)
+    if args.workload in ("all", "glove"):
+        run_glove(seeds, args.out_dir, steps=args.glove_steps)
+    if args.workload in ("all", "stl"):
+        run_stl(seeds, args.out_dir, steps=args.stl_steps)
+
+
+if __name__ == "__main__":
+    main()
