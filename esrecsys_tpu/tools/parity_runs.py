@@ -86,7 +86,8 @@ def _playlist_batch(rng, b, c, m, pools, album_of, artist_of):
 
 
 def run_playlist(seeds: List[int], out_dir: str, examples: int = 400_000,
-                 eval_playlists: int = 1024) -> Dict:
+                 eval_playlists: int = 1024, fast_lr: float = 0.3,
+                 configs_filter=None) -> Dict:
     from esrecsys_tpu.workloads import playlist as pl
     from esrecsys_tpu.core import prng
 
@@ -108,11 +109,17 @@ def run_playlist(seeds: List[int], out_dir: str, examples: int = 400_000,
             batch_size=1, num_negatives=64, shared_negatives=False,
             sparse_updates=False, momentum=0.98, learning_rate=1e-3,
             steps_per_call=512), 1),
+        # fast-config lr is retuned for its batch size: the loss is a batch
+        # MEAN, so per-row gradients shrink ~1/B vs the B=1 reference, and
+        # momentum=0 drops the reference's 1/(1-0.98)=50x velocity gain —
+        # lr must make up the difference (swept in PARITY_RUNS.md)
         "fast": (dict(
             batch_size=2048, num_negatives=512, shared_negatives=True,
-            sparse_updates=True, momentum=0.0, learning_rate=1e-3,
+            sparse_updates=True, momentum=0.0, learning_rate=fast_lr,
             compute_dtype="bfloat16", steps_per_call=8), 64),
     }
+    if configs_filter:
+        configs = {k: v for k, v in configs.items() if k in configs_filter}
     results = {}
     for name, (overrides, ex_mult) in configs.items():
         per_seed = []
@@ -169,7 +176,8 @@ def run_playlist(seeds: List[int], out_dir: str, examples: int = 400_000,
 # ------------------------------------------------------------- glove
 
 def run_glove(seeds: List[int], out_dir: str, steps: int = 20_000,
-              vocab: int = 20_000, gt_dim: int = 16) -> Dict:
+              vocab: int = 20_000, gt_dim: int = 16, fast_lr: float = 2e-3,
+              fast_steps_mult: float = 2.5, configs_filter=None) -> Dict:
     from esrecsys_tpu.workloads import glove as gw
     from esrecsys_tpu.ops import losses
 
@@ -196,12 +204,19 @@ def run_glove(seeds: List[int], out_dir: str, steps: int = 20_000,
         count = np.power(10.0, 2.5 * dot) - 1.0
         return (i, j), count.astype(np.float32)
 
+    # equal-chip-time: packed lazy-adam steps are ~2.5x faster, so the fast
+    # config runs fast_steps_mult more steps in the same device seconds;
+    # LazyAdam also wants a higher lr than dense Adam (idle rows keep stale
+    # first moments instead of decaying them — swept in PARITY_RUNS.md)
     configs = {
-        "reference_shape": dict(optimizer="adam", learning_rate=5e-4),
-        "fast": dict(optimizer="lazy_adam", learning_rate=5e-4),
+        "reference_shape": (dict(optimizer="adam", learning_rate=5e-4), 1.0),
+        "fast": (dict(optimizer="lazy_adam", learning_rate=fast_lr),
+                 fast_steps_mult),
     }
+    if configs_filter:
+        configs = {k: v for k, v in configs.items() if k in configs_filter}
     results = {}
-    for name, overrides in configs.items():
+    for name, (overrides, steps_mult) in configs.items():
         per_seed = []
         for seed in seeds:
             cfg = gw.GloveConfig(feature_size=64, batch_size=B, seed=seed,
@@ -223,8 +238,9 @@ def run_glove(seeds: List[int], out_dir: str, steps: int = 20_000,
 
             multi = jax.jit(multi_fn)
             rng = np.random.default_rng(seed + 17)
+            n_steps = int(steps * steps_mult)
             t0 = time.time()
-            for _ in range(steps // 32):
+            for _ in range(n_steps // 32):
                 bs = [batch_of(rng) for _ in range(32)]
                 xs = (jnp.asarray(np.stack([b[0][0] for b in bs])),
                       jnp.asarray(np.stack([b[0][1] for b in bs])),
@@ -251,7 +267,7 @@ def run_glove(seeds: List[int], out_dir: str, steps: int = 20_000,
                 "eval_loss": float(np.mean(eval_losses)),
                 "probe_nn_overlap@10": float(overlap),
                 "train_seconds": round(time.time() - t0, 1),
-                "steps": steps,
+                "steps": n_steps,
             })
             log.info("glove %s seed %d: %s", name, seed, per_seed[-1])
         results[name] = per_seed
