@@ -231,6 +231,70 @@ def topk_over_matrix(
     return chunked_topk(score_block, num_items, k, block)
 
 
+def approx_topk_over_matrix(
+    queries: jax.Array,  # (B, D)
+    items: jax.Array,    # (M, D)
+    k: int,
+    block_size: int = 262_144,
+    recall_target: float = 0.95,
+    per_block_k: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate streaming top-k via the TPU's hardware-accelerated
+    ``jax.lax.approx_max_k`` (PartialReduce), with an exact high-precision
+    rescore of the selected candidates.
+
+    Measured on v5e at 2.26M items, B=256, k=500 (BENCHMARKS.md): 3.7x the
+    exact grouped path (11.7k vs 3.1k queries/s) at ~0.956 recall@500 vs the
+    exact result — the speed/recall knob the exact path cannot offer
+    (pushing ``recall_target`` toward 0.99 makes approx_max_k SLOWER than
+    exact selection at this k; ~0.95 is the sweet spot).
+
+    ``per_block_k`` (default ``min(k, 256)``) candidates are kept per
+    streamed block. The default assumes top-k items spread across blocks
+    (random/hashed item order); for corpora where more than ``per_block_k``
+    of the true top k can land in ONE block (e.g. catalog sorted by
+    popularity), pass ``per_block_k=k``.
+
+    Serving uses this behind ``RetrievalService(approx=True)``; evals keep
+    the exact path so quality metrics stay exact (PARITY_RUNS.md).
+    """
+    num_items = items.shape[0]
+    dim = items.shape[-1]
+    block = min(block_size, pad_to_multiple(num_items, 128))
+    padded_rows = pad_to_multiple(num_items, block)
+    if padded_rows != num_items:
+        items = jnp.pad(items, ((0, padded_rows - num_items), (0, 0)))
+    nblk = padded_rows // block
+    kb = min(per_block_k or min(k, 256), block)
+    qb = queries.astype(jnp.bfloat16)
+
+    def body(_, b):
+        blk = jax.lax.dynamic_slice_in_dim(items, b * block, block, axis=0)
+        s = jnp.einsum("bd,md->bm", qb, blk.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+        s = jnp.where(b * block + loc < num_items, s, NEG_INF)
+        _, i = jax.lax.approx_max_k(s, kb, recall_target=recall_target)
+        return (), i + b * block
+
+    _, cand = jax.lax.scan(body, (), jnp.arange(nblk))  # (nblk, B, kb)
+    cand = jnp.moveaxis(cand, 0, -2).reshape(queries.shape[:-1] + (nblk * kb,))
+    rows = jnp.take(items, jnp.minimum(cand, num_items - 1), axis=0)
+    cs = jnp.einsum("bd,bnd->bn", queries, rows,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    cs = jnp.where(cand < num_items, cs, NEG_INF)
+    k_eff = min(k, nblk * kb)
+    vals, sel = jax.lax.top_k(cs, k_eff)
+    idxs = jnp.take_along_axis(cand, sel, axis=-1)
+    if k_eff < k:
+        pad = k - k_eff
+        vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)],
+                       constant_values=NEG_INF)
+        idxs = jnp.pad(idxs, [(0, 0)] * (idxs.ndim - 1) + [(0, pad)])
+    return vals, idxs
+
+
 def sharded_topk_over_matrix(
     queries: jax.Array,  # (B, D) replicated
     items: jax.Array,    # (M, D), M divisible by model-axis size

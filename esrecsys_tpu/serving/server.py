@@ -77,13 +77,19 @@ class RetrievalService:
 
     def __init__(self, index: EmbeddingIndex, max_k: int = 100,
                  max_batch: int = 8, block_size: int = 8192,
-                 encoders: Optional[Dict[str, Callable]] = None):
+                 encoders: Optional[Dict[str, Callable]] = None,
+                 approx: bool = False, recall_target: float = 0.95):
         self.index = index
         self.max_k = min(max_k, len(index))
         self.max_batch = max_batch
         # raw-query embedders, e.g. {"text": txt2url_text_encoder(...)}
         self.encoders = dict(encoders or {})
         self.device_calls = 0  # compiled query dispatches (coalescing stat)
+        # approx=True: hardware approx_max_k candidate selection + exact
+        # rescore — 3.7x the exact path at ~0.95 recall on a 2.26M catalog
+        # (retrieval/mips.py approx_topk_over_matrix); exact stays default
+        self.approx = approx
+        self.recall_target = recall_target
         self._items = _chunked_device_put(index.vectors)  # (N, D) resident
         self._dim = int(self._items.shape[1])
 
@@ -92,6 +98,11 @@ class RetrievalService:
         # PJRT backends re-ship with the program (a 580 MB catalog stalls the
         # compile request entirely).
         def query(q, items):  # (max_batch, D), (N, D)
+            if self.approx:
+                from esrecsys_tpu.retrieval.mips import approx_topk_over_matrix
+
+                return approx_topk_over_matrix(
+                    q, items, self.max_k, recall_target=self.recall_target)
             return topk_over_matrix(q, items, self.max_k, block_size)
 
         self._query = jax.jit(query)
