@@ -69,7 +69,7 @@ def main():
     # bf16 scoring einsums with f32 accumulation, and a 32-step device loop
     # (fit(steps_per_call=32)) to amortize host dispatch — all framework
     # features the reference lacks. (B/N swept on-chip; see BENCHMARKS.md.)
-    B, SPC = 2048, 32
+    B, SPC = 2048, 64
     cfg = pl.PlaylistConfig(
         feature_size=32, album_hash_buckets=NUM_ALBUMS, num_artists=NUM_ARTISTS,
         num_negatives=512, batch_size=B, context_size=C, max_next=M,
