@@ -116,6 +116,14 @@ def make_mesh_for_batch(global_batch: int, n_model: int = 1) -> Mesh:
     if avail % n_model:
         raise ValueError(f"{avail} devices not divisible by n_model={n_model}")
     n_data = math.gcd(avail // n_model, max(1, global_batch))
+    if jax.process_count() > 1 and n_data * n_model != avail:
+        # shrinking the mesh would drop whole hosts' devices and break
+        # global-batch assembly; multi-host runs must pick a batch size
+        # divisible by the device count
+        raise ValueError(
+            f"global batch {global_batch} does not divide over "
+            f"{avail} devices x {jax.process_count()} processes; "
+            f"choose a batch divisible by {avail // n_model}")
     return make_mesh(n_data=n_data, n_model=n_model,
                      devices=jax.devices()[: n_data * n_model])
 

@@ -32,6 +32,10 @@ class Glove(nn.Module):
     num_embeddings: int = 1024
     features: int = 64
     mesh: Optional[Mesh] = None
+    # rows >= valid_rows are padding (tables padded to 128-multiples for the
+    # packed physical layout, workloads/glove.py init_state); score_all masks
+    # them so untrained init noise never surfaces as a nearest neighbor
+    valid_rows: Optional[int] = None
 
     def setup(self):
         self.token_embedding = TableEmbed(
@@ -62,10 +66,15 @@ class Glove(nn.Module):
         return dot + b1 + b2
 
     def score_all(self, tokens: jax.Array) -> jax.Array:
-        """Dot of each query token's embedding vs every row: (B, rows).
+        """Dot of each query token's embedding vs every row: (B, rows);
+        padding rows (>= ``valid_rows``) score -inf.
 
         Bias is excluded, matching reference ``score_all``
         (wikipedia/models.py:40-55) — KNN there is by raw dot product.
         """
         query = self.token_embedding(tokens)
-        return self.token_embedding.attend(query)
+        scores = self.token_embedding.attend(query)
+        if self.valid_rows is not None and self.valid_rows < scores.shape[-1]:
+            col = jnp.arange(scores.shape[-1])
+            scores = jnp.where(col < self.valid_rows, scores, -jnp.inf)
+        return scores

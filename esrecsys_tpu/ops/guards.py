@@ -16,8 +16,7 @@ ids straight into torch embedding lookups). Guard modes:
     host, so a bad id fails loudly with the offending table name
     (tests/test_guards.py).
 
-Set via ``set_mode()``, the ``ESRECSYS_ID_CHECKS`` env var, or the
-``id_checks`` field of workload configs. Checks sit at the central lookup
+Set via ``set_mode()`` or the ``ESRECSYS_ID_CHECKS`` env var. Checks sit at the central lookup
 boundary (:class:`esrecsys_tpu.models.layers.TableEmbed`) and at the raw
 ``jnp.take``/scatter sites of the sparse train steps.
 """

@@ -32,9 +32,14 @@ f32; duplicates of a row sum inside one dot rather than sequentially.
 ``scatter_add_rows`` is the public entry; it falls back to
 ``table.at[ids].add`` off-TPU or for unsupported shapes.
 
-Measured on v5e at bench shapes (BENCHMARKS.md): 2.9-4.7x XLA scatter at
-bf16x2 on the flagship tables; the playlist sparse train step uses it by
-default (workloads/playlist.py, cfg.mxu_scatter).
+STATUS — measured on v5e at bench shapes (BENCHMARKS.md): parity with XLA's
+scatter at best for the flagship tables (the one-hot reformulation pays
+~block_rows·128/n fake FLOPs per applied row plus 1024-aligned DMA
+over-fetch), so XLA's scatter remains the default in every train step; the
+production-path scatter win came from the packed physical VIEW instead
+(:func:`packed_scatter_add` below, ops/optim.py packed lazy updates). The
+kernel is kept, tested (interpret + hardware), and documented as the
+block-matmul scatter pattern — it wins when D=128 and segments are dense.
 
 Reference context: the reference's embedding updates are dense torch/keras
 optimizer passes (spotify/train_spotify.py:238-243); no sparse-update path
@@ -208,7 +213,7 @@ def packed_scatter_add(
     slot, duplicate ids accumulate exactly as the logical scatter would.
     """
     rows, dim = table.shape
-    pack = 128 // dim
+    pack = 128 // dim if dim and 128 % dim == 0 else 1
     if pack <= 1 or dim * rows % 128:
         return table.at[ids].add(updates.astype(table.dtype))
     n = ids.shape[0]
@@ -233,7 +238,7 @@ def auto_scatter_add(table: jax.Array, ids: jax.Array,
     ``at[].add`` otherwise. Both are exact; see :func:`packed_scatter_add`.
     """
     rows, dim = table.shape
-    pack = 128 // dim if dim <= 128 else 1
+    pack = 128 // dim if dim and 128 % dim == 0 else 1
     if pack > 1 and rows >= PACKED_SCATTER_MIN_ROWS and (dim * rows) % 128 == 0:
         return packed_scatter_add(table, ids, updates)
     return table.at[ids].add(updates.astype(table.dtype))

@@ -265,7 +265,10 @@ def approx_topk_over_matrix(
     if padded_rows != num_items:
         items = jnp.pad(items, ((0, padded_rows - num_items), (0, 0)))
     nblk = padded_rows // block
-    kb = min(per_block_k or min(k, 256), block)
+    # per-block candidates: never fewer than ceil(k/nblk), or small catalogs
+    # (k > nblk*default) would silently pad real results away
+    kb = per_block_k or max(-(-k // nblk), min(k, 256))
+    kb = min(kb, block)
     qb = queries.astype(jnp.bfloat16)
 
     def body(_, b):

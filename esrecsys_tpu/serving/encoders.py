@@ -49,14 +49,17 @@ def txt2url_text_encoder(
         url_dim=int(meta["url_dim"]),
         encoder_type=meta.get("encoder_type", "lstm"),
     )
+    # params are jit ARGUMENTS, not closures: closed-over arrays become
+    # program constants the tunneled backend re-ships per call (CLAUDE.md;
+    # the ~1M-row url table alone can exceed the 256 MB compile cap)
     jparams = jax.tree_util.tree_map(jnp.asarray, params)
-    encode = jax.jit(lambda tokens: model.apply(
-        {"params": jparams}, tokens, method=Txt2UrlModel.encode_text))
+    encode = jax.jit(lambda tokens, p: model.apply(
+        {"params": p}, tokens, method=Txt2UrlModel.encode_text))
 
     def encoder(text: str) -> np.ndarray:
         ids = vocab.embedding_indices(simple_tokenize(text))[:L]
         row = np.asarray(ids + [0] * (L - len(ids)), np.int32)[None, :]
-        return np.asarray(jax.device_get(encode(row)))[0]
+        return np.asarray(jax.device_get(encode(row, jparams)))[0]
 
     return encoder
 
@@ -78,15 +81,16 @@ def stl_image_encoder(
                      filters=tuple(meta["filters"]))
     method = (STLModel.get_scene_embed if tower == "scene"
               else STLModel.get_product_embed)
+    # variables as jit arguments, not closures (see txt2url note above)
     variables = {
         "params": jax.tree_util.tree_map(jnp.asarray, params),
         "batch_stats": jax.tree_util.tree_map(jnp.asarray, batch_stats),
     }
-    embed = jax.jit(lambda img: model.apply(variables, img, method=method))
+    embed = jax.jit(lambda img, v: model.apply(v, img, method=method))
 
     def encoder(key: str) -> np.ndarray:
         it = images_lib.keyed_image_dataset([key], image_dir, 1, size)
         _, img, _ = next(iter(it))
-        return np.asarray(jax.device_get(embed(jnp.asarray(img))))[0]
+        return np.asarray(jax.device_get(embed(jnp.asarray(img), variables)))[0]
 
     return encoder

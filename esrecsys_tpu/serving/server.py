@@ -102,7 +102,8 @@ class RetrievalService:
                 from esrecsys_tpu.retrieval.mips import approx_topk_over_matrix
 
                 return approx_topk_over_matrix(
-                    q, items, self.max_k, recall_target=self.recall_target)
+                    q, items, self.max_k, block_size=max(block_size, 8192),
+                    recall_target=self.recall_target)
             return topk_over_matrix(q, items, self.max_k, block_size)
 
         self._query = jax.jit(query)

@@ -24,12 +24,25 @@ import jax
 import numpy as np
 
 
+def _host_value(leaf: Any) -> np.ndarray:
+    """Leaf → full numpy value, assembling multi-host-sharded arrays.
+
+    Model-sharded tables under multi-host span non-addressable devices;
+    ``device_get`` alone would raise — gather them through the distributed
+    client first."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(jax.device_get(leaf))
+
+
 def _flatten(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = "/".join(
             str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        flat[f"{prefix}/{key}"] = np.asarray(jax.device_get(leaf))
+        flat[f"{prefix}/{key}"] = _host_value(leaf)
     return flat
 
 
@@ -63,14 +76,17 @@ def export_model(
     addressable via device_get of the global array). Returns the path
     (None on non-zero processes).
     """
+    # the flatten below may all-gather non-addressable shards, which is a
+    # COLLECTIVE — every process must participate; only the file write is
+    # process-0-only
+    payload = _flatten(params, "params")
+    if batch_stats is not None:
+        payload.update(_flatten(batch_stats, "batch_stats"))
     if jax.process_count() > 1 and jax.process_index() != 0:
         return None
     out_dir = os.path.join(work_dir, "artifacts")
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{name}-{int(step):08d}.npz")
-    payload = _flatten(params, "params")
-    if batch_stats is not None:
-        payload.update(_flatten(batch_stats, "batch_stats"))
     payload["__meta__"] = np.frombuffer(
         json.dumps({"name": name, "step": int(step), **(metadata or {})}).encode(),
         dtype=np.uint8)

@@ -133,8 +133,25 @@ def fit(
 
     step_fn, _throws = _guards.wrap_step_if_checking(step_fn)
     jit_train = jax.jit(step_fn, donate_argnums=donate)
-    jit_eval = jax.jit(eval_step) if eval_step is not None else None
-    jit_eval_setup = jax.jit(eval_setup_fn) if eval_setup_fn is not None else None
+    # eval/setup contain the same guarded lookups: functionalize them too in
+    # error mode or their checkify.check calls fail at trace time
+    def _jit_checked(fn):
+        if fn is None:
+            return None
+        wrapped, throws = _guards.wrap_step_if_checking(fn)
+        jitted = jax.jit(wrapped)
+        if not throws:
+            return jitted
+
+        def call(*args):
+            err, out = jitted(*args)
+            err.throw()
+            return out
+
+        return call
+
+    jit_eval = _jit_checked(eval_step)
+    jit_eval_setup = _jit_checked(eval_setup_fn)
 
     timer = (
         StepTimer(examples_per_step * spc, window=max(log_every // spc, 1))

@@ -276,8 +276,10 @@ def init_state(cfg: GloveConfig, num_embeddings: int, mesh) -> Tuple[Glove, Trai
     # view (ops/optim.py pack_rows — the packed lazy-adam layout) and row
     # sharding divides evenly. Pad rows are unreachable by valid token ids;
     # knn() masks them out of neighbor dumps.
+    valid_rows = num_embeddings
     num_embeddings = -(-num_embeddings // 128) * 128
-    model = Glove(num_embeddings=num_embeddings, features=cfg.feature_size, mesh=mesh)
+    model = Glove(num_embeddings=num_embeddings, features=cfg.feature_size,
+                  mesh=mesh, valid_rows=valid_rows)
     key = prng.stream(prng.base_key(cfg.seed), prng.STREAM_INIT)
     dummy = jnp.zeros((2,), jnp.int32)
     params = model.init(key, (dummy, dummy))["params"]

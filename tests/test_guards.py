@@ -75,3 +75,26 @@ def test_error_mode_table_embed_boundary():
     err, _ = checked(jnp.asarray([1, 99], jnp.int32))
     with pytest.raises(Exception, match="out of range"):
         err.throw()
+
+
+def test_error_mode_eval_step_is_functionalized():
+    """Eval steps contain the same guarded lookups; fit must checkify them
+    too (regression: eval used to crash at trace time in error mode)."""
+    import numpy as np
+
+    from esrecsys_tpu.train import fit
+    from esrecsys_tpu.workloads import glove as gw
+
+    guards.set_mode("error")
+    cfg = gw.GloveConfig(feature_size=4, optimizer="adam", batch_size=4)
+    model, state = gw.init_state(cfg, num_embeddings=16, mesh=None)
+
+    def batches():
+        t = np.asarray([1, 2, 3, 4], np.int32)
+        while True:
+            yield (t, t), np.ones(4, np.float32)
+
+    res = fit(state, gw.select_train_step(model, cfg), batches(), num_steps=2,
+              eval_step=gw.make_eval_step(model), eval_iter_fn=batches,
+              eval_every=2, eval_steps=1)
+    assert np.isfinite(res.last_eval_metrics["eval_loss"])

@@ -194,3 +194,20 @@ def test_approx_topk_k_exceeds_candidates_pads():
     v, i = approx_topk_over_matrix(q, items, 50, block_size=64, per_block_k=16)
     assert v.shape == (2, 50) and i.shape == (2, 50)
     assert bool(jnp.isneginf(v[:, -1]).all())  # padded tail
+
+
+def test_approx_topk_small_catalog_returns_real_items():
+    """k larger than the default per-block candidates on a single-block
+    catalog must still return k REAL items (regression: results were
+    silently padded with id 0 / -inf)."""
+    import numpy as np
+
+    from esrecsys_tpu.retrieval.mips import approx_topk_over_matrix
+
+    rng = np.random.default_rng(2)
+    M, K = 2000, 500
+    items = jnp.asarray(rng.normal(size=(M, 8)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(2, 8)), jnp.float32)
+    v, i = approx_topk_over_matrix(q, items, K, block_size=262144)
+    assert bool(jnp.isfinite(v).all())
+    assert len(set(np.asarray(i)[0].tolist())) == K  # k distinct real items

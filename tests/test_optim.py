@@ -153,3 +153,22 @@ def test_pack_unpack_roundtrip():
     a = jnp.asarray(rng.normal(size=(256, 32)).astype(np.float32))
     np.testing.assert_array_equal(
         np.asarray(optim.unpack_rows(optim.pack_rows(a), 32)), np.asarray(a))
+
+
+def test_auto_scatter_add_non_divisor_dim_falls_back():
+    """D that doesn't divide 128 must use the plain scatter (regression:
+    the packed path crashed reshaping (n, pack, 48))."""
+    rng = np.random.default_rng(8)
+    from esrecsys_tpu.ops import scatter as sc
+
+    old = sc.PACKED_SCATTER_MIN_ROWS
+    sc.PACKED_SCATTER_MIN_ROWS = 100
+    try:
+        table = jnp.asarray(rng.normal(size=(384, 48)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, 384, 16), jnp.int32)
+        upd = jnp.asarray(rng.normal(size=(16, 48)).astype(np.float32))
+        got = sc.auto_scatter_add(table, ids, upd)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(table.at[ids].add(upd)), rtol=1e-6)
+    finally:
+        sc.PACKED_SCATTER_MIN_ROWS = old
