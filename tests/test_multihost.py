@@ -162,3 +162,43 @@ def test_process_local_files_partition(monkeypatch):
     # starvation guard: fewer files than processes -> fall back to all
     monkeypatch.setattr(jax, "process_index", lambda: 2)
     assert mesh_lib.process_local_files(["only1", "only2"]) == ["only1", "only2"]
+
+
+def test_two_process_model_sharded_export(tmp_path):
+    """Model-sharded tables spanning BOTH processes: training runs, and the
+    final artifact export process_allgathers the non-addressable shards
+    (train/export.py _host_value) instead of crashing at device_get."""
+    pattern, dict_path = _write_corpus(tmp_path)
+    cfg = _cfg(tmp_path, pattern, dict_path, "mh2")
+    cfg["n_model_shards"] = 2
+    cfg["steps_per_epoch"] = 4
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+             REPO, json.dumps(cfg)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    from esrecsys_tpu.train import latest_artifact, load_model
+
+    art = latest_artifact(str(tmp_path / "mh2"), "glove")
+    assert art is not None
+    params, _, meta = load_model(art)
+    table = params["token_embedding"]["embedding"]
+    assert table.shape[0] % 128 == 0 and np.isfinite(table).all()
+    assert meta["step"] == 4
