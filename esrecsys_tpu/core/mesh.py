@@ -65,8 +65,14 @@ def distributed_init_if_needed(
             or env.get("COORDINATOR_ADDRESS"))
     nproc = num_processes if num_processes is not None else env.get("JAX_NUM_PROCESSES")
     pid = process_id if process_id is not None else env.get("JAX_PROCESS_ID")
-    if addr is None and nproc is None:
+    if addr is None and nproc is None and pid is None:
         return False  # no coordinates: plain single-process run
+    if addr is None or nproc is None:
+        raise ValueError(
+            "partial multi-host coordinates: need both "
+            "JAX_COORDINATOR_ADDRESS and JAX_NUM_PROCESSES "
+            f"(got coordinator_address={addr!r}, num_processes={nproc!r}, "
+            f"process_id={pid!r})")
     jax.distributed.initialize(
         coordinator_address=addr,
         num_processes=int(nproc) if nproc is not None else None,
@@ -201,8 +207,16 @@ def process_local_files(files: Sequence[str]) -> list:
 def process_local_slice(items: Sequence) -> list:
     """Example-level multi-host sharding: deterministic ``p::n`` slice in the
     given order (for datasets that are a list of examples rather than files,
-    e.g. STL image triplets). Identity on a single process."""
-    return list(items)[jax.process_index()::jax.process_count()]
+    e.g. STL image triplets). Identity on a single process. Starvation
+    guard as in :func:`process_local_files`: an empty slice falls back to
+    all items so the starved host doesn't hang the collective."""
+    mine = list(items)[jax.process_index()::jax.process_count()]
+    if not mine and items:
+        log.warning(
+            "process %d/%d got 0 of %d examples — falling back to all",
+            jax.process_index(), jax.process_count(), len(items))
+        return list(items)
+    return mine
 
 
 def process_local_batch(global_batch: int) -> int:

@@ -97,6 +97,9 @@ def lazy_momentum_update(
     lr: float,
     mu: float,
     step: jax.Array,       # current global step (0-based)
+    rows_sharded: bool = False,  # True when the table is row-sharded over
+    # ``model`` — disables the packed-view scatter (reshape would cross the
+    # sharded dimension; tracers hide sharding so callers must say)
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One exact sparse SGD-momentum step on the touched rows.
 
@@ -134,8 +137,10 @@ def lazy_momentum_update(
 
     # scatter strategy (plain vs packed physical view) picked by shape —
     # big narrow tables are in XLA's slow per-row regime (ops/scatter.py)
-    new_table = auto_scatter_add(table, sids, delta)
-    new_mom = auto_scatter_add(state["momentum"], sids, (m_new - m_rows) * w)
+    ap = not rows_sharded
+    new_table = auto_scatter_add(table, sids, delta, allow_packed=ap)
+    new_mom = auto_scatter_add(state["momentum"], sids, (m_new - m_rows) * w,
+                               allow_packed=ap)
     new_last = state["last_step"].at[sids].max(
         jnp.where(first, step + 1, 0).astype(jnp.int32))
     return new_table, {"momentum": new_mom, "last_step": new_last}
@@ -178,6 +183,7 @@ def lazy_adam_update(
     b2: float = 0.999,
     eps: float = 1e-8,
     step: jax.Array,  # 0-based global step
+    rows_sharded: bool = False,  # see lazy_momentum_update
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """TF-LazyAdam: update moments and params only for touched rows.
 
@@ -207,9 +213,12 @@ def lazy_adam_update(
     # the state dtype keep adam_init(dtype=bfloat16) (the documented
     # HBM-saving option) from scatter-adding f32 into bf16 (FutureWarning,
     # later an error)
-    new_table = auto_scatter_add(table, sids, delta)
-    new_m = auto_scatter_add(state["m"], sids, (m_new - m_rows) * w)
-    new_v = auto_scatter_add(state["v"], sids, (v_new - v_rows) * w)
+    ap = not rows_sharded
+    new_table = auto_scatter_add(table, sids, delta, allow_packed=ap)
+    new_m = auto_scatter_add(state["m"], sids, (m_new - m_rows) * w,
+                             allow_packed=ap)
+    new_v = auto_scatter_add(state["v"], sids, (v_new - v_rows) * w,
+                             allow_packed=ap)
     return new_table, {"m": new_m, "v": new_v}
 
 

@@ -230,16 +230,20 @@ def packed_scatter_add(
 PACKED_SCATTER_MIN_ROWS = 400_000
 
 
-def auto_scatter_add(table: jax.Array, ids: jax.Array,
-                     updates: jax.Array) -> jax.Array:
+def auto_scatter_add(table: jax.Array, ids: jax.Array, updates: jax.Array,
+                     allow_packed: bool = True) -> jax.Array:
     """Pick the measured-faster scatter-add strategy by shape.
 
     Packed view for narrow rows on big tables (the slow XLA regime), plain
     ``at[].add`` otherwise. Both are exact; see :func:`packed_scatter_add`.
+    Pass ``allow_packed=False`` for row-sharded tables: the packed reshape
+    crosses the sharded row dimension and GSPMD would re-gather the table
+    every step (tracers hide sharding, so the caller must say).
     """
     rows, dim = table.shape
     pack = 128 // dim if dim and 128 % dim == 0 else 1
-    if pack > 1 and rows >= PACKED_SCATTER_MIN_ROWS and (dim * rows) % 128 == 0:
+    if (allow_packed and pack > 1 and rows >= PACKED_SCATTER_MIN_ROWS
+            and (dim * rows) % 128 == 0):
         return packed_scatter_add(table, ids, updates)
     return table.at[ids].add(updates.astype(table.dtype))
 

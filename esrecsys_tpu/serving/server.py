@@ -101,8 +101,12 @@ class RetrievalService:
             if self.approx:
                 from esrecsys_tpu.retrieval.mips import approx_topk_over_matrix
 
+                # approx path wants LARGE blocks (few scan iterations, few
+                # candidates to rescore) — the 11.7k q/s number was measured
+                # at 262144; the exact path's small-block default would
+                # explode nblk*per_block_k rescore work
                 return approx_topk_over_matrix(
-                    q, items, self.max_k, block_size=max(block_size, 8192),
+                    q, items, self.max_k, block_size=max(block_size, 262_144),
                     recall_target=self.recall_target)
             return topk_over_matrix(q, items, self.max_k, block_size)
 
@@ -172,9 +176,15 @@ class QueryBatcher:
 
     def submit(self, vector: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Blocking: one (D,) query → (ids (k,), scores (k,))."""
+        vec = np.asarray(vector, np.float32)
+        if vec.shape != (self.service.dim,):
+            # validate BEFORE enqueueing: a malformed query must fail alone,
+            # not poison the whole coalesced batch it would ride in
+            raise ValueError(
+                f"query shape {vec.shape} != ({self.service.dim},)")
         done = threading.Event()
         slot: dict = {"k": k}
-        self._q.put((np.asarray(vector, np.float32), done, slot))
+        self._q.put((vec, done, slot))
         done.wait()
         if "err" in slot:
             raise slot["err"]

@@ -157,12 +157,13 @@ def make_lazy_adam_train_step(model: Glove, cfg: GloveConfig, packed: bool = Fal
             return losses.glove_loss(pred, count)
 
         loss, (g_e, g_b) = jax.value_and_grad(loss_fn, argnums=(0, 1))(rows_e, rows_b)
+        shd = cfg.n_model_shards > 1
         new_e, os_e = optim.lazy_adam_update(
             t_emb, state.opt_state["embedding"], ids, g_e,
-            lr=cfg.learning_rate, step=state.step)
+            lr=cfg.learning_rate, step=state.step, rows_sharded=shd)
         new_b, os_b = optim.lazy_adam_update(
             t_bias, state.opt_state["bias"], ids, g_b,
-            lr=cfg.learning_rate, step=state.step)
+            lr=cfg.learning_rate, step=state.step, rows_sharded=shd)
         return state.replace(
             step=state.step + 1,
             params={"token_embedding": {"embedding": new_e},
@@ -175,8 +176,15 @@ def make_lazy_adam_train_step(model: Glove, cfg: GloveConfig, packed: bool = Fal
 
 def use_packed_tables(cfg: GloveConfig) -> bool:
     """Packed physical-layout lazy-adam state: on for unsharded lazy_adam
-    (row-sharding would reshape across the sharded dimension)."""
-    return cfg.optimizer == "lazy_adam" and cfg.n_model_shards == 1
+    with a 128-divisor feature size and a multi-step device loop.
+
+    Gates: row-sharding would reshape across the sharded dimension;
+    feature sizes that don't divide 128 have no lane packing; and at
+    steps_per_call=1 the pack/unpack reshapes wrap every single step —
+    exactly the per-step reshape-around-scatter that loses more than it
+    saves (ops/optim.py pack_rows)."""
+    return (cfg.optimizer == "lazy_adam" and cfg.n_model_shards == 1
+            and 128 % cfg.feature_size == 0 and cfg.steps_per_call > 1)
 
 
 def packed_state_transforms(cfg: GloveConfig):

@@ -268,12 +268,13 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
         if cfg.momentum:
             from esrecsys_tpu.ops import optim
 
+            shd = cfg.n_model_shards > 1
             new_alb, os_alb = optim.lazy_momentum_update(
                 t_alb, state.opt_state["album"], alb_ids, g_alb,
-                lr=lr, mu=cfg.momentum, step=state.step)
+                lr=lr, mu=cfg.momentum, step=state.step, rows_sharded=shd)
             new_art, os_art = optim.lazy_momentum_update(
                 t_art, state.opt_state["artist"], art_ids, g_art,
-                lr=lr, mu=cfg.momentum, step=state.step)
+                lr=lr, mu=cfg.momentum, step=state.step, rows_sharded=shd)
             new_params["album_embed"] = {"embedding": new_alb}
             new_params["artist_embed"] = {"embedding": new_art}
             return state.replace(

@@ -193,7 +193,8 @@ def test_lazy_adam_matches_dense_when_all_rows_touched():
     from esrecsys_tpu.workloads import glove as gw
 
     cfg_d = gw.GloveConfig(feature_size=4, learning_rate=0.01, optimizer="adam")
-    cfg_l = gw.GloveConfig(feature_size=4, learning_rate=0.01, optimizer="lazy_adam")
+    cfg_l = gw.GloveConfig(feature_size=4, learning_rate=0.01, optimizer="lazy_adam",
+                           steps_per_call=2)  # packed path gated on spc>1
     model, state_d = gw.init_state(cfg_d, num_embeddings=4, mesh=None)
     _, state_l = gw.init_state(cfg_l, num_embeddings=4, mesh=None)
     dense = jax.jit(gw.select_train_step(model, cfg_d))
