@@ -49,6 +49,7 @@ def fit(
     eval_on_train: bool = False,
     state_pack: Optional[Callable[[Any], Any]] = None,
     state_unpack: Optional[Callable[[Any], Any]] = None,
+    prefetch: int = 2,
     steps_per_call: int = 1,
     mesh: Optional[Any] = None,
     profile_dir: Optional[str] = None,
@@ -97,7 +98,10 @@ def fit(
             "on training batches; pass eval_iter_fn or set eval_on_train=True"
         )
     donate = (0,) if donate_state else ()
-    spc = max(1, steps_per_call)
+    init_step = int(jax.device_get(state.step))
+    # clamp the device loop to the remaining steps so short runs (tests,
+    # debug configs) don't overshoot num_steps by up to a whole call
+    spc = max(1, min(steps_per_call, max(1, num_steps - init_step)))
     # state_pack/state_unpack: optional in-jit layout transform applied
     # around the step scan — e.g. reshaping embedding tables to their
     # 128-lane physical view so per-step scatters hit fewer target rows
@@ -166,10 +170,27 @@ def fit(
         """True when [step-spc, step] crossed a multiple of ``cadence``."""
         return cadence > 0 and (step // cadence) > ((step - spc) // cadence)
 
-    init_step = int(jax.device_get(state.step))
     steps_run = 0
     step = init_step
     profiling = False
+
+    # Host-side batch prefetch: pull + stack the next call's batches on a
+    # background thread so host prep overlaps device execution
+    # (data/prefetch.py). Disabled when eval falls back to the training
+    # iterator (eval_on_train) — the producer thread would race the eval
+    # loop's pulls.
+    def _pull_stacked():
+        while True:
+            batches = [next(train_iter) for _ in range(spc)]
+            yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+    raw_feed = _pull_stacked() if spc > 1 else train_iter
+    if prefetch > 0 and not (eval_step is not None and eval_iter_fn is None):
+        from esrecsys_tpu.data.prefetch import prefetched
+
+        feed = prefetched(raw_feed, depth=prefetch)
+    else:
+        feed = raw_feed
 
     multiproc = jax.process_count() > 1
 
@@ -201,11 +222,7 @@ def fit(
             # start after the first (compile) call so the trace is steady-state
             jax.profiler.start_trace(profile_dir)
             profiling = True
-        if spc > 1:
-            batches = [next(train_iter) for _ in range(spc)]
-            batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
-        else:
-            batch = next(train_iter)
+        batch = next(feed)
         if _throws:
             err, (state, metrics) = jit_train(state, place(batch))
             err.throw()

@@ -63,7 +63,8 @@ class GloveConfig:
     eval_steps: int = 50
     checkpoint_every_epochs: int = 5
     n_model_shards: int = 1
-    steps_per_call: int = 1
+    steps_per_call: int = 8  # multi-step device loop (amortizes dispatch;
+    # also enables the packed lazy-adam layout, see use_packed_tables)
     resume: bool = False
 
 
