@@ -202,3 +202,21 @@ def test_two_process_model_sharded_export(tmp_path):
     table = params["token_embedding"]["embedding"]
     assert table.shape[0] % 128 == 0 and np.isfinite(table).all()
     assert meta["step"] == 4
+
+
+def test_make_mesh_for_batch_refuses_to_drop_hosts(monkeypatch):
+    from esrecsys_tpu.core import mesh as mesh_lib
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="divisible"):
+        mesh_lib.make_mesh_for_batch(4)  # gcd(8,4)=4 < 8 devices
+
+
+def test_partial_coordinates_raise(monkeypatch):
+    from esrecsys_tpu.core import mesh as mesh_lib
+
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    with pytest.raises(ValueError, match="partial multi-host coordinates"):
+        mesh_lib.distributed_init_if_needed()
