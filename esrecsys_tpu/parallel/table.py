@@ -76,6 +76,12 @@ def lookup(
       strategy: "auto" (GSPMD) or "shard_map" (owner-computes + psum).
       ids_data_sharded: whether ids' leading dim is sharded over ``data``.
     """
+    from esrecsys_tpu.ops import guards
+
+    # id-range guard (ops/guards.py): the shard_map path would silently
+    # return ZERO rows for out-of-range ids (no shard owns them), the auto
+    # path would clamp — both mask corruption; error mode catches it
+    ids = guards.check_ids(ids, table.shape[0], "sharded_table")
     if mesh is None or strategy == "auto":
         if mesh is not None:
             table = jax.lax.with_sharding_constraint(
