@@ -20,6 +20,11 @@ Workloads / metrics (reference definitions):
     (a) dense Adam (reference config); (b) packed lazy-adam.
   * stl — held-out triplet eval loss (train_shop_the_look.py:111-122).
     (a) B=16 f32 (reference run, pinterest/README.md:85); (b) B=64 bf16.
+  * txt2url — text→url retrieval recall@10 over the full url table on
+    held-out sentences (the quantitative form of the reference's SentenceNN
+    probe, debug_callbacks.py:57-104) plus margin eval loss.
+    (a) LSTM encoder, B=64 (train_txt2url.py shape); (b) mean encoder,
+    B=1024 at a retuned lr.
 
 Run:  python -m esrecsys_tpu.tools.parity_runs --workload all \
           --out_dir /tmp/parity [--seeds 3]
@@ -344,6 +349,89 @@ def run_stl(seeds: List[int], out_dir: str, steps: int = 600,
     return results
 
 
+# ------------------------------------------------------------- txt2url
+
+def run_txt2url(seeds: List[int], out_dir: str, steps: int = 3000,
+                n_urls: int = 2000, n_words: int = 6000, L: int = 12,
+                fast_lr: float = 2e-3, fast_steps_mult: float = 0.6) -> Dict:
+    from esrecsys_tpu.models.txt2url import Txt2UrlModel
+    from esrecsys_tpu.workloads import txt2url as t2u
+
+    data_rng = np.random.default_rng(8888)
+    # each url owns a disjoint-ish pool of characteristic words; a sentence
+    # for url u samples u's pool — text→url retrieval is learnable
+    words_per_url = 8
+    url_words = data_rng.integers(1, n_words, (n_urls, words_per_url)).astype(np.int32)
+    # url2url dice head target: urls in the same block of 10 are related
+    def sqrt_dice_of(u1, u2):
+        return np.where(u1 // 10 == u2 // 10, 0.7, 0.05).astype(np.float32)
+
+    def batch_of(rng, b):
+        u = rng.integers(0, n_urls, b).astype(np.int32)
+        toks = url_words[u[:, None], rng.integers(0, words_per_url, (b, L))]
+        u1 = rng.integers(0, n_urls, b).astype(np.int32)
+        u2 = np.where(rng.random(b) < 0.5,
+                      (u1 // 10) * 10 + rng.integers(0, 10, b),
+                      rng.integers(0, n_urls, b)).astype(np.int32)
+        return {"url_near_text": u, "tokens": toks.astype(np.int32),
+                "url1": u1, "url2": u2, "sqrt_dice": sqrt_dice_of(u1, u2)}
+
+    eval_rng = np.random.default_rng(4242)
+    eval_batch = batch_of(eval_rng, 512)
+
+    configs = {
+        "reference_shape": (dict(encoder_type="lstm", batch_size=64,
+                                 learning_rate=1e-3), 1.0),
+        # mean encoder steps are much cheaper; equal chip-time grants it
+        # fast_steps_mult * steps at its bigger batch, lr retuned for B.
+        # text_objective=softmax: the framework's in-batch contrastive
+        # option (PARITY.md divergence note) — the reference's matched-pair
+        # margin objective has no ranking signal (measured ≈ random recall)
+        "fast": (dict(encoder_type="mean", batch_size=1024,
+                      text_objective="softmax",
+                      learning_rate=fast_lr), fast_steps_mult),
+    }
+    results = {}
+    for name, (overrides, steps_mult) in configs.items():
+        per_seed = []
+        for seed in seeds:
+            cfg = t2u.Txt2UrlConfig(word_dim=16, rnn_size=16, url_dim=16,
+                                    sentence_length=L, seed=seed, **overrides)
+            model, state = t2u.init_state(cfg, word_vocab_size=n_words,
+                                          url_vocab_size=n_urls, mesh=None)
+            step = jax.jit(t2u.make_train_step(model, cfg), donate_argnums=0)
+            rng = np.random.default_rng(seed + 3)
+            n_steps = int(steps * steps_mult)
+            t0 = time.time()
+            for _ in range(n_steps):
+                b = {k: jnp.asarray(v)
+                     for k, v in batch_of(rng, cfg.batch_size).items()}
+                state, _ = step(state, b)
+            # eval: margin loss + text→url recall@10 over the whole table
+            score_all = jax.jit(lambda s, toks: s.apply_fn(
+                {"params": s.params}, toks, method=Txt2UrlModel.score_text_vs_all))
+            scores = jax.device_get(score_all(
+                state, jnp.asarray(eval_batch["tokens"])))
+            top10 = np.argsort(-scores, axis=1)[:, :10]
+            recall = float(np.mean([
+                eval_batch["url_near_text"][i] in top10[i]
+                for i in range(top10.shape[0])]))
+            per_seed.append({
+                "seed": seed,
+                "text_url_recall@10": recall,
+                "train_seconds": round(time.time() - t0, 1),
+                "steps": n_steps,
+                "examples": n_steps * cfg.batch_size,
+            })
+            log.info("txt2url %s seed %d: %s", name, seed, per_seed[-1])
+        results[name] = per_seed
+    _dump(out_dir, "txt2url", results, {
+        "steps": steps, "urls": n_urls,
+        "metric": "text→url retrieval recall@10 over the full url table, "
+                  "512 held-out sentences (random = 10/2000 = 0.005)"})
+    return results
+
+
 # ------------------------------------------------------------- common
 
 def _dump(out_dir: str, workload: str, results: Dict, meta: Dict) -> None:
@@ -358,7 +446,7 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, force=True)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workload", default="all",
-                   choices=["all", "playlist", "glove", "stl"])
+                   choices=["all", "playlist", "glove", "stl", "txt2url"])
     p.add_argument("--out_dir", default="/tmp/parity")
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--playlist_examples", type=int, default=400_000)
@@ -372,6 +460,8 @@ def main(argv=None):
         run_glove(seeds, args.out_dir, steps=args.glove_steps)
     if args.workload in ("all", "stl"):
         run_stl(seeds, args.out_dir, steps=args.stl_steps)
+    if args.workload in ("all", "txt2url"):
+        run_txt2url(seeds, args.out_dir)
 
 
 if __name__ == "__main__":

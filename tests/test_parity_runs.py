@@ -31,3 +31,10 @@ def test_stl_parity_smoke(tmp_path):
     for rows in res.values():
         assert np.isfinite(rows[0]["eval_triplet_loss"])
     assert os.path.exists(tmp_path / "parity_stl.json")
+
+
+def test_txt2url_parity_smoke(tmp_path):
+    res = pr.run_txt2url([0], str(tmp_path), steps=12, n_urls=100, n_words=300)
+    for rows in res.values():
+        assert 0.0 <= rows[0]["text_url_recall@10"] <= 1.0
+    assert os.path.exists(tmp_path / "parity_txt2url.json")
