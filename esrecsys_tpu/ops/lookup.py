@@ -32,32 +32,40 @@ _SUPPORTED_POOLS = ("sum", "mean")
 
 
 def _pool_kernel(ids_ref, table_ref, out_ref, scratch, sems, *, block_b, k_ids,
-                 mask_id, pool):
+                 mask_id, pool, pack, d_logical):
     """One program pools ``block_b`` batch rows.
 
     All block_b × K row DMAs are launched back-to-back (the DMA engine
     pipelines them; per-row latency is amortized across the whole block),
-    then pooling runs vectorized on the VPU over the (block_b, K, D) scratch.
+    then pooling runs vectorized on the VPU over the (block_b, K, 128)
+    scratch.
 
     ids_ref:   SMEM (block_b, K) int32 — this program's id block (blocking
                the ids instead of scalar-prefetching the full (B, K) array
                keeps SMEM usage constant; a prefetched full array overflows
                the ~1 MB SMEM budget at production batch sizes)
-    table_ref: HBM (R, D)
+    table_ref: HBM (R·D/128, 128) — the table's 128-lane PHYSICAL view
+               (free reshape; ops/optim.pack_rows layout). For D < 128 a
+               logical row occupies the ``id % pack`` D-lane slot of
+               physical row ``id // pack`` (``pack = 128 // D``); the DMA
+               fetches the whole physical row (one descriptor either way —
+               random logical rows never share a physical row, so lane
+               packing trades 128-lane fetches for D-lane ones, not fewer
+               DMAs) and the slot is selected vectorized in VMEM.
     out_ref:   VMEM (block_b, D) block of the output
-    scratch:   VMEM (block_b, K, D)
+    scratch:   VMEM (block_b, K, 128)
     sems:      DMA semaphores (block_b,) — one per batch row, shared by its K
                row copies (each completion signals +1; K waits drain it).
                TPU caps semaphore scratch at ~512 entries per program, so
                per-(b, k) semaphores overflow at production block sizes.
     """
-    rows = table_ref.shape[0]
+    phys_rows = table_ref.shape[0]
     for b in range(block_b):
         for k in range(k_ids):
             # clamp: a corrupt id must not DMA outside the table (XLA's
             # gather clamps too; ops/guards.py "error" mode catches it
             # loudly at the step boundary before it ever reaches here)
-            idx = jnp.clip(ids_ref[b, k], 0, rows - 1)
+            idx = jnp.clip(ids_ref[b, k] // pack, 0, phys_rows - 1)
             pltpu.make_async_copy(
                 table_ref.at[idx],
                 scratch.at[b, k],
@@ -69,18 +77,28 @@ def _pool_kernel(ids_ref, table_ref, out_ref, scratch, sems, *, block_b, k_ids,
                 table_ref.at[0], scratch.at[b, k], sems.at[b]
             ).wait()
 
-    # Vectorized masked pool over K.
+    # Vectorized masked pool over K (+ slot select for packed layouts).
     ids_block = jnp.stack(
         [
             jnp.stack([ids_ref[b, k] for k in range(k_ids)])
             for b in range(block_b)
         ]
     )  # (block_b, K) from SMEM scalars
-    valid = (ids_block != mask_id).astype(jnp.float32)[..., None]
-    acc = jnp.sum(scratch[...] * valid, axis=1)  # (block_b, D)
+    valid = (ids_block != mask_id).astype(jnp.float32)
+    rows128 = scratch[...]  # (block_b, K, 128)
+    if pack > 1:
+        # physical row → (pack, D) slots; keep only each id's own slot
+        slot = ids_block % pack  # (block_b, K)
+        slot_mask = (slot[..., None] == jax.lax.broadcasted_iota(
+            jnp.int32, (block_b, k_ids, pack), 2)).astype(jnp.float32)
+        grouped = rows128.reshape(block_b, k_ids, pack, d_logical)
+        rows = jnp.sum(grouped * slot_mask[..., None], axis=2)  # (b, K, D)
+    else:
+        rows = rows128
+    acc = jnp.sum(rows * valid[..., None], axis=1)  # (block_b, D)
     if pool == "mean":
-        count = jnp.maximum(jnp.sum(valid, axis=1), 1.0)
-        acc = acc / count
+        count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1.0)
+        acc = acc / count  # (block_b, D) / (block_b, 1)
     out_ref[...] = acc
 
 
@@ -88,9 +106,14 @@ def _forward(table: jax.Array, ids: jax.Array, pool: str, mask_id: int,
              block_b: int, interpret: bool = False) -> jax.Array:
     b, k = ids.shape
     r, d = table.shape
+    pack = 128 // d if (d < 128 and 128 % d == 0) else 1
+    if pack > 1:
+        assert (r * d) % 128 == 0, (r, d)  # pad tables at creation
+        table = table.reshape(r * d // 128, 128)  # free physical view
     grid = (b // block_b,)
     kernel = functools.partial(
-        _pool_kernel, block_b=block_b, k_ids=k, mask_id=mask_id, pool=pool
+        _pool_kernel, block_b=block_b, k_ids=k, mask_id=mask_id, pool=pool,
+        pack=pack, d_logical=d,
     )
     return pl.pallas_call(
         kernel,
@@ -105,7 +128,7 @@ def _forward(table: jax.Array, ids: jax.Array, pool: str, mask_id: int,
             (block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_b, k, d), table.dtype),
+            pltpu.VMEM((block_b, k, 128), table.dtype),
             pltpu.SemaphoreType.DMA((block_b,)),
         ],
         interpret=interpret,
@@ -159,13 +182,17 @@ def fused_lookup_pool(
     r, d = table.shape
     on_tpu = jax.default_backend() == "tpu"
     # TPU semaphore scratch caps at ~512 entries/program (one sem per batch
-    # row here); also keep the (block_b, K, D) VMEM scratch modest.
-    while block_b > 1 and (block_b > 256 or block_b * k * d * 4 > 4 << 20
+    # row here); also keep the (block_b, K, 128) VMEM scratch modest (the
+    # scratch holds full 128-lane physical rows even for D < 128).
+    lanes = max(d, 128)
+    while block_b > 1 and (block_b > 256 or block_b * k * lanes * 4 > 4 << 20
                            or b % block_b):
         block_b //= 2
     ok = (
         pool in _SUPPORTED_POOLS
-        and d % 128 == 0
+        # D a lane multiple, or a lane DIVISOR with the table physically
+        # packable (lane-packed path: D in {32, 64} with R·D % 128 == 0)
+        and (d % 128 == 0 or (128 % d == 0 and (r * d) % 128 == 0))
         and b % block_b == 0
         and table.dtype == jnp.float32
     )

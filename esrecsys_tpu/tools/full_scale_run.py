@@ -1,0 +1,309 @@
+"""Composed MPD-scale run: train + eval cadence + checkpoints + export + serve.
+
+VERDICT r2 missing item 2: training throughput, full-corpus eval,
+checkpointing, export and serving were each benched in ISOLATION; this
+script exercises the reference's actual operating loop
+(spotify/train_spotify.py:255-299: train steps with periodic full-corpus
+recall@500 eval and checkpoint saves, then the saved model is deployed) in
+ONE composition at real MPD scale — 2,262,292-track corpus, 100k album
+buckets, 295,861 artists — and reports:
+
+  * sustained examples/sec WITH the eval + checkpoint cadences enabled
+    (the isolated bench number has neither), and the overhead split;
+  * time-to-first-query: artifact on disk → catalog embedded → device
+    catalog resident → first top-k answered by the serving service.
+
+Feed modes (``--feed``):
+  * ``device`` (default): batches are synthesized in-jit from the step
+    counter (uniform ids over the real table ranges). On this tunneled
+    single-chip setup the host→device link is ~30 MB/s (CLAUDE.md) — a
+    fresh-data host feed binds at ~50k ex/s regardless of what the chip or
+    the composition can do, so the composition numbers are measured with
+    the feed off the tunnel. A real TPU host feeds over PCIe (GB/s); the
+    host-side packed-npz pipeline itself measures ~1M playlists/s
+    (BENCHMARKS.md).
+  * ``host``: the real file path — synthetic packed .npz shards written to
+    disk, streamed by data/pipelines.packed_playlist_batches through
+    fit()'s prefetch, workloads/playlist.train() wiring. Reports the
+    tunnel-bound number for the record.
+
+Run: python -m esrecsys_tpu.tools.full_scale_run --steps 30000 \
+         --out_dir /tmp/full_scale [--feed device|host]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+NUM_TRACKS = 2_262_292          # MPD catalog (BASELINE.md)
+NUM_ALBUMS_RAW = 700_000        # raw album ids, mod-hashed to buckets
+ALBUM_BUCKETS = 100_000
+NUM_ARTISTS = 295_861
+
+
+def flagship_cfg(args):
+    from esrecsys_tpu.workloads import playlist as pl
+
+    return pl.PlaylistConfig(
+        work_dir=args.out_dir,
+        feature_size=32, album_hash_buckets=ALBUM_BUCKETS,
+        num_artists=NUM_ARTISTS, num_negatives=512, shared_negatives=True,
+        sparse_updates=True, momentum=0.0, learning_rate=0.05,
+        compute_dtype="bfloat16", batch_size=args.batch_size,
+        context_size=5, max_next=args.max_next, max_steps=args.steps,
+        log_every_steps=2000, eval_every_steps=args.eval_every,
+        eval_steps=args.eval_playlists, eval_k=500, eval_group=8,
+        checkpoint_every_steps=args.ckpt_every, corpus_block=131_072,
+        steps_per_call=64, seed=0)
+
+
+def synth_corpus(rng) -> dict:
+    return {
+        "tracks": np.arange(NUM_TRACKS, dtype=np.int32),
+        "albums": rng.integers(0, NUM_ALBUMS_RAW, NUM_TRACKS).astype(np.int32),
+        "artists": rng.integers(0, NUM_ARTISTS, NUM_TRACKS).astype(np.int32),
+        "num_tracks": NUM_TRACKS, "num_albums": NUM_ALBUMS_RAW,
+        "num_artists": NUM_ARTISTS,
+    }
+
+
+def host_batch(rng, b, c, m):
+    ri = lambda hi, *s: rng.integers(0, hi, s).astype(np.int32)
+    return {
+        "track_context": ri(NUM_TRACKS, b, c),
+        "album_context": ri(NUM_ALBUMS_RAW, b, c),
+        "artist_context": ri(NUM_ARTISTS, b, c),
+        "next_track": ri(NUM_TRACKS, b, m),
+        "next_album": ri(NUM_ALBUMS_RAW, b, m),
+        "next_artist": ri(NUM_ARTISTS, b, m),
+        "next_mask": np.ones((b, m), np.float32),
+    }
+
+
+def write_packed_shards(out_dir: str, n_shards: int, per_shard: int, c: int,
+                        m: int, seed: int = 7) -> str:
+    """Synthetic ETL output: the packed-npz shard format
+    (data/pipelines.pack_playlists) at MPD id ranges."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for s in range(n_shards):
+        path = f"{out_dir}/packed-{s:05d}.npz"
+        if not os.path.exists(path):
+            np.savez(path, **host_batch(rng, per_shard, c, m))
+    return f"{out_dir}/packed-*.npz"
+
+
+def run_train(args) -> dict:
+    from esrecsys_tpu.core import prng
+    from esrecsys_tpu.train import Checkpointer, fit
+    from esrecsys_tpu.workloads import playlist as pl
+
+    cfg = flagship_cfg(args)
+    rng = np.random.default_rng(0)
+    corpus_np = synth_corpus(rng)
+
+    if args.feed == "host":
+        # the REAL train() wiring end to end: file shards → packed pipeline
+        # → fit (prefetch, multi-host slicing) → eval/ckpt/export
+        pattern = write_packed_shards(
+            os.path.join(args.out_dir, "shards"), n_shards=4,
+            per_shard=262_144, c=cfg.context_size, m=cfg.max_next)
+        eval_pattern = write_packed_shards(
+            os.path.join(args.out_dir, "eval_shards"), n_shards=1,
+            per_shard=8_192, c=cfg.context_size, m=cfg.max_next, seed=99)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, train_pattern=pattern,
+                                  test_pattern=eval_pattern)
+        t0 = time.time()
+        result = pl.train(cfg, corpus_np=corpus_np)
+        wall = time.time() - t0
+        return {"cfg": cfg, "result": result, "train_wall_s": wall,
+                "examples": int(jax.device_get(result.state.step)) * cfg.batch_size}
+
+    # device feed: same fit() composition train() builds, with the batch
+    # synthesized in-jit so the tunnel's 30 MB/s host link isn't what gets
+    # measured (see module docstring)
+    corpus = {k: jnp.asarray(v) for k, v in corpus_np.items()
+              if isinstance(v, np.ndarray)}
+    model, state = pl.init_state(cfg, mesh=None)
+    base_step = pl.select_train_step(model, cfg, corpus, prng.base_key(0))
+    b, c, m = cfg.batch_size, cfg.context_size, cfg.max_next
+    albums_dev, artists_dev = corpus["albums"], corpus["artists"]
+
+    def train_step(st, seed_batch):
+        key = jax.random.fold_in(jax.random.PRNGKey(17), seed_batch["seed"])
+        ks = jax.random.split(key, 2)
+        # contexts/nexts drawn as corpus rows so album/artist ids are
+        # CONSISTENT with their track (the real pipeline's invariant)
+        ctx_rows = jax.random.randint(ks[0], (b, c), 0, NUM_TRACKS)
+        nxt_rows = jax.random.randint(ks[1], (b, m), 0, NUM_TRACKS)
+        batch = {
+            "track_context": ctx_rows,
+            "album_context": jnp.take(albums_dev, ctx_rows),
+            "artist_context": jnp.take(artists_dev, ctx_rows),
+            "next_track": nxt_rows,
+            "next_album": jnp.take(albums_dev, nxt_rows),
+            "next_artist": jnp.take(artists_dev, nxt_rows),
+            "next_mask": jnp.ones((b, m), jnp.float32),
+        }
+        return base_step(st, batch)
+
+    def seeds():
+        i = 0
+        while True:
+            yield {"seed": np.int32(i)}
+            i += 1
+
+    eval_batch = host_batch(np.random.default_rng(999), args.eval_playlists,
+                            c, m)
+
+    def eval_iter():
+        while True:
+            yield eval_batch
+
+    ckpt = Checkpointer(f"{cfg.work_dir}/checkpoints")
+    tracker_dir = cfg.work_dir
+    from esrecsys_tpu.core import config as config_lib
+    from esrecsys_tpu.core.tracking import make_tracker
+
+    tracker = make_tracker(run_dir=tracker_dir, config=config_lib.to_dict(cfg))
+    t0 = time.time()
+    result = fit(
+        state, train_step, seeds(), num_steps=cfg.max_steps,
+        eval_step=pl.select_eval_step(model, cfg, corpus, mesh=None),
+        eval_setup_fn=pl.make_corpus_embed_setup(model, cfg, corpus),
+        eval_iter_fn=eval_iter, eval_every=cfg.eval_every_steps,
+        eval_steps=1, log_every=cfg.log_every_steps, tracker=tracker,
+        checkpointer=ckpt, checkpoint_every=cfg.checkpoint_every_steps,
+        examples_per_step=cfg.batch_size, steps_per_call=cfg.steps_per_call,
+    )
+    wall = time.time() - t0
+    from esrecsys_tpu.train import export_model
+
+    t_exp = time.time()
+    export_model(
+        cfg.work_dir, "playlist", pl.settled_params(result.state, cfg),
+        step=int(jax.device_get(result.state.step)), tracker=tracker,
+        metadata={"feature_size": cfg.feature_size,
+                  "album_hash_buckets": cfg.album_hash_buckets,
+                  "num_artists": cfg.num_artists})
+    export_s = time.time() - t_exp
+    return {"cfg": cfg, "result": result, "train_wall_s": wall,
+            "export_s": export_s,
+            "examples": int(jax.device_get(result.state.step)) * cfg.batch_size}
+
+
+def serve_from_artifact(args, cfg, corpus_np) -> dict:
+    """Artifact → embedded catalog → device-resident serving → first query.
+
+    This is the deploy handoff the reference describes but never builds
+    (SURVEY.md §1: offline HTML generation only): load the exported params,
+    embed all 2.26M catalog items on-chip, hand the matrix to
+    RetrievalService, answer a top-500 query.
+    """
+    from esrecsys_tpu.models.playlist import PlaylistModel
+    from esrecsys_tpu.retrieval.index import EmbeddingIndex
+    from esrecsys_tpu.serving.server import RetrievalService
+    from esrecsys_tpu.train import latest_artifact, load_model
+    from esrecsys_tpu.workloads import playlist as pl
+
+    t0 = time.time()
+    artifact = latest_artifact(cfg.work_dir, "playlist")
+    assert artifact, f"no artifact under {cfg.work_dir}"
+    params, _, meta = load_model(artifact)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    model, _ = pl.init_state(cfg, mesh=None)
+
+    albums = jnp.asarray(corpus_np["albums"])
+    artists = jnp.asarray(corpus_np["artists"])
+    block = min(262_144, max(256, 1 << (NUM_TRACKS - 1).bit_length()))
+    pad = (-NUM_TRACKS) % block
+    albums_p = jnp.pad(albums, (0, pad))
+    artists_p = jnp.pad(artists, (0, pad))
+    embed = jax.jit(lambda p, a, r: model.apply(
+        {"params": p}, a, r, method=PlaylistModel.get_embeddings))
+    parts = []
+    for s in range(0, NUM_TRACKS + pad, block):
+        parts.append(np.asarray(jax.device_get(
+            embed(params, jax.lax.dynamic_slice_in_dim(albums_p, s, block),
+                  jax.lax.dynamic_slice_in_dim(artists_p, s, block)))))
+    vectors = np.concatenate(parts, axis=0)[:NUM_TRACKS]
+    t_embed = time.time() - t0
+
+    index = EmbeddingIndex([str(i) for i in range(NUM_TRACKS)], vectors)
+    svc = RetrievalService(index, max_k=500, max_batch=8,
+                           approx=args.approx_serving)
+    ids, scores = svc.topk(vectors[:1], k=500)  # the first real query
+    t_first_query = time.time() - t0
+    assert ids.shape == (1, 500) and np.isfinite(scores).all()
+
+    qn = 64
+    tq = time.time()
+    svc.topk(vectors[:qn], k=500)
+    qps = qn / (time.time() - tq)
+    return {"embed_catalog_s": round(t_embed, 1),
+            "time_to_first_query_s": round(t_first_query, 1),
+            "serving_qps": round(qps, 1)}
+
+
+def main(argv=None):
+    global NUM_TRACKS, NUM_ALBUMS_RAW, ALBUM_BUCKETS, NUM_ARTISTS
+    logging.basicConfig(level=logging.INFO, force=True)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=30_000)
+    p.add_argument("--batch_size", type=int, default=2048)
+    p.add_argument("--max_next", type=int, default=64)
+    p.add_argument("--eval_every", type=int, default=10_000)
+    p.add_argument("--eval_playlists", type=int, default=2048)
+    p.add_argument("--ckpt_every", type=int, default=10_000)
+    p.add_argument("--feed", default="device", choices=["device", "host"])
+    p.add_argument("--approx_serving", action="store_true")
+    p.add_argument("--skip_serving", action="store_true")
+    p.add_argument("--out_dir", default="/tmp/full_scale")
+    # scale overrides (tests / CPU smoke; defaults are the real MPD scale)
+    p.add_argument("--corpus_size", type=int, default=NUM_TRACKS)
+    p.add_argument("--num_albums_raw", type=int, default=NUM_ALBUMS_RAW)
+    p.add_argument("--album_buckets", type=int, default=ALBUM_BUCKETS)
+    p.add_argument("--num_artists", type=int, default=NUM_ARTISTS)
+    args = p.parse_args(argv)
+    NUM_TRACKS = args.corpus_size
+    NUM_ALBUMS_RAW = args.num_albums_raw
+    ALBUM_BUCKETS = args.album_buckets
+    NUM_ARTISTS = args.num_artists
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    tr = run_train(args)
+    sustained = tr["examples"] / tr["train_wall_s"]
+    out = {
+        "feed": args.feed,
+        "steps": int(jax.device_get(tr["result"].state.step)),
+        "examples": tr["examples"],
+        "train_wall_s": round(tr["train_wall_s"], 1),
+        "sustained_examples_per_s": round(sustained, 1),
+        "eval_rounds": max(args.steps // args.eval_every, 0),
+        "ckpt_saves": max(args.steps // args.ckpt_every, 0),
+        "last_eval": tr["result"].last_eval_metrics,
+        "export_s": round(tr.get("export_s", 0.0), 1),
+    }
+    if not args.skip_serving:
+        out.update(serve_from_artifact(args, tr["cfg"],
+                                       synth_corpus(np.random.default_rng(0))))
+    path = os.path.join(args.out_dir, "full_scale_run.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -593,19 +593,20 @@ def validate_batch(batch, num_tracks: int, num_albums: int, num_artists: int) ->
     assert batch["artist_context"].max() < num_artists
 
 
-def train(cfg: PlaylistConfig, tracker=None):
+def train(cfg: PlaylistConfig, tracker=None, corpus_np=None):
     mesh_lib.distributed_init_if_needed()  # live multi-host bootstrap
     # cfg.batch_size is the GLOBAL batch; each host's pipeline yields its
     # slice from its own file shard, fit() reassembles (train/loop.py place).
     local_bs = mesh_lib.process_local_batch(cfg.batch_size)
     host_seed = cfg.seed + jax.process_index()
     mesh = mesh_lib.make_mesh(n_model=cfg.n_model_shards)
-    corpus_np = pipelines.load_track_corpus(
-        cfg.all_tracks,
-        f"{cfg.dictionaries}/track_uri_dict.json",
-        f"{cfg.dictionaries}/album_uri_dict.json",
-        f"{cfg.dictionaries}/artist_uri_dict.json",
-    )
+    if corpus_np is None:
+        corpus_np = pipelines.load_track_corpus(
+            cfg.all_tracks,
+            f"{cfg.dictionaries}/track_uri_dict.json",
+            f"{cfg.dictionaries}/album_uri_dict.json",
+            f"{cfg.dictionaries}/artist_uri_dict.json",
+        )
     corpus = {k: jnp.asarray(v) for k, v in corpus_np.items() if isinstance(v, np.ndarray)}
     model, state = init_state(cfg, mesh)
 
