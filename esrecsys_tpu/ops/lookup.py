@@ -209,3 +209,29 @@ def fused_lookup_pool(
 def fused_lookup_pool_interpret(table, ids, pool="mean", mask_id=0, block_b=8):
     """Interpreter-mode version for CPU testing of the kernel logic."""
     return _forward(table, ids, pool, mask_id, block_b, interpret=True)
+
+
+def gather_rows(table: jax.Array, ids: jax.Array, block_b: int = 256,
+                interpret: bool = False) -> jax.Array:
+    """Raw row gather ``table[ids]`` through the per-row-DMA kernel.
+
+    The flagship sparse step gathers its touched rows OUTSIDE the grad
+    (workloads/playlist.py make_sparse_train_step), so no custom VJP is
+    needed — this is the K=1, unmasked case of the pooled kernel (sum over
+    one row == the row), lane-packed for D < 128. Falls back to
+    ``jnp.take`` off-TPU or for unsupported shapes. Measured against XLA's
+    gather in BENCHMARKS.md's gather study (tools/gather_study.py).
+    """
+    n = ids.shape[0]
+    r, d = table.shape
+    on_tpu = jax.default_backend() == "tpu"
+    ok = (table.dtype == jnp.float32
+          and (d % 128 == 0 or (128 % d == 0 and (r * d) % 128 == 0)))
+    if not ok or not (on_tpu or interpret):
+        return jnp.take(table, ids, axis=0)
+    while block_b > 1 and (block_b > 256 or block_b * max(d, 128) * 4 > 4 << 20):
+        block_b //= 2
+    pad = (-n) % block_b
+    ids_p = jnp.pad(ids, (0, pad))[:, None]  # (n_pad, 1) == K=1
+    out = _forward(table, ids_p, "sum", -1, block_b, interpret=interpret)
+    return out[:n] if pad else out

@@ -62,6 +62,9 @@ class PlaylistConfig:
     sparse_updates: bool = False  # row-sparse updates: grads stay row-shaped
     # and scatter straight into the tables; momentum>0 uses the exact lazy
     # catch-up scheme (ops/optim.py) — read via settled_params for eval/export
+    gather_kernel: bool = False  # sparse step row gathers through the
+    # Pallas per-row-DMA kernel (ops/lookup.gather_rows) instead of XLA's
+    # gather — measured in BENCHMARKS.md's gather study before defaulting
     learning_rate: float = 1e-3
     momentum: float = 0.98
     regularization: float = 10.0   # L2-norm cap
@@ -234,8 +237,14 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
 
         t_alb = state.params["album_embed"]["embedding"]
         t_art = state.params["artist_embed"]["embedding"]
-        rows_alb = jnp.take(t_alb, alb_ids, axis=0)
-        rows_art = jnp.take(t_art, art_ids, axis=0)
+        if cfg.gather_kernel:
+            from esrecsys_tpu.ops.lookup import gather_rows
+
+            rows_alb = gather_rows(t_alb, alb_ids)
+            rows_art = gather_rows(t_art, art_ids)
+        else:
+            rows_alb = jnp.take(t_alb, alb_ids, axis=0)
+            rows_art = jnp.take(t_art, art_ids, axis=0)
         if cfg.momentum:
             # forward must see SETTLED rows (raw + pending momentum catch-up)
             # or grads are taken at stale params — see ops/optim.py

@@ -42,6 +42,19 @@ def test_lane_packed_kernel_matches_xla(d, pool):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("d", [32, 64, 128])
+def test_gather_rows_matches_take(d):
+    """Raw row gather (K=1 unmasked case, incl. the block padding slice)."""
+    key = jax.random.PRNGKey(7)
+    rows = 96 if d < 128 else 64
+    table = jax.random.normal(key, (rows, d))
+    ids = jax.random.randint(jax.random.fold_in(key, 1), (37,), 0, rows)
+    out = pk.gather_rows(table, ids, block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.take(table, ids, axis=0)),
+                               rtol=1e-6)
+
+
 def test_kernel_masking(data):
     table, _ = data
     ids = jnp.array([[0, 0, 0, 0, 0], [1, 0, 2, 0, 0]] + [[3, 4, 5, 6, 7]] * 6)
