@@ -107,6 +107,7 @@ def _forward(table: jax.Array, ids: jax.Array, pool: str, mask_id: int,
     b, k = ids.shape
     r, d = table.shape
     pack = 128 // d if (d < 128 and 128 % d == 0) else 1
+    lanes = 128 if pack > 1 else d  # scratch row width = DMA'd row width
     if pack > 1:
         assert (r * d) % 128 == 0, (r, d)  # pad tables at creation
         table = table.reshape(r * d // 128, 128)  # free physical view
@@ -128,7 +129,7 @@ def _forward(table: jax.Array, ids: jax.Array, pool: str, mask_id: int,
             (block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_b, k, 128), table.dtype),
+            pltpu.VMEM((block_b, k, lanes), table.dtype),
             pltpu.SemaphoreType.DMA((block_b,)),
         ],
         interpret=interpret,

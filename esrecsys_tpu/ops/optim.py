@@ -177,11 +177,10 @@ def momentum_settle(table: jax.Array, state: Dict[str, jax.Array], *,
     the lazy trajectory remains exactly the dense SGD-momentum trajectory of
     the stepwise schedule.
     """
+    settled = momentum_flush(table, state, lr=lr, mu=mu, step=step)
     k = jnp.maximum(step - state["last_step"], 0).astype(jnp.float32)
     mu_k = jnp.power(jnp.float32(mu), k)
-    geom = mu * (1.0 - mu_k) / max(1.0 - mu, 1e-12)
     m = state["momentum"].astype(jnp.float32)
-    settled = (table.astype(jnp.float32) - lr * m * geom[:, None]).astype(table.dtype)
     new_state = {
         "momentum": (m * mu_k[:, None]).astype(state["momentum"].dtype),
         "last_step": jnp.full_like(state["last_step"], step),

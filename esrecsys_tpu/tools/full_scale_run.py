@@ -95,11 +95,14 @@ def write_packed_shards(out_dir: str, n_shards: int, per_shard: int, c: int,
     """Synthetic ETL output: the packed-npz shard format
     (data/pipelines.pack_playlists) at MPD id ranges."""
     os.makedirs(out_dir, exist_ok=True)
-    rng = np.random.default_rng(seed)
     for s in range(n_shards):
         path = f"{out_dir}/packed-{s:05d}.npz"
         if not os.path.exists(path):
-            np.savez(path, **host_batch(rng, per_shard, c, m))
+            # per-shard rng: shard contents must not depend on which files
+            # already exist (a rerun after a partial write would otherwise
+            # duplicate shard data)
+            np.savez(path, **host_batch(np.random.default_rng(seed + s),
+                                        per_shard, c, m))
     return f"{out_dir}/packed-*.npz"
 
 

@@ -127,21 +127,25 @@ def in_step(steps=64) -> dict:
     from esrecsys_tpu.core import prng
     from esrecsys_tpu.workloads import playlist as pl
 
-    NUM_ALBUMS, NUM_ARTISTS = 100_000, 295_861
+    # artist table padded 295,861 → 295,864 (R·D % 128 == 0) so gather_rows
+    # takes the kernel path for BOTH tables — at the raw reference row count
+    # it would silently fall back to jnp.take for the artist table and the
+    # off/on comparison would measure a half-Pallas step; ids stay < 295,861
+    NUM_ALBUMS, NUM_ARTISTS = 100_000, 295_864
     B, C, M = 2048, 5, 32
     rng = np.random.default_rng(3)
     corpus = {
         "tracks": jnp.asarray(rng.integers(0, 2_262_292, 262_144), jnp.int32),
         "albums": jnp.asarray(rng.integers(0, NUM_ALBUMS * 7, 262_144), jnp.int32),
-        "artists": jnp.asarray(rng.integers(0, NUM_ARTISTS, 262_144), jnp.int32),
+        "artists": jnp.asarray(rng.integers(0, 295_861, 262_144), jnp.int32),
     }
     one = {
         "track_context": rng.integers(0, 2_262_292, (B, C)).astype(np.int32),
         "album_context": rng.integers(0, NUM_ALBUMS * 7, (B, C)).astype(np.int32),
-        "artist_context": rng.integers(0, NUM_ARTISTS, (B, C)).astype(np.int32),
+        "artist_context": rng.integers(0, 295_861, (B, C)).astype(np.int32),
         "next_track": rng.integers(0, 2_262_292, (B, M)).astype(np.int32),
         "next_album": rng.integers(0, NUM_ALBUMS * 7, (B, M)).astype(np.int32),
-        "next_artist": rng.integers(0, NUM_ARTISTS, (B, M)).astype(np.int32),
+        "next_artist": rng.integers(0, 295_861, (B, M)).astype(np.int32),
         "next_mask": np.ones((B, M), np.float32),
     }
     stacked = {k: jnp.asarray(np.stack([v] * steps)) for k, v in one.items()}

@@ -152,8 +152,10 @@ def run_playlist(seeds: List[int], out_dir: str, examples: int = 400_000,
                 stacked = {k: jnp.asarray(np.stack([bb[k] for bb in batches]))
                            for k in batches[0]}
                 state, _ = multi(state, stacked)
-            # settled params for eval (lazy-momentum exactness)
-            state = state.replace(params=pl.settled_params(state, cfg))
+            # settle via the barrier (advances last_step): the eval step
+            # settles internally, so a flush-without-advance would apply
+            # the catch-up twice for sparse+momentum configs
+            state = pl.settle_momentum_state(state, cfg)
             eval_step = pl.select_eval_step(model, cfg, corpus, mesh=None)
             em = jax.device_get(jax.jit(eval_step)(state, eval_batch))
             per_seed.append({

@@ -108,7 +108,10 @@ def run_fast(overrides: Dict, seed: int, examples: int = 25_600_000,
         if pi + 1 < len(phases):  # lr boundary: settle at the OUTGOING lr
             state = pl.settle_momentum_state(state, cfg, lr=lr)
     final_cfg = pl.PlaylistConfig(**{**base, "learning_rate": phases[-1][1]})
-    state = state.replace(params=pl.settled_params(state, final_cfg))
+    # settle via the BARRIER (advances last_step) — the eval step settles
+    # internally, so a flush that leaves last_step behind would be applied
+    # twice and corrupt every momentum>0 metric
+    state = pl.settle_momentum_state(state, final_cfg)
     eval_step = pl.select_eval_step(model, final_cfg, d["corpus"], mesh=None)
     em = jax.device_get(jax.jit(eval_step)(state, d["eval_batch"]))
     out = {

@@ -108,15 +108,12 @@ def fit(
     # remaining count or the run would overshoot to the next multiple —
     # fall back to the largest divisor (worst case 1: per-step dispatch)
     remaining = max(1, num_steps - init_step)
-    want = max(1, min(steps_per_call, remaining))
-    spc = want
-    while remaining % spc:
-        spc -= 1
-    if spc != want:
-        log.warning(
-            "steps_per_call=%d does not divide the remaining %d steps; "
-            "using %d (pick num_steps a multiple of steps_per_call to keep "
-            "the full dispatch amortization)", want, remaining, spc)
+    spc = max(1, min(steps_per_call, remaining))
+    if remaining % spc:
+        log.info(
+            "steps_per_call=%d does not divide the remaining %d steps; the "
+            "final call runs the %d-step tail (one extra compile at that "
+            "scan length)", spc, remaining, remaining % spc)
     # state_pack/state_unpack: optional in-jit layout transform applied
     # around the step scan — e.g. reshaping embedding tables to their
     # 128-lane physical view so per-step scatters hit fewer target rows
@@ -181,9 +178,10 @@ def fit(
     last_train: Dict[str, float] = {}
     last_eval: Dict[str, float] = {}
 
-    def crossed(step: int, cadence: int) -> bool:
-        """True when [step-spc, step] crossed a multiple of ``cadence``."""
-        return cadence > 0 and (step // cadence) > ((step - spc) // cadence)
+    def crossed(step: int, cadence: int, width: int = 0) -> bool:
+        """True when [step-width, step] crossed a multiple of ``cadence``."""
+        width = width or spc
+        return cadence > 0 and (step // cadence) > ((step - width) // cadence)
 
     steps_run = 0
     step = init_step
@@ -195,8 +193,11 @@ def fit(
     # iterator (eval_on_train) — the producer thread would race the eval
     # loop's pulls.
     def _pull_stacked():
+        left = remaining
         while True:
-            batches = [next(train_iter) for _ in range(spc)]
+            take = min(spc, left) if left > 0 else spc
+            left -= take
+            batches = [next(train_iter) for _ in range(take)]
             yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
 
     raw_feed = _pull_stacked() if spc > 1 else train_iter
@@ -237,18 +238,19 @@ def fit(
             # start after the first (compile) call so the trace is steady-state
             jax.profiler.start_trace(profile_dir)
             profiling = True
+        cur = min(spc, num_steps - step)  # final call may be the tail chunk
         batch = next(feed)
         if _throws:
             err, (state, metrics) = jit_train(state, place(batch))
             err.throw()
         else:
             state, metrics = jit_train(state, place(batch))
-        step += spc
-        steps_run += spc
+        step += cur
+        steps_run += cur
         for k, v in metrics.items():
             window.setdefault(k, []).append(v)
 
-        if crossed(step, log_every):
+        if crossed(step, log_every, cur):
             # One device_get for the whole window (keeps the loop async).
             vals = jax.device_get(window)
             last_train = {f"train_{k}": float(np.mean(v)) for k, v in vals.items()}
@@ -261,7 +263,7 @@ def fit(
         elif timer is not None:
             timer.tick()
 
-        if jit_eval is not None and crossed(step, eval_every):
+        if jit_eval is not None and crossed(step, eval_every, cur):
             acc: Dict[str, list] = {}
             it = eval_iter_fn() if eval_iter_fn is not None else None
             aux = (jit_eval_setup(state),) if jit_eval_setup is not None else ()
@@ -277,7 +279,7 @@ def fit(
             last_eval = {f"eval_{k}": float(np.mean(v)) for k, v in acc.items()}
             tracker.log(last_eval, step)
 
-        if hooks and crossed(step, hook_every):
+        if hooks and crossed(step, hook_every, cur):
             for hook in hooks:
                 hook(state, step)
 
@@ -286,7 +288,7 @@ def fit(
             jax.profiler.stop_trace()
             profiling = False
 
-        if checkpointer is not None and crossed(step, checkpoint_every):
+        if checkpointer is not None and crossed(step, checkpoint_every, cur):
             checkpointer.save(step, state)
 
     if profiling:

@@ -237,7 +237,11 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
 
         t_alb = state.params["album_embed"]["embedding"]
         t_art = state.params["artist_embed"]["embedding"]
-        if cfg.gather_kernel:
+        # gather_kernel is single-device only: pallas_call carries no
+        # sharding rule, so on a row-sharded table GSPMD would all-gather
+        # the full table to feed it — exactly the materialization the
+        # sharded sparse path exists to avoid (tests/test_sharded_sparse.py)
+        if cfg.gather_kernel and cfg.n_model_shards == 1:
             from esrecsys_tpu.ops.lookup import gather_rows
 
             rows_alb = gather_rows(t_alb, alb_ids)

@@ -172,3 +172,54 @@ def test_auto_scatter_add_non_divisor_dim_falls_back():
                                    np.asarray(table.at[ids].add(upd)), rtol=1e-6)
     finally:
         sc.PACKED_SCATTER_MIN_ROWS = old
+
+
+def test_momentum_settle_is_flush_plus_advanced_state():
+    """momentum_settle = flush view AND last_step advanced: a second
+    flush/settle right after must be a no-op (regression: the parity
+    runner settled params without advancing last_step, and the eval step's
+    internal settle then applied the catch-up twice)."""
+    rng = np.random.default_rng(5)
+    R, D, lr, mu = 40, 4, 0.1, 0.9
+    table = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    state = optim.momentum_init(table)
+    for s in range(5):
+        ids = jnp.asarray(rng.integers(0, R, 6), jnp.int32)
+        g = jnp.asarray(rng.normal(size=(6, D)).astype(np.float32))
+        table, state = optim.lazy_momentum_update(
+            table, state, ids, g, lr=lr, mu=mu, step=jnp.int32(s))
+    flushed = optim.momentum_flush(table, state, lr=lr, mu=mu, step=jnp.int32(5))
+    settled, new_state = optim.momentum_settle(table, state, lr=lr, mu=mu,
+                                               step=jnp.int32(5))
+    np.testing.assert_array_equal(np.asarray(settled), np.asarray(flushed))
+    again = optim.momentum_flush(settled, new_state, lr=lr, mu=mu,
+                                 step=jnp.int32(5))
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(settled))
+    # and training can continue exactly: one more lazy step from the settled
+    # state equals the dense trajectory
+    assert int(new_state["last_step"][0]) == 5
+
+
+def test_settle_then_continue_matches_dense():
+    """A settle barrier mid-run (the lr-phase boundary) must not disturb the
+    trajectory: lazy with one settle == dense momentum end to end."""
+    rng = np.random.default_rng(6)
+    R, D, lr, mu, steps = 30, 4, 0.05, 0.9, 8
+    table0 = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    ids_l = [jnp.asarray(rng.integers(0, R, 5), jnp.int32) for _ in range(steps)]
+    gs = [jnp.asarray(rng.normal(size=(5, D)).astype(np.float32))
+          for _ in range(steps)]
+    dense_grads = [jnp.zeros((R, D)).at[i].add(g) for i, g in zip(ids_l, gs)]
+    want = _dense_momentum_run(table0, dense_grads, lr, mu)
+
+    table, state = table0, optim.momentum_init(table0)
+    for s in range(steps):
+        if s == steps // 2:  # mid-run barrier
+            table, state = optim.momentum_settle(table, state, lr=lr, mu=mu,
+                                                 step=jnp.int32(s))
+        table, state = optim.lazy_momentum_update(
+            table, state, ids_l[s], gs[s], lr=lr, mu=mu, step=jnp.int32(s))
+    settled = optim.momentum_flush(table, state, lr=lr, mu=mu,
+                                   step=jnp.int32(steps))
+    np.testing.assert_allclose(np.asarray(settled), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

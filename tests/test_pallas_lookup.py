@@ -42,6 +42,17 @@ def test_lane_packed_kernel_matches_xla(d, pool):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_wide_rows_unpacked_path(data):
+    """D > 128 lane multiples (pack=1) keep working — the scratch width must
+    follow the DMA'd row width, not a hard-coded 128 (r3 review finding)."""
+    key = jax.random.PRNGKey(11)
+    table = jax.random.normal(key, (32, 256))
+    ids = jax.random.randint(jax.random.fold_in(key, 1), (8, 3), 0, 32)
+    out = pk.fused_lookup_pool_interpret(table, ids, pool="mean", mask_id=0)
+    expected = lookup_pooled(table, ids, pool="mean", mask_id=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5)
+
+
 @pytest.mark.parametrize("d", [32, 64, 128])
 def test_gather_rows_matches_take(d):
     """Raw row gather (K=1 unmasked case, incl. the block padding slice)."""

@@ -66,8 +66,9 @@ def test_fit_with_prefetch_trains(tmp_path):
 
 def test_fit_spc_not_dividing_num_steps_lands_exactly(tmp_path):
     """steps_per_call that doesn't divide num_steps must not overshoot:
-    fit falls back to the largest divisor (regression for the spc=64
-    default overshooting short runs)."""
+    fit runs full-size calls then one tail chunk (150 = 2x64 + 22), keeping
+    the amortization instead of collapsing to a small divisor (regression
+    for the spc=64 default overshooting short runs; r3 review finding)."""
     from esrecsys_tpu.train import fit
     from esrecsys_tpu.workloads import glove as gw
 
