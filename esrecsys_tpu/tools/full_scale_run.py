@@ -119,11 +119,12 @@ def run_train(args) -> dict:
         # the REAL train() wiring end to end: file shards → packed pipeline
         # → fit (prefetch, multi-host slicing) → eval/ckpt/export
         pattern = write_packed_shards(
-            os.path.join(args.out_dir, "shards"), n_shards=4,
-            per_shard=262_144, c=cfg.context_size, m=cfg.max_next)
+            os.path.join(args.out_dir, "shards"), n_shards=args.n_shards,
+            per_shard=args.shard_examples, c=cfg.context_size, m=cfg.max_next)
         eval_pattern = write_packed_shards(
             os.path.join(args.out_dir, "eval_shards"), n_shards=1,
-            per_shard=8_192, c=cfg.context_size, m=cfg.max_next, seed=99)
+            per_shard=max(args.batch_size * 4, 1024), c=cfg.context_size,
+            m=cfg.max_next, seed=99)
         import dataclasses
 
         cfg = dataclasses.replace(cfg, train_pattern=pattern,
@@ -271,6 +272,8 @@ def main(argv=None):
     p.add_argument("--eval_playlists", type=int, default=2048)
     p.add_argument("--ckpt_every", type=int, default=10_000)
     p.add_argument("--feed", default="device", choices=["device", "host"])
+    p.add_argument("--n_shards", type=int, default=4)
+    p.add_argument("--shard_examples", type=int, default=262_144)
     p.add_argument("--approx_serving", action="store_true")
     p.add_argument("--skip_serving", action="store_true")
     p.add_argument("--out_dir", default="/tmp/full_scale")

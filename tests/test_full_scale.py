@@ -1,0 +1,52 @@
+"""Composed-run integration: tools/full_scale_run at smoke scale.
+
+The script is the reference's operating loop in one process
+(spotify/train_spotify.py:255-299: train + eval cadence + checkpoints +
+export, then deploy). At tiny scale both feed modes must produce a complete
+result file and a working serving handoff.
+"""
+
+import json
+import os
+
+import numpy as np
+
+
+def _args(tmp_path, feed, extra=()):
+    return [
+        "--steps", "128", "--batch_size", "32", "--max_next", "8",
+        "--eval_every", "64", "--eval_playlists", "32", "--ckpt_every", "64",
+        "--corpus_size", "3000", "--num_albums_raw", "1000",
+        "--album_buckets", "400", "--num_artists", "200",
+        "--out_dir", str(tmp_path / feed), "--feed", feed, *extra,
+    ]
+
+
+def test_device_feed_composition_and_serving_handoff(tmp_path):
+    from esrecsys_tpu.tools import full_scale_run as fsr
+
+    fsr.main(_args(tmp_path, "device"))
+    out = json.load(open(tmp_path / "device" / "full_scale_run.json"))
+    assert out["steps"] == 128 and out["examples"] == 128 * 32
+    assert out["eval_rounds"] == 2 and out["ckpt_saves"] == 2
+    assert np.isfinite(out["last_eval"]["eval_track_recall"])
+    assert out["sustained_examples_per_s"] > 0
+    # the deploy handoff answered a real query
+    assert out["time_to_first_query_s"] > 0
+    assert out["serving_qps"] > 0
+    # checkpoints + artifact actually on disk
+    assert os.path.isdir(tmp_path / "device" / "checkpoints")
+    arts = os.listdir(tmp_path / "device" / "artifacts")
+    assert any(f.startswith("playlist-") for f in arts), arts
+
+
+def test_host_feed_runs_real_pipeline(tmp_path):
+    from esrecsys_tpu.tools import full_scale_run as fsr
+
+    fsr.main(_args(tmp_path, "host", ["--skip_serving", "--n_shards", "2",
+                                      "--shard_examples", "2048"]))
+    out = json.load(open(tmp_path / "host" / "full_scale_run.json"))
+    assert out["feed"] == "host" and out["steps"] == 128
+    # packed shards were written and consumed
+    shards = os.listdir(tmp_path / "host" / "shards")
+    assert any(s.startswith("packed-") for s in shards)
