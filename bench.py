@@ -17,13 +17,59 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 if "/root/repo" not in sys.path:
     sys.path.insert(0, "/root/repo")
 
+
+def _axon_relay_alive() -> bool:
+    """True if any axon tunnel relay port accepts a TCP connection.
+
+    With the relay down, the axon PJRT client retries its claim forever —
+    jax.devices() hangs instead of failing. Preflighting the ports lets the
+    bench fall back to CPU with an honest note rather than hang the driver.
+    """
+    import socket
+
+    for port in (8082, 8083, 8087, 8092, 8093, 8097,
+                 8102, 8103, 8107, 8112, 8113, 8117):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=0.5)
+            s.close()
+            return True
+        except OSError:
+            continue
+    return False
+
+
+_PLATFORM_NOTE = None
+if os.environ.get("JAX_PLATFORMS", "") == "axon" and not _axon_relay_alive():
+    _PLATFORM_NOTE = "cpu_fallback: axon relay unreachable"
+
 import jax
+
+if _PLATFORM_NOTE:
+    jax.config.update("jax_platforms", "cpu")
+
+# Hard watchdog: whatever happens (wedged tunnel mid-run, hung compile),
+# the driver contract — exactly ONE JSON line — is honored.
+def _watchdog():
+    print(json.dumps({
+        "metric": "playlist_train_examples_per_sec_per_chip",
+        "value": 0.0, "unit": "examples/sec/chip", "vs_baseline": 0.0,
+        "error": "watchdog: bench did not complete in 1500s",
+    }), flush=True)
+    os._exit(2)
+
+
+_wd = threading.Timer(1500.0, _watchdog)
+_wd.daemon = True
+_wd.start()
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -146,7 +192,8 @@ def main():
         _ = jax.device_get(state1.params["album_embed"]["embedding"][:1, :1])
         ref = max(ref, n_ref / (time.perf_counter() - t0))
 
-    print(json.dumps({
+    _wd.cancel()
+    out = {
         "metric": "playlist_train_examples_per_sec_per_chip",
         "value": round(ours, 2),
         "unit": "examples/sec/chip",
@@ -155,7 +202,10 @@ def main():
         # reference-style B=1 step's best-of-3 under tunnel dispatch jitter
         # (±5% run-to-run moves this ratio tens of points; BENCHMARKS.md)
         "vs_baseline_note": "floor; denominator best-of-3 under tunnel jitter",
-    }))
+    }
+    if _PLATFORM_NOTE:
+        out["platform_note"] = _PLATFORM_NOTE
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
