@@ -173,7 +173,8 @@ def fused_lookup_pool(
     """Fused ``pool_k(table[ids[b, k]])`` → (B, D).
 
     Falls back to the XLA composition when not on TPU, when shapes don't fit
-    the kernel's constraints (D multiple of 128, B multiple of block_b), or
+    the kernel's constraints (D a multiple of 128, or a divisor of 128 with
+    R·D % 128 == 0 for the lane-packed path; B a multiple of block_b), or
     when the pool mode is unsupported. ``force=True`` raises instead of
     falling back (for tests).
     """
