@@ -26,37 +26,19 @@ if "/root/repo" not in sys.path:
     sys.path.insert(0, "/root/repo")
 
 
-def _axon_relay_alive() -> bool:
-    """True if any axon tunnel relay port accepts a TCP connection.
+# With the relay down, the axon PJRT client retries its claim forever —
+# jax.devices() hangs instead of failing. Preflighting the ports lets the
+# bench fall back to CPU with an honest note rather than hang the driver
+# (shared helper: esrecsys_tpu/axon_preflight.py).
+from esrecsys_tpu.axon_preflight import cpu_fallback_note
 
-    With the relay down, the axon PJRT client retries its claim forever —
-    jax.devices() hangs instead of failing. Preflighting the ports lets the
-    bench fall back to CPU with an honest note rather than hang the driver.
-    """
-    import socket
-
-    for port in (8082, 8083, 8087, 8092, 8093, 8097,
-                 8102, 8103, 8107, 8112, 8113, 8117):
-        try:
-            s = socket.create_connection(("127.0.0.1", port), timeout=0.5)
-            s.close()
-            return True
-        except OSError:
-            continue
-    return False
-
-
-_PLATFORM_NOTE = None
-if os.environ.get("JAX_PLATFORMS", "") == "axon" and not _axon_relay_alive():
-    _PLATFORM_NOTE = "cpu_fallback: axon relay unreachable"
+_PLATFORM_NOTE = cpu_fallback_note()
 
 import jax
 
-if _PLATFORM_NOTE:
-    jax.config.update("jax_platforms", "cpu")
-
 # Hard watchdog: whatever happens (wedged tunnel mid-run, hung compile),
-# the driver contract — exactly ONE JSON line — is honored.
+# the driver contract — exactly ONE JSON line — is honored. Armed inside
+# main() (not at import) so importing this module has no side effects.
 def _watchdog():
     print(json.dumps({
         "metric": "playlist_train_examples_per_sec_per_chip",
@@ -66,9 +48,11 @@ def _watchdog():
     os._exit(2)
 
 
-_wd = threading.Timer(1500.0, _watchdog)
-_wd.daemon = True
-_wd.start()
+def _arm_watchdog():
+    wd = threading.Timer(1500.0, _watchdog)
+    wd.daemon = True
+    wd.start()
+    return wd
 
 import jax.numpy as jnp
 import numpy as np
@@ -95,6 +79,7 @@ def _batch(rng, b, c, m, n_neg, num_albums, num_artists, with_negs):
 
 
 def main():
+    _wd = _arm_watchdog()
     from esrecsys_tpu.core import prng
     from esrecsys_tpu.workloads import playlist as pl
 

@@ -1,0 +1,49 @@
+"""Axon tunnel relay preflight (shared by bench.py and __graft_entry__.py).
+
+With the relay process dead, the axon jax client blocks forever in its
+claim/retry loop — ``jax.devices()`` hangs rather than fails — so any
+driver-facing entry point must probe the relay's localhost ports BEFORE
+first device use and fall back to CPU loudly if none accept. This module
+is import-light (stdlib only): callers probe first, then import/configure
+jax based on the answer.
+
+The port list mirrors the relay's bound ports (/root/.tpu_init.py). It is
+defined ONCE here so a port-layout change cannot leave one entry point
+preflighting dead ports while the other hangs.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+
+RELAY_PORTS = (8082, 8083, 8087, 8092, 8093, 8097,
+               8102, 8103, 8107, 8112, 8113, 8117)
+
+
+def relay_alive(timeout: float = 0.5) -> bool:
+    """True if any axon relay port accepts a TCP connection."""
+    for port in RELAY_PORTS:
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=timeout)
+            s.close()
+            return True
+        except OSError:
+            continue
+    return False
+
+
+def cpu_fallback_note() -> str | None:
+    """If the configured platform is axon but the relay is dead, configure
+    jax for CPU and return a human-readable note; otherwise return None.
+
+    Imports jax only when the axon platform is requested (the probe itself
+    is stdlib-only). ``jax.config.update`` is required — assigning
+    ``os.environ['JAX_PLATFORMS']`` after the pin is ignored (CLAUDE.md).
+    """
+    if os.environ.get("JAX_PLATFORMS", "") != "axon" or relay_alive():
+        return None
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu_fallback: axon relay unreachable"

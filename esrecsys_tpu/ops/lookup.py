@@ -37,8 +37,9 @@ def _pool_kernel(ids_ref, table_ref, out_ref, scratch, sems, *, block_b, k_ids,
 
     All block_b × K row DMAs are launched back-to-back (the DMA engine
     pipelines them; per-row latency is amortized across the whole block),
-    then pooling runs vectorized on the VPU over the (block_b, K, 128)
-    scratch.
+    then pooling runs vectorized on the VPU over the (block_b, K, lanes)
+    scratch (lanes = 128 for lane-packed D < 128; lanes = D otherwise,
+    including wide rows D > 128).
 
     ids_ref:   SMEM (block_b, K) int32 — this program's id block (blocking
                the ids instead of scalar-prefetching the full (B, K) array
@@ -53,7 +54,7 @@ def _pool_kernel(ids_ref, table_ref, out_ref, scratch, sems, *, block_b, k_ids,
                packing trades 128-lane fetches for D-lane ones, not fewer
                DMAs) and the slot is selected vectorized in VMEM.
     out_ref:   VMEM (block_b, D) block of the output
-    scratch:   VMEM (block_b, K, 128)
+    scratch:   VMEM (block_b, K, lanes) — one DMA'd row per (b, k)
     sems:      DMA semaphores (block_b,) — one per batch row, shared by its K
                row copies (each completion signals +1; K waits drain it).
                TPU caps semaphore scratch at ~512 entries per program, so
@@ -85,16 +86,16 @@ def _pool_kernel(ids_ref, table_ref, out_ref, scratch, sems, *, block_b, k_ids,
         ]
     )  # (block_b, K) from SMEM scalars
     valid = (ids_block != mask_id).astype(jnp.float32)
-    rows128 = scratch[...]  # (block_b, K, 128)
+    rows_lanes = scratch[...]  # (block_b, K, lanes)
     if pack > 1:
         # physical row → (pack, D) slots; keep only each id's own slot
         slot = ids_block % pack  # (block_b, K)
         slot_mask = (slot[..., None] == jax.lax.broadcasted_iota(
             jnp.int32, (block_b, k_ids, pack), 2)).astype(jnp.float32)
-        grouped = rows128.reshape(block_b, k_ids, pack, d_logical)
+        grouped = rows_lanes.reshape(block_b, k_ids, pack, d_logical)
         rows = jnp.sum(grouped * slot_mask[..., None], axis=2)  # (b, K, D)
     else:
-        rows = rows128
+        rows = rows_lanes
     acc = jnp.sum(rows * valid[..., None], axis=1)  # (block_b, D)
     if pool == "mean":
         count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1.0)

@@ -121,10 +121,15 @@ def run_train(args) -> dict:
         pattern = write_packed_shards(
             os.path.join(args.out_dir, "shards"), n_shards=args.n_shards,
             per_shard=args.shard_examples, c=cfg.context_size, m=cfg.max_next)
+        # eval shard must hold >= the eval_playlists examples train() will
+        # pull (playlist.py eval_steps = cfg.eval_steps // batch_size) or
+        # the repeat=True pipeline silently loops duplicates; eval seed
+        # lives far outside the train-shard seed space (seed + s) so no
+        # --n_shards value can collide train shard contents with eval data
         eval_pattern = write_packed_shards(
             os.path.join(args.out_dir, "eval_shards"), n_shards=1,
-            per_shard=max(args.batch_size * 4, 1024), c=cfg.context_size,
-            m=cfg.max_next, seed=99)
+            per_shard=max(args.batch_size * 4, 1024, args.eval_playlists),
+            c=cfg.context_size, m=cfg.max_next, seed=1_000_000_099)
         import dataclasses
 
         cfg = dataclasses.replace(cfg, train_pattern=pattern,

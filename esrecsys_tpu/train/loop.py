@@ -104,9 +104,10 @@ def fit(
     init_step = int(jax.device_get(state.step))
     # clamp the device loop to the remaining steps so short runs (tests,
     # debug configs) don't overshoot num_steps by up to a whole call; the
-    # loop advances in fixed spc chunks, so spc must also DIVIDE the
-    # remaining count or the run would overshoot to the next multiple —
-    # fall back to the largest divisor (worst case 1: per-step dispatch)
+    # loop advances in spc-step chunks, and when spc does not divide the
+    # remaining count the FINAL call runs the shorter tail chunk (one extra
+    # compile at that scan length) instead of overshooting or collapsing
+    # spc to a small divisor
     remaining = max(1, num_steps - init_step)
     spc = max(1, min(steps_per_call, remaining))
     if remaining % spc:
@@ -252,16 +253,23 @@ def fit(
 
         if crossed(step, log_every, cur):
             # One device_get for the whole window (keeps the loop async).
+            # Concatenate raveled per-call arrays before the mean: the tail
+            # call's metrics have scan length `remaining % spc`, so the
+            # window can be ragged and np.mean on the list would raise.
             vals = jax.device_get(window)
-            last_train = {f"train_{k}": float(np.mean(v)) for k, v in vals.items()}
+            last_train = {
+                f"train_{k}": float(np.mean(np.concatenate(
+                    [np.ravel(a) for a in v])))
+                for k, v in vals.items()
+            }
             if timer is not None:
-                t = timer.tick()
+                t = timer.tick(examples_per_step * cur, force=True)
                 if t:
                     last_train.update(t)
             tracker.log(last_train, step)
             window = {}
         elif timer is not None:
-            timer.tick()
+            timer.tick(examples_per_step * cur)
 
         if jit_eval is not None and crossed(step, eval_every, cur):
             acc: Dict[str, list] = {}

@@ -81,5 +81,56 @@ def test_fit_spc_not_dividing_num_steps_lands_exactly(tmp_path):
             yield (t, t), np.ones(8, np.float32)
 
     res = fit(state, gw.make_train_step(model), batches(), num_steps=150,
-              steps_per_call=64)  # 64 ∤ 150 → largest divisor 50
+              steps_per_call=64)  # 64 ∤ 150 → two 64-calls + a 22-step tail
     assert res.steps_run == 150 and int(res.state.step) == 150
+
+
+def test_fit_tail_chunk_log_window_and_throughput_accounting():
+    """A log crossing whose window mixes full-size calls and the tail chunk
+    must not crash (ragged np.mean — r3 review finding) and must weight the
+    mean by actual steps; examples/sec must count the tail's true examples
+    (StepTimer tick(examples=...)), not a full spc's worth."""
+    from esrecsys_tpu.core.tracking import NullTracker
+    from esrecsys_tpu.train import fit
+    from esrecsys_tpu.workloads import glove as gw
+
+    logged = []
+
+    class Rec(NullTracker):
+        def log(self, metrics, step):
+            logged.append((step, dict(metrics)))
+
+    cfg = gw.GloveConfig(feature_size=4, batch_size=8)
+    model, state = gw.init_state(cfg, num_embeddings=16, mesh=None)
+
+    def batches():
+        t = np.asarray([1, 2, 3, 4, 5, 6, 7, 8], np.int32)
+        while True:
+            yield (t, t), np.ones(8, np.float32)
+
+    # log_every == num_steps → the single crossing happens ON the tail call,
+    # with window = [(64,), (64,), (22,)] metric arrays
+    res = fit(state, gw.make_train_step(model), batches(), num_steps=150,
+              steps_per_call=64, log_every=150, examples_per_step=8,
+              tracker=Rec())
+    assert res.steps_run == 150
+    train_logs = [m for s, m in logged if any(k.startswith("train_") for k in m)]
+    assert train_logs and all(np.isfinite(v) for m in train_logs
+                              for v in m.values())
+    # identical batches every step → per-step losses are equal within a call
+    # chain; the windowed mean must be finite and close to the last loss
+    timed = [m for _, m in logged if "examples_per_sec" in m]
+    assert timed, "StepTimer stats missing from the tracker log"
+
+
+def test_step_timer_tail_examples():
+    from esrecsys_tpu.core.profiling import StepTimer
+
+    t = StepTimer(examples_per_step=100, window=3)
+    assert t.tick() is None            # 100 examples (default)
+    assert t.tick(100) is None         # 100 explicit
+    stats = t.tick(25)                 # tail call: 25 examples
+    assert stats is not None
+    # 225 examples over 3 ticks — NOT 300
+    assert abs(stats["examples_per_sec"] * (3 / stats["steps_per_sec"]) /
+               225.0 - 1.0) < 1e-6
