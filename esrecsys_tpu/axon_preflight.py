@@ -33,6 +33,25 @@ def relay_alive(timeout: float = 0.5) -> bool:
     return False
 
 
+def warn_cpu_fallback(logger=None) -> str | None:
+    """CLI-entry-point preflight: probe the relay, fall back to CPU loudly.
+
+    Call at the top of any ``main()`` that will touch jax devices. With the
+    relay dead the axon client hangs forever in its claim loop (no error),
+    so a CLI invoked against a dead tunnel would freeze with no output —
+    this probes first, switches jax to CPU, and logs a WARNING so the run's
+    platform is never ambiguous. Returns the note (or None if on TPU).
+    """
+    note = cpu_fallback_note()
+    if note is not None:
+        import logging
+
+        (logger or logging.getLogger(__name__)).warning(
+            "%s — running on CPU (throughput numbers are NOT chip numbers)",
+            note)
+    return note
+
+
 def cpu_fallback_note() -> str | None:
     """If the configured platform is axon but the relay is dead, configure
     jax for CPU and return a human-readable note; otherwise return None.

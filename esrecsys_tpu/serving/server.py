@@ -319,6 +319,10 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
 def main(argv=None):
     import argparse
 
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    warn_cpu_fallback(log)
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--index", required=True)
     p.add_argument("--host", default="127.0.0.1")

@@ -181,6 +181,9 @@ def in_step(steps=64) -> dict:
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, force=True)
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    warn_cpu_fallback(log)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="/tmp/gather_study.json")
     p.add_argument("--skip_in_step", action="store_true")

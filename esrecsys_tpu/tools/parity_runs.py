@@ -446,6 +446,9 @@ def _dump(out_dir: str, workload: str, results: Dict, meta: Dict) -> None:
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, force=True)
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    warn_cpu_fallback(log)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workload", default="all",
                    choices=["all", "playlist", "glove", "stl", "txt2url"])

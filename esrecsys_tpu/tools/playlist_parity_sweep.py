@@ -164,6 +164,9 @@ def bayes(out_dir: str, examples: int, max_runs: int, seed_base: int = 0):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, force=True)
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    warn_cpu_fallback(log)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="grid", choices=["grid", "bayes"])
     p.add_argument("--grid", default="[]",

@@ -112,6 +112,9 @@ def run(cfg: ScaleConfig) -> dict:
 
 
 def main(argv=None):
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    warn_cpu_fallback()
     cfg = config_lib.from_cli(ScaleConfig, argv)
     print(json.dumps(run(cfg)))
 

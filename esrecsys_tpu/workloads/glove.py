@@ -377,6 +377,9 @@ def main(argv=None):
     # force=True: jax/absl may already have installed a root handler at
     # WARNING, which would swallow the knn/resume INFO lines.
     logging.basicConfig(level=logging.INFO, force=True)
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    warn_cpu_fallback(log)
     cfg = config_lib.from_cli(GloveConfig, argv)
     train(cfg)
 

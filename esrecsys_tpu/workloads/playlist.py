@@ -680,6 +680,9 @@ def train(cfg: PlaylistConfig, tracker=None, corpus_np=None):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, force=True)
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    warn_cpu_fallback(log)
     cfg = config_lib.from_cli(PlaylistConfig, argv)
     train(cfg)
 

@@ -302,6 +302,9 @@ def recommend(cfg: STLConfig):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, force=True)
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    warn_cpu_fallback(log)
     cfg = config_lib.from_cli(STLConfig, argv)
     if cfg.mode == "train":
         train(cfg)

@@ -342,6 +342,9 @@ def train(cfg: Txt2UrlConfig, tracker=None):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, force=True)
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    warn_cpu_fallback(log)
     cfg = config_lib.from_cli(Txt2UrlConfig, argv)
     train(cfg)
 
