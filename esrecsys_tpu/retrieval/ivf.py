@@ -1,0 +1,201 @@
+"""IVF (inverted-file) approximate retrieval: sublinear search over big
+catalogs via on-device k-means partitioning.
+
+The exact/approx/quantized paths (:mod:`esrecsys_tpu.retrieval.mips`) all
+stream the WHOLE catalog per query batch — cost linear in catalog size no
+matter how good the levers. IVF adds the standard sublinear alternative:
+partition the catalog into ``n_clusters`` cells with k-means, then score a
+query only against the ``nprobe`` cells whose centroids it matches best —
+``nprobe/n_clusters`` of the catalog touched per query (times imbalance).
+
+TPU-shaped throughout:
+  * k-means assignment is a blocked ``(block, D) @ (D, C)`` matmul under
+    ``lax.map`` (MXU; peak memory O(block × C), never O(M × C)), centroid
+    update is one ``segment_sum`` scatter-add — both inside one jitted
+    ``lax.scan`` over iterations, static shapes everywhere.
+  * the cell layout is a dense padded (C, Lmax) id table (pad -1), so probe
+    search is gather + one batched einsum + ``top_k`` — no ragged shapes,
+    compiled exactly once.
+  * search composes with the int8 path: pass ``q_items``/``item_scales``
+    (from :func:`esrecsys_tpu.retrieval.mips.quantize_rows`) and the
+    candidate scan gathers int8 rows (4× less gather traffic), with an
+    exact full-precision rescore of the final k.
+
+No reference counterpart: the reference scores full matrices per query
+(pinterest/make_recommendations.py:49-65, spotify/train_spotify.py:113-131).
+Sublinear retrieval is what makes the serving path survive catalogs that
+outgrow brute force.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esrecsys_tpu.core.mesh import pad_to_multiple
+from esrecsys_tpu.retrieval.mips import NEG_INF
+
+
+def kmeans(items: jax.Array, n_clusters: int, iters: int = 20, seed: int = 0,
+           block_size: int = 65_536) -> Tuple[jax.Array, jax.Array]:
+    """Blocked L2 k-means on device.
+
+    Returns ``(centroids (C, D) f32, assignments (M,) int32)``. Empty
+    clusters keep their previous centroid (deterministic; they stay
+    candidates for reassignment next iteration). Distances drop the
+    ``|x|²`` term (constant per row for the argmin).
+    """
+    items = items.astype(jnp.float32)
+    m, d = items.shape
+    if n_clusters > m:
+        raise ValueError(f"n_clusters {n_clusters} > items {m}")
+    block = min(block_size, pad_to_multiple(m, 128))
+    mp = pad_to_multiple(m, block)
+    items_p = jnp.pad(items, ((0, mp - m), (0, 0)))
+    nblk = mp // block
+
+    def assign(cent):  # (C, D) -> (M,) int32
+        cn = jnp.sum(cent * cent, axis=-1)  # (C,)
+
+        def blk(start):
+            x = jax.lax.dynamic_slice_in_dim(items_p, start, block, axis=0)
+            s = jnp.dot(x, cent.T, preferred_element_type=jnp.float32)
+            return jnp.argmin(cn[None, :] - 2.0 * s, axis=-1).astype(jnp.int32)
+
+        out = jax.lax.map(blk, jnp.arange(nblk, dtype=jnp.int32) * block)
+        return out.reshape(-1)[:m]
+
+    key = jax.random.PRNGKey(seed)
+    # distinct random rows as init (k-means++ is sequential — hostile to a
+    # single compiled program; random init + iters is standard for IVF)
+    init_rows = jax.random.choice(key, m, (n_clusters,), replace=False)
+    cent0 = jnp.take(items, init_rows, axis=0)
+
+    def step(cent, _):
+        a = assign(cent)
+        sums = jax.ops.segment_sum(items, a, num_segments=n_clusters)
+        counts = jax.ops.segment_sum(jnp.ones((m,), jnp.float32), a,
+                                     num_segments=n_clusters)
+        new = jnp.where(counts[:, None] > 0,
+                        sums / jnp.maximum(counts, 1.0)[:, None], cent)
+        return new, None
+
+    cent, _ = jax.lax.scan(step, cent0, None, length=iters)
+    return cent, assign(cent)
+
+
+class IVFIndex(NamedTuple):
+    """Built IVF layout: centroids + dense padded cell id table."""
+
+    centroids: np.ndarray   # (C, D) f32
+    bucket_ids: np.ndarray  # (C, Lmax) int32, pad -1
+    n_items: int
+
+    @property
+    def n_clusters(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def imbalance(self) -> float:
+        """Lmax / mean cell size — the probe-cost multiplier vs perfectly
+        balanced cells (probe search pays padded cells)."""
+        return self.bucket_ids.shape[1] * self.n_clusters / max(self.n_items, 1)
+
+    @classmethod
+    def build(cls, vectors: np.ndarray, n_clusters: int, iters: int = 20,
+              seed: int = 0) -> "IVFIndex":
+        """k-means on device, cell table assembled host-side (one-time)."""
+        cent, assign = jax.jit(kmeans, static_argnums=(1, 2, 3))(
+            jnp.asarray(vectors, jnp.float32), n_clusters, iters, seed)
+        cent = np.asarray(jax.device_get(cent))
+        a = np.asarray(jax.device_get(assign))
+        order = np.argsort(a, kind="stable")
+        counts = np.bincount(a, minlength=n_clusters)
+        lmax = max(int(counts.max()), 1)
+        table = np.full((n_clusters, lmax), -1, np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        for c in range(n_clusters):
+            table[c, : counts[c]] = order[starts[c]: starts[c] + counts[c]]
+        return cls(cent, table, vectors.shape[0])
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, centroids=self.centroids,
+                            bucket_ids=self.bucket_ids,
+                            n_items=np.int64(self.n_items))
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        with np.load(path, allow_pickle=False) as z:
+            return cls(z["centroids"], z["bucket_ids"], int(z["n_items"]))
+
+
+def ivf_topk(
+    queries: jax.Array,      # (B, D)
+    centroids: jax.Array,    # (C, D)
+    bucket_ids: jax.Array,   # (C, L) int32, pad -1
+    items: jax.Array,        # (M, D) full-precision catalog
+    k: int,
+    nprobe: int,
+    q_items: Optional[jax.Array] = None,     # (M, D) int8: int8 probe scan
+    item_scales: Optional[jax.Array] = None,  # (M,) f32
+) -> Tuple[jax.Array, jax.Array]:
+    """Probe the ``nprobe`` best cells per query, exact top-k within them.
+
+    Returned scores are full-precision dots (``Precision.HIGHEST``) of the
+    returned indices. With ``q_items``/``item_scales``, candidate scoring
+    gathers int8 rows instead of f32 (4× less gather traffic; per-item
+    scales preserve cross-item ranking, per-query scales drop out) and only
+    the final k are rescored from ``items`` — selection error is bounded by
+    int8 rounding exactly as in
+    :func:`~esrecsys_tpu.retrieval.mips.quantized_topk_over_matrix`.
+
+    Recall is governed by ``nprobe``: items whose cell the query does not
+    probe are unreachable (that is the sublinear trade; measured curves in
+    tests/test_ivf.py and BENCHMARKS.md). ``nprobe == n_clusters`` scans
+    every cell and recovers the exact result.
+    """
+    c, l = bucket_ids.shape
+    nprobe = min(nprobe, c)
+    qf = queries.astype(jnp.float32)
+    cs = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(cs, nprobe)  # (B, P)
+    cand = jnp.take(bucket_ids, probes.reshape(-1), axis=0)
+    cand = cand.reshape(queries.shape[0], nprobe * l)
+    valid = cand >= 0
+    safe = jnp.maximum(cand, 0)
+    if q_items is not None:
+        from esrecsys_tpu.retrieval.mips import quantize_rows
+
+        qq, _ = quantize_rows(queries)  # query scale is rank-invariant
+        rows_q = jnp.take(q_items, safe, axis=0)  # (B, PL, D) int8
+        s = jnp.einsum("bd,bnd->bn", qq, rows_q,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        s = s * jnp.take(item_scales, safe, axis=0)
+    else:
+        rows = jnp.take(items, safe, axis=0)  # (B, PL, D)
+        s = jnp.einsum("bd,bnd->bn", qf, rows,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    s = jnp.where(valid, s, NEG_INF)
+    k_eff = min(k, nprobe * l)
+    vals, sel = jax.lax.top_k(s, k_eff)
+    idxs = jnp.take_along_axis(cand, sel, axis=-1)
+    if q_items is not None:
+        # exact rescore of the selected k only, then re-sort
+        rows = jnp.take(items, jnp.maximum(idxs, 0), axis=0)
+        rv = jnp.einsum("bd,bnd->bn", qf, rows,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        vals = jnp.where(jnp.isfinite(vals), rv, NEG_INF)
+        vals, order = jax.lax.top_k(vals, k_eff)
+        idxs = jnp.take_along_axis(idxs, order, axis=-1)
+    idxs = jnp.where(jnp.isfinite(vals), idxs, 0)
+    if k_eff < k:
+        pad = k - k_eff
+        vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)],
+                       constant_values=NEG_INF)
+        idxs = jnp.pad(idxs, [(0, 0)] * (idxs.ndim - 1) + [(0, pad)])
+    return vals, idxs

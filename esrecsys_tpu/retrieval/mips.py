@@ -26,12 +26,17 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from esrecsys_tpu.core.mesh import MODEL_AXIS, pad_to_multiple
 
-NEG_INF = jnp.float32(-jnp.inf)
+# np (not jnp): a module-level jnp scalar would initialize the jax backend
+# at import time — with JAX_PLATFORMS=axon and a dead relay, `python -m`
+# entry points would then hang during import, BEFORE main()'s CPU-fallback
+# preflight can run. np.float32 promotes identically in jnp ops.
+NEG_INF = np.float32(-np.inf)
 
 
 def chunked_topk(
@@ -284,6 +289,106 @@ def approx_topk_over_matrix(
     cand = jnp.moveaxis(cand, 0, -2).reshape(queries.shape[:-1] + (nblk * kb,))
     rows = jnp.take(items, jnp.minimum(cand, num_items - 1), axis=0)
     cs = jnp.einsum("bd,bnd->bn", queries, rows,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    cs = jnp.where(cand < num_items, cs, NEG_INF)
+    k_eff = min(k, nblk * kb)
+    vals, sel = jax.lax.top_k(cs, k_eff)
+    idxs = jnp.take_along_axis(cand, sel, axis=-1)
+    if k_eff < k:
+        pad = k - k_eff
+        vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)],
+                       constant_values=NEG_INF)
+        idxs = jnp.pad(idxs, [(0, 0)] * (idxs.ndim - 1) + [(0, pad)])
+    return vals, idxs
+
+
+def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization: ``x ≈ q * scale[:, None]``.
+
+    Returns ``(q int8 (..., D), scale f32 (...))`` with
+    ``scale = max|row| / 127`` (clamped away from zero so all-zero rows
+    quantize to zeros instead of NaN). Max per-row relative rounding error
+    is 0.5/127 ≈ 0.4% of the row's largest component.
+    """
+    x = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-30) / 127.0
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantized_topk_over_matrix(
+    queries: jax.Array,        # (B, D) float
+    q_items: jax.Array,        # (M, D) int8 (quantize_rows output)
+    item_scales: jax.Array,    # (M,) f32
+    rescore_items: jax.Array,  # (M, D) float — full-precision catalog
+    k: int,
+    block_size: int = 262_144,
+    per_block_k: Optional[int] = None,
+    select: str = "exact",
+    recall_target: float = 0.95,
+    oversample: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming top-k scoring the catalog in int8, exact rescore on top.
+
+    Brute-force MIPS over a big catalog is HBM-bandwidth-bound: the exact
+    path streams the full f32 matrix per query batch (2.26M × 64 = 579 MB).
+    Quantizing the *scan* to int8 cuts that traffic 4× and scores on the
+    MXU's double-rate s8×s8→s32 path; the candidates are then rescored
+    exactly from the full-precision catalog (``Precision.HIGHEST``), so the
+    final ranking is exact over the selected candidate set — only candidate
+    SELECTION sees quantization noise (per-row int8 rounding ≤ 0.4% of the
+    row max; measured overlap@500 vs the exact path is ≥ 0.99 on Gaussian
+    catalogs, tests/test_quantized_mips.py).
+
+    Phase-1 ranking detail: per-query quantization scales are positive
+    constants per row, so they cannot change that query's ranking and are
+    never applied; per-item scales do reorder items and are.
+
+    ``select="exact"`` keeps the true int8 top-``per_block_k`` per block;
+    ``select="approx"`` uses hardware ``approx_max_k`` on the int8 scores
+    (both levers compose: int8 cuts scan traffic, approx cuts selection
+    cost — the serving knobs ``quantized`` and ``approx`` map here).
+
+    No reference counterpart (the reference scores full f32 matrices —
+    pinterest/make_recommendations.py:49-65); this is a serving-path
+    optimization the TPU's int8 MXU rate makes natural.
+    """
+    if select not in ("exact", "approx"):
+        raise ValueError(f"select must be 'exact' or 'approx', got {select!r}")
+    num_items = q_items.shape[0]
+    block = min(block_size, pad_to_multiple(num_items, 128))
+    padded_rows = pad_to_multiple(num_items, block)
+    if padded_rows != num_items:
+        q_items = jnp.pad(q_items, ((0, padded_rows - num_items), (0, 0)))
+        item_scales = jnp.pad(item_scales, (0, padded_rows - num_items))
+    nblk = padded_rows // block
+    # keep ~oversample*k candidates TOTAL across blocks: int8 rounding can
+    # reorder near the k-th boundary, so rescoring only k candidates caps
+    # overlap; 4x headroom pushes it to ~0.99 at negligible rescore cost
+    # (the rescore touches nblk*kb rows per query, not the catalog)
+    kb = per_block_k or min(block, max(-(-oversample * k // nblk), 1))
+    qq, _ = quantize_rows(queries)  # query scale dropped: rank-invariant
+
+    def body(_, b):
+        blk = jax.lax.dynamic_slice_in_dim(q_items, b * block, block, axis=0)
+        sc = jax.lax.dynamic_slice_in_dim(item_scales, b * block, block)
+        s_i32 = jax.lax.dot_general(
+            qq, blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)  # (B, block)
+        s = s_i32.astype(jnp.float32) * sc[None, :]
+        loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+        s = jnp.where(b * block + loc < num_items, s, NEG_INF)
+        if select == "approx":
+            _, i = jax.lax.approx_max_k(s, kb, recall_target=recall_target)
+        else:
+            _, i = jax.lax.top_k(s, kb)
+        return (), i + b * block
+
+    _, cand = jax.lax.scan(body, (), jnp.arange(nblk))  # (nblk, B, kb)
+    cand = jnp.moveaxis(cand, 0, -2).reshape(queries.shape[:-1] + (nblk * kb,))
+    rows = jnp.take(rescore_items, jnp.minimum(cand, num_items - 1), axis=0)
+    cs = jnp.einsum("bd,bnd->bn", queries.astype(jnp.float32), rows,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     cs = jnp.where(cand < num_items, cs, NEG_INF)

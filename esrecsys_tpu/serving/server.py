@@ -78,7 +78,10 @@ class RetrievalService:
     def __init__(self, index: EmbeddingIndex, max_k: int = 100,
                  max_batch: int = 8, block_size: int = 8192,
                  encoders: Optional[Dict[str, Callable]] = None,
-                 approx: bool = False, recall_target: float = 0.95):
+                 approx: bool = False, recall_target: float = 0.95,
+                 quantized: bool = False,
+                 ivf_clusters: Optional[int] = None, nprobe: int = 8,
+                 ivf_iters: int = 20):
         self.index = index
         self.max_k = min(max_k, len(index))
         self.max_batch = max_batch
@@ -90,27 +93,76 @@ class RetrievalService:
         # (retrieval/mips.py approx_topk_over_matrix); exact stays default
         self.approx = approx
         self.recall_target = recall_target
+        # quantized=True: the catalog SCAN runs in int8 (4x less HBM traffic,
+        # double-rate MXU) with an exact full-precision rescore of the
+        # candidates — only candidate selection sees the <=0.4%/row rounding
+        # (retrieval/mips.py quantized_topk_over_matrix). Composes with
+        # approx (int8 scan + approx_max_k selection).
+        self.quantized = quantized
+        # ivf_clusters=N: sublinear retrieval — k-means the catalog into N
+        # cells at startup (retrieval/ivf.py), probe the best `nprobe` per
+        # query. Composes with quantized (int8 candidate gathers); mutually
+        # exclusive with approx (probe selection already approximates, and
+        # the probed candidate set is too small for approx_max_k to help).
+        if ivf_clusters and approx:
+            raise ValueError("ivf_clusters and approx are mutually exclusive"
+                             " (ivf probe selection already approximates)")
+        self.nprobe = nprobe
         self._items = _chunked_device_put(index.vectors)  # (N, D) resident
         self._dim = int(self._items.shape[1])
+        if quantized:
+            from esrecsys_tpu.retrieval.mips import quantize_rows
+
+            self._q_items, self._scales = jax.jit(quantize_rows)(self._items)
+        else:
+            self._q_items = self._scales = None
+        if ivf_clusters:
+            from esrecsys_tpu.retrieval.ivf import IVFIndex
+
+            self.ivf = IVFIndex.build(index.vectors, ivf_clusters,
+                                      iters=ivf_iters)
+            self._centroids = jnp.asarray(self.ivf.centroids)
+            self._bucket_ids = jnp.asarray(self.ivf.bucket_ids)
+        else:
+            self.ivf = None
+            self._centroids = self._bucket_ids = None
 
         # The catalog is an ARGUMENT of the jitted query, never a closure:
         # closed-over arrays become compile-time constants, which tunneled
         # PJRT backends re-ship with the program (a 580 MB catalog stalls the
         # compile request entirely).
-        def query(q, items):  # (max_batch, D), (N, D)
+        def query(q, items, q_items, scales, centroids, bucket_ids):
+            # approx/quantized paths want LARGE blocks (few scan iterations,
+            # few candidates to rescore) — the 11.7k q/s number was measured
+            # at 262144; the exact path's small-block default would explode
+            # nblk*per_block_k rescore work
+            if self.ivf is not None:
+                from esrecsys_tpu.retrieval.ivf import ivf_topk
+
+                return ivf_topk(q, centroids, bucket_ids, items, self.max_k,
+                                nprobe=self.nprobe, q_items=q_items,
+                                item_scales=scales)
+            if self.quantized:
+                from esrecsys_tpu.retrieval.mips import (
+                    quantized_topk_over_matrix)
+
+                return quantized_topk_over_matrix(
+                    q, q_items, scales, items, self.max_k,
+                    block_size=max(block_size, 262_144),
+                    select="approx" if self.approx else "exact",
+                    recall_target=self.recall_target)
             if self.approx:
                 from esrecsys_tpu.retrieval.mips import approx_topk_over_matrix
 
-                # approx path wants LARGE blocks (few scan iterations, few
-                # candidates to rescore) — the 11.7k q/s number was measured
-                # at 262144; the exact path's small-block default would
-                # explode nblk*per_block_k rescore work
                 return approx_topk_over_matrix(
                     q, items, self.max_k, block_size=max(block_size, 262_144),
                     recall_target=self.recall_target)
             return topk_over_matrix(q, items, self.max_k, block_size)
 
-        self._query = jax.jit(query)
+        self._query_fn = jax.jit(query)
+        self._query = lambda q, items: self._query_fn(
+            q, items, self._q_items, self._scales,
+            self._centroids, self._bucket_ids)
         # Compile once at construction so first request latency is steady.
         warm = jnp.zeros((max_batch, self._dim), jnp.float32)
         jax.device_get(jax.tree_util.tree_leaves(
@@ -293,7 +345,10 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           coalesce: bool = True,
           max_wait_ms: float = 2.0,
           approx: bool = False,
-          recall_target: float = 0.95) -> ThreadingHTTPServer:
+          recall_target: float = 0.95,
+          quantized: bool = False,
+          ivf_clusters: Optional[int] = None,
+          nprobe: int = 8) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
 
     Call ``.serve_forever()`` to block, or run it in a thread for tests.
@@ -301,12 +356,18 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
     (QueryBatcher); ``encoders`` enables raw-text / image-key queries;
     ``approx`` switches the query path to hardware ``approx_max_k``
     candidate selection + exact rescore (~3.7x the exact path at
-    ``recall_target`` overlap on a 2.26M catalog — BENCHMARKS.md).
+    ``recall_target`` overlap on a 2.26M catalog — BENCHMARKS.md);
+    ``quantized`` scans the catalog in int8 with an exact rescore (4x less
+    HBM traffic; composes with ``approx``); ``ivf_clusters`` builds a
+    k-means inverted file at startup and probes ``nprobe`` cells per query
+    (sublinear — retrieval/ivf.py; composes with ``quantized``).
     """
     index = EmbeddingIndex.load(index_path)
     service = RetrievalService(index, max_k=max_k, max_batch=max_batch,
                                encoders=encoders, approx=approx,
-                               recall_target=recall_target)
+                               recall_target=recall_target,
+                               quantized=quantized,
+                               ivf_clusters=ivf_clusters, nprobe=nprobe)
     batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
     httpd = ThreadingHTTPServer((host, port), _make_handler(service, batcher))
     httpd.service = service  # exposed for tests/tools
@@ -334,6 +395,14 @@ def main(argv=None):
                    help="approx_max_k candidate selection + exact rescore "
                         "(~3.7x exact throughput at --recall_target overlap)")
     p.add_argument("--recall_target", type=float, default=0.95)
+    p.add_argument("--quantized", action="store_true",
+                   help="int8 catalog scan + exact full-precision rescore "
+                        "(4x less HBM traffic; composes with --approx)")
+    p.add_argument("--ivf_clusters", type=int, default=0,
+                   help="build a k-means inverted file with this many cells "
+                        "at startup; probe --nprobe cells per query "
+                        "(sublinear; composes with --quantized)")
+    p.add_argument("--nprobe", type=int, default=8)
     # query-side model inference (serving/encoders.py)
     p.add_argument("--txt2url_artifact", default="",
                    help="enable 'text' queries via this trained artifact")
@@ -355,7 +424,10 @@ def main(argv=None):
     serve(args.index, args.host, args.port, args.max_k, args.max_batch,
           encoders=enc, coalesce=not args.no_coalesce,
           approx=args.approx,
-          recall_target=args.recall_target).serve_forever()
+          recall_target=args.recall_target,
+          quantized=args.quantized,
+          ivf_clusters=args.ivf_clusters or None,
+          nprobe=args.nprobe).serve_forever()
 
 
 if __name__ == "__main__":

@@ -255,7 +255,8 @@ def serve_from_artifact(args, cfg, corpus_np) -> dict:
 
     index = EmbeddingIndex([str(i) for i in range(NUM_TRACKS)], vectors)
     svc = RetrievalService(index, max_k=500, max_batch=8,
-                           approx=args.approx_serving)
+                           approx=args.approx_serving,
+                           quantized=args.quantized_serving)
     ids, scores = svc.topk(vectors[:1], k=500)  # the first real query
     t_first_query = time.time() - t0
     assert ids.shape == (1, 500) and np.isfinite(scores).all()
@@ -286,6 +287,7 @@ def main(argv=None):
     p.add_argument("--n_shards", type=int, default=4)
     p.add_argument("--shard_examples", type=int, default=262_144)
     p.add_argument("--approx_serving", action="store_true")
+    p.add_argument("--quantized_serving", action="store_true")
     p.add_argument("--skip_serving", action="store_true")
     p.add_argument("--out_dir", default="/tmp/full_scale")
     # scale overrides (tests / CPU smoke; defaults are the real MPD scale)

@@ -1,0 +1,157 @@
+"""Serving-mode bench: throughput × quality for every retrieval mode.
+
+One command measures the real serving path (`RetrievalService.topk`, the
+same compiled query the HTTP server dispatches — HTTP framing excluded)
+across the mode lattice:
+
+  exact            streamed grouped top-k (retrieval/mips.topk_over_matrix)
+  approx           hardware approx_max_k selection + exact rescore
+  quantized        int8 catalog scan + exact rescore
+  quantized_approx int8 scan + approx_max_k selection
+  ivf              k-means inverted file, nprobe cells per query
+  ivf_quantized    ivf probe + int8 candidate gathers
+
+reporting, per mode: queries/s (wall, steady-state over ``--queries``
+queries in ``--batch`` chunks), mean overlap@k vs the exact mode on a
+query subsample, and setup time (quantize / k-means build).
+
+Catalogs are synthetic: ``--structured`` draws a mixture of components
+(clusterable, like trained embeddings — the IVF-relevant case);
+the default is Gaussian (worst case for IVF, fair for the scan modes).
+
+Run (chip): python -m esrecsys_tpu.tools.serving_bench \
+    --items 2262292 --dim 64 --k 500 --batch 256 --ivf_clusters 4096
+Smoke (CPU): --items 20000 --queries 256 --batch 32 --k 50 \
+    --ivf_clusters 64 --nprobe 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+MODES = ("exact", "approx", "quantized", "quantized_approx",
+         "ivf", "ivf_quantized")
+
+
+def make_catalog(n: int, dim: int, structured: bool, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    if structured:
+        n_comp = max(16, n // 1000)
+        means = rng.normal(size=(n_comp, dim)).astype(np.float32) * 3.0
+        comp = rng.integers(0, n_comp, n)
+        x = means[comp] + rng.normal(size=(n, dim)).astype(np.float32) * 0.3
+        return x.astype(np.float32)
+    return rng.normal(size=(n, dim)).astype(np.float32)
+
+
+def service_for(mode: str, index, k: int, batch: int, args):
+    from esrecsys_tpu.serving.server import RetrievalService
+
+    kw = dict(max_k=k, max_batch=batch)
+    if mode == "approx":
+        kw.update(approx=True, recall_target=args.recall_target)
+    elif mode == "quantized":
+        kw.update(quantized=True)
+    elif mode == "quantized_approx":
+        kw.update(quantized=True, approx=True,
+                  recall_target=args.recall_target)
+    elif mode == "ivf":
+        kw.update(ivf_clusters=args.ivf_clusters, nprobe=args.nprobe,
+                  ivf_iters=args.ivf_iters)
+    elif mode == "ivf_quantized":
+        kw.update(ivf_clusters=args.ivf_clusters, nprobe=args.nprobe,
+                  ivf_iters=args.ivf_iters, quantized=True)
+    return RetrievalService(index, **kw)
+
+
+def bench_mode(mode: str, index, queries: np.ndarray, k: int, args,
+               exact_ids: np.ndarray | None):
+    t0 = time.time()
+    svc = service_for(mode, index, k, args.batch, args)
+    setup_s = time.time() - t0  # includes device upload + compile + build
+
+    # warm path is compiled at construction; measure steady-state wall
+    t0 = time.time()
+    ids = None
+    for rep in range(args.reps):
+        ids, _ = svc.topk(queries, k=k)
+    wall = time.time() - t0
+    qps = args.reps * queries.shape[0] / wall
+
+    overlap = None
+    if exact_ids is not None:
+        sub = min(queries.shape[0], args.overlap_queries)
+        overlap = float(np.mean([
+            len(set(ids[b]) & set(exact_ids[b])) / k for b in range(sub)]))
+    out = {"mode": mode, "queries_per_s": round(qps, 1),
+           "overlap_vs_exact": overlap, "setup_s": round(setup_s, 2)}
+    if mode.startswith("ivf"):
+        out["ivf_imbalance"] = round(svc.ivf.imbalance, 2)
+    return out, ids
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, force=True)
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    note = warn_cpu_fallback(log)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--items", type=int, default=2_262_292)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--k", type=int, default=500)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--queries", type=int, default=2048)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--overlap_queries", type=int, default=256)
+    p.add_argument("--modes", default=",".join(MODES))
+    p.add_argument("--structured", action="store_true")
+    p.add_argument("--recall_target", type=float, default=0.95)
+    p.add_argument("--ivf_clusters", type=int, default=4096)
+    p.add_argument("--nprobe", type=int, default=64)
+    p.add_argument("--ivf_iters", type=int, default=10)
+    p.add_argument("--out", default="/tmp/serving_bench.json")
+    args = p.parse_args(argv)
+
+    from esrecsys_tpu.retrieval.index import EmbeddingIndex
+
+    vecs = make_catalog(args.items, args.dim, args.structured)
+    index = EmbeddingIndex([str(i) for i in range(args.items)], vecs)
+    rng = np.random.default_rng(99)
+    # queries near the catalog manifold (the serving case)
+    qrows = rng.integers(0, args.items, args.queries)
+    queries = (vecs[qrows] + rng.normal(size=(args.queries, args.dim))
+               .astype(np.float32) * 0.1)
+
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    bad = set(modes) - set(MODES)
+    if bad:
+        raise SystemExit(f"unknown modes {sorted(bad)}; pick from {MODES}")
+    results = []
+    exact_ids = None
+    if "exact" in modes:  # run exact first: it is the overlap reference
+        modes = ["exact"] + [m for m in modes if m != "exact"]
+    for mode in modes:
+        res, ids = bench_mode(mode, index, queries, args.k, args,
+                              exact_ids if mode != "exact" else None)
+        if mode == "exact":
+            exact_ids = ids
+        results.append(res)
+        log.info("%s", res)
+
+    out = {"items": args.items, "dim": args.dim, "k": args.k,
+           "batch": args.batch, "structured": args.structured,
+           "platform_note": note, "results": results}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,9 @@ from esrecsys_tpu.train import Checkpointer, TrainState, fit
 
 log = logging.getLogger(__name__)
 
-POS_INF = jnp.float32(jnp.inf)
+# np, not jnp: import-time jnp scalars initialize the backend before the
+# CLI preflight can fall back to CPU (see retrieval/mips.py NEG_INF note)
+POS_INF = np.float32(np.inf)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,6 +27,39 @@ def test_graft_entry_exports_driver_api():
     assert callable(ge.dryrun_multichip)
 
 
+def test_package_import_never_initializes_jax_backend():
+    """Importing any esrecsys_tpu module must not initialize a jax backend.
+
+    A module-level jnp scalar (e.g. the old ``NEG_INF = jnp.float32(-inf)``)
+    initializes the platform at import — with JAX_PLATFORMS=axon and a dead
+    relay, every ``python -m esrecsys_tpu.*`` entry point then hangs during
+    import, BEFORE main()'s warn_cpu_fallback() preflight can switch to CPU.
+    Run in a subprocess (the test process's backend is already up) and walk
+    every importable module under the package.
+    """
+    import subprocess
+
+    code = (
+        "import sys, pkgutil, importlib; sys.path.insert(0, '/root/repo');\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import esrecsys_tpu\n"
+        "mods = [m.name for m in pkgutil.walk_packages("
+        "esrecsys_tpu.__path__, 'esrecsys_tpu.')"
+        " if not m.name.endswith('_pb2')"
+        " and 'libesrecsys' not in m.name]\n"  # ctypes .so, not a py module
+        "for m in mods:\n"
+        "    importlib.import_module(m)\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, "
+        "f'import initialized backends: {list(xla_bridge._backends)}'\n"
+        "print('ok', len(mods))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
+
+
 def test_axon_preflight_is_stdlib_only_before_probe():
     """The preflight module must not pull jax at import (it runs BEFORE the
     caller decides which platform to configure)."""

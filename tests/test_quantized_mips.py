@@ -1,0 +1,139 @@
+"""Int8-quantized catalog scan (retrieval/mips.quantized_topk_over_matrix).
+
+The quantized path's contract: candidate SELECTION may see int8 rounding
+noise, but returned scores are exact full-precision dot products of the
+returned indices, and overlap with the exact top-k stays high on
+realistically-distributed embeddings.
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esrecsys_tpu.retrieval import mips
+from esrecsys_tpu.retrieval.index import EmbeddingIndex
+from esrecsys_tpu.serving.server import RetrievalService, serve
+
+
+def _brute(queries, items, k):
+    scores = np.asarray(queries, np.float64) @ np.asarray(items, np.float64).T
+    idx = np.argsort(-scores, axis=-1)[:, :k]
+    vals = np.take_along_axis(scores, idx, axis=-1)
+    return vals, idx
+
+
+def test_quantize_rows_roundtrip_bound():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 32)).astype(np.float32) * rng.gamma(
+        2.0, 1.0, size=(64, 1)).astype(np.float32)
+    x[7] = 0.0  # all-zero row must not NaN
+    q, s = jax.jit(mips.quantize_rows)(jnp.asarray(x))
+    q, s = np.asarray(q), np.asarray(s)
+    assert q.dtype == np.int8 and s.dtype == np.float32
+    recon = q.astype(np.float32) * s[:, None]
+    # symmetric rounding: |x - q*scale| <= scale/2 elementwise
+    assert np.all(np.abs(recon - x) <= s[:, None] * 0.5 + 1e-7)
+    assert np.all(recon[7] == 0.0) and np.isfinite(recon).all()
+
+
+@pytest.mark.parametrize("select", ["exact", "approx"])
+def test_quantized_topk_high_overlap_and_exact_rescore(select):
+    rng = np.random.default_rng(1)
+    items = rng.normal(size=(5000, 32)).astype(np.float32)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    k = 50
+    qi, sc = jax.jit(mips.quantize_rows)(jnp.asarray(items))
+    vals, idx = jax.jit(
+        lambda q, qi, sc, it: mips.quantized_topk_over_matrix(
+            q, qi, sc, it, k=k, block_size=1024, select=select)
+    )(jnp.asarray(q), qi, sc, jnp.asarray(items))
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    bvals, bidx = _brute(q, items, k)
+    for b in range(q.shape[0]):
+        overlap = len(set(idx[b]) & set(bidx[b])) / k
+        assert overlap >= 0.95, (select, b, overlap)
+        # returned scores are the full-precision dots of the returned rows
+        np.testing.assert_allclose(
+            vals[b], (q[b] @ items[idx[b]].T), rtol=1e-5)
+        # descending order
+        assert np.all(np.diff(vals[b]) <= 1e-6)
+
+
+def test_quantized_topk_k_exceeds_catalog():
+    rng = np.random.default_rng(2)
+    items = rng.normal(size=(6, 8)).astype(np.float32)
+    qi, sc = mips.quantize_rows(jnp.asarray(items))
+    vals, idx = mips.quantized_topk_over_matrix(
+        jnp.ones((2, 8)), qi, sc, jnp.asarray(items), k=10)
+    assert vals.shape == (2, 10)
+    assert np.all(np.isneginf(np.asarray(vals)[:, 6:]))
+    # the real entries cover the whole catalog exactly once
+    assert sorted(np.asarray(idx)[0, :6]) == list(range(6))
+
+
+def test_quantized_topk_rejects_bad_select():
+    items = jnp.ones((4, 8))
+    qi, sc = mips.quantize_rows(items)
+    with pytest.raises(ValueError, match="select"):
+        mips.quantized_topk_over_matrix(
+            jnp.ones((1, 8)), qi, sc, items, k=2, select="fuzzy")
+
+
+@pytest.fixture(scope="module")
+def index(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    idx = EmbeddingIndex([f"item{i}" for i in range(300)], vecs)
+    path = tmp_path_factory.mktemp("qidx") / "catalog.npz"
+    idx.save(str(path))
+    return idx, str(path)
+
+
+@pytest.mark.parametrize("approx", [False, True])
+def test_service_quantized_overlaps_exact(index, approx):
+    idx, _ = index
+    exact = RetrievalService(idx, max_k=20, max_batch=4)
+    quant = RetrievalService(idx, max_k=20, max_batch=4, quantized=True,
+                             approx=approx)
+    rng = np.random.default_rng(4)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    eids, _ = exact.topk(q, k=20)
+    qids, qvals = quant.topk(q, k=20)
+    overlaps = [len(set(eids[b]) & set(qids[b])) / 20 for b in range(8)]
+    assert np.mean(overlaps) >= 0.95, overlaps
+    # quantized scores are full-precision rescored dots, not int8 scores
+    for b in range(8):
+        rows = np.array([idx.vector(i) for i in qids[b]])
+        np.testing.assert_allclose(qvals[b], q[b] @ rows.T, rtol=1e-5)
+
+
+def test_serve_quantized_flag_end_to_end(index):
+    """serve(quantized=True) (the --quantized CLI flag) must route queries
+    through the int8-scan path and answer correctly over HTTP."""
+    idx, path = index
+    httpd = serve(path, port=0, max_k=10, max_batch=4, coalesce=False,
+                  quantized=True)
+    assert httpd.service.quantized is True
+    assert httpd.service._q_items.dtype == jnp.int8
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        exact = RetrievalService(idx, max_k=10, max_batch=4)
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=16).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"vector": q.tolist(), "k": 10}).encode())
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        ex_ids, _ = exact.topk(q[None], k=10)
+        assert len(set(out["ids"]) & set(ex_ids[0])) / 10 >= 0.9
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -193,3 +193,31 @@ def test_sweep_early_stopping(quad_problem, tmp_path):
     # best is the first run; patience 2 stops after runs 2 and 3
     assert len(out["runs"]) == 3
     assert out["best"]["overrides"]["lr"] == 0.3
+
+
+def test_serving_bench_smoke(tmp_path):
+    """serving_bench sweeps the mode lattice end-to-end and reports overlap
+    vs the exact mode for every non-exact mode."""
+    from esrecsys_tpu.tools import serving_bench as sb
+
+    out = str(tmp_path / "sb.json")
+    sb.main(["--items", "2000", "--dim", "16", "--queries", "32",
+             "--batch", "16", "--k", "10", "--reps", "1", "--structured",
+             "--ivf_clusters", "16", "--nprobe", "4",
+             "--modes", "exact,quantized,ivf", "--out", out])
+    with open(out) as f:
+        d = json.load(f)
+    modes = {r["mode"]: r for r in d["results"]}
+    assert set(modes) == {"exact", "quantized", "ivf"}
+    assert modes["exact"]["overlap_vs_exact"] is None
+    for m in ("quantized", "ivf"):
+        assert modes[m]["overlap_vs_exact"] >= 0.8, modes[m]
+        assert modes[m]["queries_per_s"] > 0
+
+
+def test_serving_bench_rejects_unknown_mode(tmp_path):
+    from esrecsys_tpu.tools import serving_bench as sb
+
+    with pytest.raises(SystemExit, match="unknown modes"):
+        sb.main(["--items", "100", "--dim", "8", "--modes", "exact,bogus",
+                 "--out", str(tmp_path / "x.json")])
