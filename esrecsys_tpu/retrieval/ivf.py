@@ -105,9 +105,15 @@ class IVFIndex(NamedTuple):
         return self.bucket_ids.shape[1] * self.n_clusters / max(self.n_items, 1)
 
     @classmethod
-    def build(cls, vectors: np.ndarray, n_clusters: int, iters: int = 20,
+    def build(cls, vectors, n_clusters: int, iters: int = 20,
               seed: int = 0) -> "IVFIndex":
-        """k-means on device, cell table assembled host-side (one-time)."""
+        """k-means on device, cell table assembled host-side (one-time).
+
+        ``vectors`` may be a host np.ndarray or an ALREADY-resident device
+        array (``jnp.asarray`` is then a no-op) — callers holding the
+        catalog on device (RetrievalService) must pass that, not the host
+        copy, to avoid a second full-catalog upload.
+        """
         cent, assign = jax.jit(kmeans, static_argnums=(1, 2, 3))(
             jnp.asarray(vectors, jnp.float32), n_clusters, iters, seed)
         cent = np.asarray(jax.device_get(cent))

@@ -264,7 +264,6 @@ def approx_topk_over_matrix(
     the exact path so quality metrics stay exact (PARITY_RUNS.md).
     """
     num_items = items.shape[0]
-    dim = items.shape[-1]
     block = min(block_size, pad_to_multiple(num_items, 128))
     padded_rows = pad_to_multiple(num_items, block)
     if padded_rows != num_items:
@@ -276,25 +275,63 @@ def approx_topk_over_matrix(
     kb = min(kb, block)
     qb = queries.astype(jnp.bfloat16)
 
-    def body(_, b):
+    def score_block(b):
         blk = jax.lax.dynamic_slice_in_dim(items, b * block, block, axis=0)
-        s = jnp.einsum("bd,md->bm", qb, blk.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
+        return jnp.einsum("bd,md->bm", qb, blk.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    return _streamed_candidate_topk(
+        score_block, queries, items, num_items, k, block, nblk, kb,
+        select="approx", recall_target=recall_target)
+
+
+def _streamed_candidate_topk(
+    score_block_fn: Callable[[jax.Array], jax.Array],
+    queries: jax.Array,        # (B, D)
+    rescore_items: jax.Array,  # (>=num_items, D) full-precision rows
+    num_items: int,
+    k: int,
+    block: int,
+    nblk: int,
+    kb: int,
+    select: str,
+    recall_target: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Shared two-phase skeleton for the approx and quantized scans.
+
+    Phase 1 streams blocks under ``lax.scan``: ``score_block_fn(b)`` returns
+    the (B, block) scores of block ``b`` (tail rows masked to -inf here),
+    and ``kb`` candidates are kept per block — hardware ``approx_max_k``
+    when ``select="approx"``, true ``top_k`` otherwise. Phase 2 rescores
+    all ``nblk*kb`` candidates from ``rescore_items`` at
+    ``Precision.HIGHEST`` and returns the final top-k, so returned scores
+    are exact for the returned indices whatever phase 1's precision.
+
+    Indices at -inf slots (k exceeds the real candidates) are sanitized to
+    0 so callers can always use them to index id arrays.
+    """
+
+    def body(_, b):
+        s = score_block_fn(b)
         loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
         s = jnp.where(b * block + loc < num_items, s, NEG_INF)
-        _, i = jax.lax.approx_max_k(s, kb, recall_target=recall_target)
+        if select == "approx":
+            _, i = jax.lax.approx_max_k(s, kb, recall_target=recall_target)
+        else:
+            _, i = jax.lax.top_k(s, kb)
         return (), i + b * block
 
     _, cand = jax.lax.scan(body, (), jnp.arange(nblk))  # (nblk, B, kb)
     cand = jnp.moveaxis(cand, 0, -2).reshape(queries.shape[:-1] + (nblk * kb,))
-    rows = jnp.take(items, jnp.minimum(cand, num_items - 1), axis=0)
-    cs = jnp.einsum("bd,bnd->bn", queries, rows,
+    rows = jnp.take(rescore_items, jnp.minimum(cand, num_items - 1), axis=0)
+    cs = jnp.einsum("bd,bnd->bn", queries.astype(jnp.float32), rows,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     cs = jnp.where(cand < num_items, cs, NEG_INF)
     k_eff = min(k, nblk * kb)
     vals, sel = jax.lax.top_k(cs, k_eff)
     idxs = jnp.take_along_axis(cand, sel, axis=-1)
+    idxs = jnp.where(jnp.isfinite(vals), idxs, 0)
     if k_eff < k:
         pad = k - k_eff
         vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)],
@@ -370,37 +407,17 @@ def quantized_topk_over_matrix(
     kb = per_block_k or min(block, max(-(-oversample * k // nblk), 1))
     qq, _ = quantize_rows(queries)  # query scale dropped: rank-invariant
 
-    def body(_, b):
+    def score_block(b):
         blk = jax.lax.dynamic_slice_in_dim(q_items, b * block, block, axis=0)
         sc = jax.lax.dynamic_slice_in_dim(item_scales, b * block, block)
         s_i32 = jax.lax.dot_general(
             qq, blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)  # (B, block)
-        s = s_i32.astype(jnp.float32) * sc[None, :]
-        loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
-        s = jnp.where(b * block + loc < num_items, s, NEG_INF)
-        if select == "approx":
-            _, i = jax.lax.approx_max_k(s, kb, recall_target=recall_target)
-        else:
-            _, i = jax.lax.top_k(s, kb)
-        return (), i + b * block
+        return s_i32.astype(jnp.float32) * sc[None, :]
 
-    _, cand = jax.lax.scan(body, (), jnp.arange(nblk))  # (nblk, B, kb)
-    cand = jnp.moveaxis(cand, 0, -2).reshape(queries.shape[:-1] + (nblk * kb,))
-    rows = jnp.take(rescore_items, jnp.minimum(cand, num_items - 1), axis=0)
-    cs = jnp.einsum("bd,bnd->bn", queries.astype(jnp.float32), rows,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    cs = jnp.where(cand < num_items, cs, NEG_INF)
-    k_eff = min(k, nblk * kb)
-    vals, sel = jax.lax.top_k(cs, k_eff)
-    idxs = jnp.take_along_axis(cand, sel, axis=-1)
-    if k_eff < k:
-        pad = k - k_eff
-        vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)],
-                       constant_values=NEG_INF)
-        idxs = jnp.pad(idxs, [(0, 0)] * (idxs.ndim - 1) + [(0, pad)])
-    return vals, idxs
+    return _streamed_candidate_topk(
+        score_block, queries, rescore_items, num_items, k, block, nblk, kb,
+        select=select, recall_target=recall_target)
 
 
 def sharded_topk_over_matrix(

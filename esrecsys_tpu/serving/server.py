@@ -81,7 +81,8 @@ class RetrievalService:
                  approx: bool = False, recall_target: float = 0.95,
                  quantized: bool = False,
                  ivf_clusters: Optional[int] = None, nprobe: int = 8,
-                 ivf_iters: int = 20):
+                 ivf_iters: int = 20,
+                 ivf_index_path: Optional[str] = None):
         self.index = index
         self.max_k = min(max_k, len(index))
         self.max_batch = max_batch
@@ -104,8 +105,8 @@ class RetrievalService:
         # query. Composes with quantized (int8 candidate gathers); mutually
         # exclusive with approx (probe selection already approximates, and
         # the probed candidate set is too small for approx_max_k to help).
-        if ivf_clusters and approx:
-            raise ValueError("ivf_clusters and approx are mutually exclusive"
+        if (ivf_clusters or ivf_index_path) and approx:
+            raise ValueError("ivf and approx are mutually exclusive"
                              " (ivf probe selection already approximates)")
         self.nprobe = nprobe
         self._items = _chunked_device_put(index.vectors)  # (N, D) resident
@@ -116,11 +117,34 @@ class RetrievalService:
             self._q_items, self._scales = jax.jit(quantize_rows)(self._items)
         else:
             self._q_items = self._scales = None
-        if ivf_clusters:
+        if ivf_clusters or ivf_index_path:
+            import os
+
             from esrecsys_tpu.retrieval.ivf import IVFIndex
 
-            self.ivf = IVFIndex.build(index.vectors, ivf_clusters,
-                                      iters=ivf_iters)
+            if ivf_index_path and os.path.exists(ivf_index_path):
+                # prebuilt inverted file: restarts skip the k-means build
+                # (the dominant startup cost at flagship scale)
+                self.ivf = IVFIndex.load(ivf_index_path)
+                if (self.ivf.n_items != len(index)
+                        or self.ivf.centroids.shape[1] != self._dim):
+                    raise ValueError(
+                        f"ivf index at {ivf_index_path} was built for "
+                        f"{self.ivf.n_items} items dim "
+                        f"{self.ivf.centroids.shape[1]}, catalog is "
+                        f"{len(index)} items dim {self._dim}")
+            else:
+                if not ivf_clusters:
+                    raise ValueError(
+                        f"ivf_index_path {ivf_index_path!r} does not exist "
+                        "and no ivf_clusters given to build one")
+                # k-means over the ALREADY-resident catalog (jnp.asarray is
+                # a no-op on a device array) — never a second upload of the
+                # full matrix, which stalls on tunneled links (CLAUDE.md)
+                self.ivf = IVFIndex.build(self._items, ivf_clusters,
+                                          iters=ivf_iters)
+                if ivf_index_path:
+                    self.ivf.save(ivf_index_path)
             self._centroids = jnp.asarray(self.ivf.centroids)
             self._bucket_ids = jnp.asarray(self.ivf.bucket_ids)
         else:
@@ -348,7 +372,8 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           recall_target: float = 0.95,
           quantized: bool = False,
           ivf_clusters: Optional[int] = None,
-          nprobe: int = 8) -> ThreadingHTTPServer:
+          nprobe: int = 8,
+          ivf_index_path: Optional[str] = None) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
 
     Call ``.serve_forever()`` to block, or run it in a thread for tests.
@@ -360,14 +385,17 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
     ``quantized`` scans the catalog in int8 with an exact rescore (4x less
     HBM traffic; composes with ``approx``); ``ivf_clusters`` builds a
     k-means inverted file at startup and probes ``nprobe`` cells per query
-    (sublinear — retrieval/ivf.py; composes with ``quantized``).
+    (sublinear — retrieval/ivf.py; composes with ``quantized``);
+    ``ivf_index_path`` loads a prebuilt inverted file if present, else
+    builds and saves there (restarts skip the k-means).
     """
     index = EmbeddingIndex.load(index_path)
     service = RetrievalService(index, max_k=max_k, max_batch=max_batch,
                                encoders=encoders, approx=approx,
                                recall_target=recall_target,
                                quantized=quantized,
-                               ivf_clusters=ivf_clusters, nprobe=nprobe)
+                               ivf_clusters=ivf_clusters, nprobe=nprobe,
+                               ivf_index_path=ivf_index_path)
     batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
     httpd = ThreadingHTTPServer((host, port), _make_handler(service, batcher))
     httpd.service = service  # exposed for tests/tools
@@ -403,6 +431,10 @@ def main(argv=None):
                         "at startup; probe --nprobe cells per query "
                         "(sublinear; composes with --quantized)")
     p.add_argument("--nprobe", type=int, default=8)
+    p.add_argument("--ivf_index", default="",
+                   help="path to a prebuilt inverted file (.npz): loaded if "
+                        "present, else built from --ivf_clusters and saved "
+                        "here so restarts skip the k-means")
     # query-side model inference (serving/encoders.py)
     p.add_argument("--txt2url_artifact", default="",
                    help="enable 'text' queries via this trained artifact")
@@ -427,7 +459,8 @@ def main(argv=None):
           recall_target=args.recall_target,
           quantized=args.quantized,
           ivf_clusters=args.ivf_clusters or None,
-          nprobe=args.nprobe).serve_forever()
+          nprobe=args.nprobe,
+          ivf_index_path=args.ivf_index or None).serve_forever()
 
 
 if __name__ == "__main__":

@@ -190,6 +190,38 @@ def test_service_ivf_mode_and_http_flagpath(tmp_path):
         httpd.server_close()
 
 
+def test_service_ivf_index_path_skips_rebuild(tmp_path, monkeypatch):
+    """Second service start with the same ivf_index_path must LOAD the
+    prebuilt inverted file, not re-run k-means (the dominant startup cost
+    at flagship scale)."""
+    from esrecsys_tpu.serving.server import RetrievalService
+
+    rng = np.random.default_rng(9)
+    x, _ = _mixture(rng, n_comp=8, per=40)
+    eidx = EmbeddingIndex([f"i{n}" for n in range(x.shape[0])], x)
+    p = str(tmp_path / "ivf.npz")
+    first = RetrievalService(eidx, max_k=5, ivf_clusters=8, ivf_iters=5,
+                             ivf_index_path=p)
+    import os
+
+    assert os.path.exists(p)
+
+    def boom(*a, **k):
+        raise AssertionError("build must not run when the index exists")
+
+    monkeypatch.setattr(ivf.IVFIndex, "build", boom)
+    second = RetrievalService(eidx, max_k=5, ivf_clusters=8,
+                              ivf_index_path=p)
+    np.testing.assert_array_equal(second.ivf.bucket_ids, first.ivf.bucket_ids)
+    # stale-index guard: a different catalog must be rejected
+    other = EmbeddingIndex(["a", "b"], np.ones((2, x.shape[1]), np.float32))
+    with pytest.raises(ValueError, match="built for"):
+        RetrievalService(other, ivf_index_path=p)
+    # a missing path with no cluster count cannot build anything
+    with pytest.raises(ValueError, match="does not exist"):
+        RetrievalService(eidx, ivf_index_path=str(tmp_path / "nope.npz"))
+
+
 def test_service_rejects_ivf_with_scan_modes(tmp_path):
     from esrecsys_tpu.serving.server import RetrievalService
 

@@ -74,6 +74,10 @@ def test_quantized_topk_k_exceeds_catalog():
     assert np.all(np.isneginf(np.asarray(vals)[:, 6:]))
     # the real entries cover the whole catalog exactly once
     assert sorted(np.asarray(idx)[0, :6]) == list(range(6))
+    # -inf slots carry SANITIZED indices: callers do ids_array[idx]
+    # unconditionally (RetrievalService.topk), so every index must be in
+    # range even past the real catalog
+    assert np.asarray(idx).max() < 6 and np.asarray(idx).min() >= 0
 
 
 def test_quantized_topk_rejects_bad_select():
