@@ -105,6 +105,13 @@ class RetrievalService:
         # query. Composes with quantized (int8 candidate gathers); mutually
         # exclusive with approx (probe selection already approximates, and
         # the probed candidate set is too small for approx_max_k to help).
+        # Mode guidance (measured at 2.26M items, BENCHMARKS.md "Retrieval
+        # quality at MPD scale"): int8 is lossless at k<=100 — prefer it
+        # whenever exact results matter; IVF recall depends on catalog
+        # geometry — clustered (real trained) catalogs reach r@10 ~0.91 at
+        # nprobe=16/1024, near-isotropic catalogs need most of the catalog
+        # probed, so measure with tools/retrieval_quality_study.py
+        # --artifact <export.npz> before enabling IVF in production.
         if (ivf_clusters or ivf_index_path) and approx:
             raise ValueError("ivf and approx are mutually exclusive"
                              " (ivf probe selection already approximates)")

@@ -1,0 +1,201 @@
+"""Retrieval QUALITY study at MPD scale: IVF recall-vs-cost and int8 overlap.
+
+The serving path ships three approximate modes (``--approx``,
+``--quantized``, ``--ivf_clusters``; serving/server.py) whose THROUGHPUT
+numbers are chip-gated — but their QUALITY (recall vs the exact scan) is a
+pure function of the index math and the catalog geometry, identical on any
+platform. This measures it at the flagship catalog size (2,262,292 items —
+the MPD track corpus the reference evaluates over,
+spotify/train_spotify.py:113-131) so the accuracy side of every serving
+mode is on record even when no chip is reachable:
+
+  * IVF (retrieval/ivf.py): recall@k vs ``nprobe`` with the measured
+    fraction of the catalog actually scored per query (nprobe·Lmax/N — the
+    sublinear cost knob), on two catalog geometries:
+      - ``clustered``: a heavy-tailed gaussian mixture (trained embedding
+        catalogs cluster by artist/genre; cell sizes end up zipf-ish);
+      - ``isotropic``: a single gaussian — the ANN worst case, where
+        cells tile a featureless sphere and probe recall is the floor.
+  * int8 full-scan (quantized_topk_over_matrix): overlap@k with the exact
+    f32 scan — the quantization-only error, no cell truncation.
+
+Pass ``--artifact path/to/catalog.npz`` (an EmbeddingIndex export) to run
+the same study on a REAL trained catalog instead of the synthetic ones.
+
+Run:  python -m esrecsys_tpu.tools.retrieval_quality_study \
+          [--n_items 2262292] [--out /tmp/retrieval_quality.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def synth_catalog(kind: str, n: int, n_queries: int, d: int,
+                  rng: np.random.Generator, components: int = 4096):
+    """MPD-shaped synthetic (catalog, queries) — f32, unnormalized (MIPS
+    not cosine). Queries are drawn from the SAME distribution as the
+    catalog (same mixture for ``clustered``): serving queries are context
+    embeddings living in the trained item space, not outliers."""
+    if kind == "isotropic":
+        return (rng.standard_normal((n, d), np.float32),
+                rng.standard_normal((n_queries, d), np.float32))
+    # clustered: heavy-tailed component weights (zipf) so cell sizes look
+    # like a real artist/genre distribution, noise small vs centroid scale
+    cent = rng.standard_normal((components, d)).astype(np.float32) * 2.0
+    w = 1.0 / np.arange(1, components + 1) ** 0.7
+    w /= w.sum()
+
+    def draw(m):
+        comp = rng.choice(components, size=m, p=w)
+        return (cent[comp]
+                + rng.standard_normal((m, d)).astype(np.float32) * 0.45)
+
+    return draw(n), draw(n_queries)
+
+
+def exact_topk(vecs: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+
+    from esrecsys_tpu.retrieval.mips import topk_over_matrix
+
+    _, idx = jax.jit(topk_over_matrix, static_argnums=(2,))(
+        jnp.asarray(queries), jnp.asarray(vecs), k)
+    return np.asarray(jax.device_get(idx))
+
+
+def recall(found: np.ndarray, truth: np.ndarray) -> float:
+    """Mean fraction of each truth row recovered in the found row."""
+    hits = [np.intersect1d(f, t).size for f, t in zip(found, truth)]
+    return float(np.mean(hits) / truth.shape[1])
+
+
+def ivf_curve(vecs, queries, truth10, truth100, n_clusters, iters, nprobes,
+              batch: int = 32) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from esrecsys_tpu.retrieval.ivf import IVFIndex, ivf_topk
+
+    t0 = time.perf_counter()
+    index = IVFIndex.build(vecs, n_clusters, iters=iters)
+    build_s = time.perf_counter() - t0
+    cent = jnp.asarray(index.centroids)
+    buckets = jnp.asarray(index.bucket_ids)
+    items = jnp.asarray(vecs)
+    n, lmax = vecs.shape[0], index.bucket_ids.shape[1]
+    log.info("ivf built: C=%d Lmax=%d imbalance=%.2f (%.1fs)",
+             n_clusters, lmax, index.imbalance, build_s)
+    fn = jax.jit(ivf_topk, static_argnums=(4, 5))
+    out = {"n_clusters": n_clusters, "lmax": lmax,
+           "imbalance": round(index.imbalance, 3),
+           "build_seconds": round(build_s, 1), "curve": []}
+    for p in nprobes:
+        found = []
+        for s in range(0, queries.shape[0], batch):
+            _, idx = fn(jnp.asarray(queries[s:s + batch]), cent, buckets,
+                        items, 100, p)
+            found.append(np.asarray(jax.device_get(idx)))
+        found = np.concatenate(found)
+        row = {"nprobe": p,
+               "catalog_fraction_scored": round(p * lmax / n, 5),
+               "recall@10": round(recall(found[:, :10], truth10), 4),
+               "recall@100": round(recall(found, truth100), 4)}
+        out["curve"].append(row)
+        log.info("nprobe=%-3d frac=%.4f r@10=%.3f r@100=%.3f", p,
+                 row["catalog_fraction_scored"], row["recall@10"],
+                 row["recall@100"])
+    return out
+
+
+def int8_overlap(vecs, queries, truth10, truth100, batch: int = 128) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from esrecsys_tpu.retrieval.mips import (quantize_rows,
+                                             quantized_topk_over_matrix)
+
+    items = jnp.asarray(vecs)
+    q_items, scales = jax.jit(quantize_rows)(items)
+    fn = jax.jit(quantized_topk_over_matrix,
+                 static_argnames=("k", "select"))
+    found = []
+    for s in range(0, queries.shape[0], batch):
+        _, idx = fn(jnp.asarray(queries[s:s + batch]), q_items, scales,
+                    items, k=100, select="exact")
+        found.append(np.asarray(jax.device_get(idx)))
+    found = np.concatenate(found)
+    return {"overlap@10": round(recall(found[:, :10], truth10), 4),
+            "overlap@100": round(recall(found, truth100), 4)}
+
+
+def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
+          nprobes: list) -> dict:
+    t0 = time.perf_counter()
+    truth100 = exact_topk(vecs, queries, 100)
+    truth10 = truth100[:, :10]
+    log.info("exact ground truth (%.1fs)", time.perf_counter() - t0)
+    return {
+        "n_items": int(vecs.shape[0]), "dim": int(vecs.shape[1]),
+        "n_queries": int(queries.shape[0]),
+        "int8_fullscan": int8_overlap(vecs, queries, truth10, truth100),
+        "ivf": ivf_curve(vecs, queries, truth10, truth100, n_clusters,
+                         iters, nprobes),
+    }
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, force=True)
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    warn_cpu_fallback(log)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n_items", type=int, default=2_262_292)
+    p.add_argument("--dim", type=int, default=32)
+    p.add_argument("--n_queries", type=int, default=512)
+    p.add_argument("--n_clusters", type=int, default=1024)
+    p.add_argument("--kmeans_iters", type=int, default=10)
+    p.add_argument("--nprobes", default="1,2,4,8,16,32,64")
+    p.add_argument("--regimes", default="clustered,isotropic")
+    p.add_argument("--artifact", default="",
+                   help="EmbeddingIndex .npz: study a real catalog instead")
+    p.add_argument("--out", default="/tmp/retrieval_quality.json")
+    args = p.parse_args(argv)
+    nprobes = [int(x) for x in args.nprobes.split(",")]
+    rng = np.random.default_rng(0)
+    results = {}
+    if args.artifact:
+        from esrecsys_tpu.retrieval.index import EmbeddingIndex
+
+        vecs = np.asarray(EmbeddingIndex.load(args.artifact).vectors,
+                          np.float32)
+        # held-out queries: perturbed catalog rows (serving queries are
+        # context embeddings near, not at, item embeddings)
+        qi = rng.choice(vecs.shape[0], args.n_queries, replace=False)
+        queries = vecs[qi] + 0.1 * rng.standard_normal(
+            (args.n_queries, vecs.shape[1])).astype(np.float32)
+        results["artifact"] = study(vecs, queries, args.n_clusters,
+                                    args.kmeans_iters, nprobes)
+    else:
+        for kind in args.regimes.split(","):
+            log.info("=== regime: %s (%d x %d) ===", kind, args.n_items,
+                     args.dim)
+            vecs, queries = synth_catalog(kind, args.n_items,
+                                          args.n_queries, args.dim, rng)
+            results[kind] = study(vecs, queries, args.n_clusters,
+                                  args.kmeans_iters, nprobes)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -221,3 +221,40 @@ def test_serving_bench_rejects_unknown_mode(tmp_path):
     with pytest.raises(SystemExit, match="unknown modes"):
         sb.main(["--items", "100", "--dim", "8", "--modes", "exact,bogus",
                  "--out", str(tmp_path / "x.json")])
+
+
+def test_retrieval_quality_study_smoke(tmp_path):
+    """The quality study runs end-to-end at tiny scale: int8 overlap is
+    ~lossless and the IVF recall curve is monotone in nprobe, with
+    nprobe == n_clusters recovering the exact result."""
+    from esrecsys_tpu.tools import retrieval_quality_study as rqs
+
+    out = str(tmp_path / "rq.json")
+    rqs.main(["--n_items", "3000", "--dim", "8", "--n_queries", "16",
+              "--n_clusters", "8", "--kmeans_iters", "3",
+              "--nprobes", "1,4,8", "--regimes", "clustered", "--out", out])
+    with open(out) as f:
+        d = json.load(f)["clustered"]
+    assert d["int8_fullscan"]["overlap@10"] >= 0.9
+    curve = d["ivf"]["curve"]
+    r10 = [row["recall@10"] for row in curve]
+    assert r10 == sorted(r10)  # monotone in nprobe
+    assert r10[-1] == 1.0  # nprobe == n_clusters is exact
+
+
+def test_retrieval_quality_study_artifact_mode(tmp_path):
+    """--artifact runs the same study on a real exported EmbeddingIndex."""
+    from esrecsys_tpu.retrieval.index import EmbeddingIndex
+    from esrecsys_tpu.tools import retrieval_quality_study as rqs
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((600, 8)).astype(np.float32)
+    art = str(tmp_path / "catalog.npz")
+    EmbeddingIndex([f"id{i}" for i in range(600)], vecs).save(art)
+    out = str(tmp_path / "rq_art.json")
+    rqs.main(["--artifact", art, "--n_queries", "8", "--n_clusters", "4",
+              "--kmeans_iters", "2", "--nprobes", "4", "--out", out])
+    with open(out) as f:
+        d = json.load(f)["artifact"]
+    assert d["n_items"] == 600
+    assert d["ivf"]["curve"][0]["recall@10"] == 1.0  # nprobe == n_clusters
