@@ -15,7 +15,10 @@ TPU-shaped throughout:
     ``lax.scan`` over iterations, static shapes everywhere.
   * the cell layout is a dense padded (C, Lmax) id table (pad -1), so probe
     search is gather + one batched einsum + ``top_k`` — no ragged shapes,
-    compiled exactly once.
+    compiled exactly once. Because EVERY probe pays the padded width,
+    ``IVFIndex.build(max_cell=...)`` caps cell size by balanced splitting
+    (clustered catalogs are heavy-tailed; measured 5.4× imbalance at MPD
+    scale, BENCHMARKS.md).
   * search composes with the int8 path: pass ``q_items``/``item_scales``
     (from :func:`esrecsys_tpu.retrieval.mips.quantize_rows`) and the
     candidate scan gathers int8 rows (4× less gather traffic), with an
@@ -87,6 +90,36 @@ def kmeans(items: jax.Array, n_clusters: int, iters: int = 20, seed: int = 0,
     return cent, assign(cent)
 
 
+def _split_to_cap(ids: np.ndarray, x: np.ndarray, cap: int,
+                  power_iters: int = 8) -> list:
+    """Recursively split a cell (global ``ids``, rows ``x`` float64) into
+    balanced parts of size <= ``cap``; returns ``[(ids, centroid f32)]``.
+
+    Each split is a median cut on the cell's top principal direction
+    (host-side power iteration, deterministic). Median guarantees balance
+    (the point of the cap); the principal direction keeps each half
+    geometrically coherent so its mean is a meaningful probe centroid.
+    Zero-variance cells fall back to an index-order cut.
+    """
+    if ids.size <= cap:
+        return [(ids, x.mean(axis=0).astype(np.float32))]
+    xc = x - x.mean(axis=0)
+    v = np.ones((x.shape[1],), np.float64)
+    for _ in range(power_iters):
+        v = xc.T @ (xc @ v)
+        n = np.linalg.norm(v)
+        if n < 1e-12:  # zero variance: any balanced cut works
+            v = None
+            break
+        v /= n
+    order = (np.arange(ids.size) if v is None
+             else np.argsort(xc @ v, kind="stable"))
+    half = ids.size // 2  # argsort-median: exact halves even with ties
+    lo, hi = order[:half], order[half:]
+    return (_split_to_cap(ids[lo], x[lo], cap, power_iters)
+            + _split_to_cap(ids[hi], x[hi], cap, power_iters))
+
+
 class IVFIndex(NamedTuple):
     """Built IVF layout: centroids + dense padded cell id table."""
 
@@ -106,13 +139,23 @@ class IVFIndex(NamedTuple):
 
     @classmethod
     def build(cls, vectors, n_clusters: int, iters: int = 20,
-              seed: int = 0) -> "IVFIndex":
+              seed: int = 0, max_cell: Optional[int] = None) -> "IVFIndex":
         """k-means on device, cell table assembled host-side (one-time).
 
         ``vectors`` may be a host np.ndarray or an ALREADY-resident device
         array (``jnp.asarray`` is then a no-op) — callers holding the
         catalog on device (RetrievalService) must pass that, not the host
         copy, to avoid a second full-catalog upload.
+
+        ``max_cell`` caps cell size: probe cost is ``nprobe × Lmax`` (the
+        padded table width), so one popular cell taxes EVERY probe — the
+        measured imbalance on clustered MPD-scale catalogs is 5.4×
+        (BENCHMARKS.md "Retrieval quality at MPD scale"). Cells over the
+        cap are recursively median-split on their principal direction
+        (balanced, deterministic; subcell centroid = member mean), which
+        grows C a little and shrinks Lmax a lot. Only the oversized cells'
+        rows are pulled to host. A natural cap is
+        ``2 * n_items / n_clusters`` (2× the mean cell).
         """
         cent, assign = jax.jit(kmeans, static_argnums=(1, 2, 3))(
             jnp.asarray(vectors, jnp.float32), n_clusters, iters, seed)
@@ -120,12 +163,32 @@ class IVFIndex(NamedTuple):
         a = np.asarray(jax.device_get(assign))
         order = np.argsort(a, kind="stable")
         counts = np.bincount(a, minlength=n_clusters)
-        lmax = max(int(counts.max()), 1)
-        table = np.full((n_clusters, lmax), -1, np.int32)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        for c in range(n_clusters):
-            table[c, : counts[c]] = order[starts[c]: starts[c] + counts[c]]
-        return cls(cent, table, vectors.shape[0])
+        cells = [order[starts[c]: starts[c] + counts[c]].astype(np.int64)
+                 for c in range(n_clusters)]
+        cents = list(cent)
+        if max_cell is not None:
+            if max_cell < 1:
+                raise ValueError(f"max_cell must be >= 1, got {max_cell}")
+            for slot in [i for i, g in enumerate(cells)
+                         if g.size > max_cell]:
+                g = cells[slot]
+                # pull only this oversized cell's rows to host, once
+                x = np.asarray(jax.device_get(jnp.take(
+                    jnp.asarray(vectors), jnp.asarray(g), axis=0)),
+                    np.float64)
+                parts = _split_to_cap(g, x, max_cell)
+                (cells[slot], cents[slot]) = parts[0]
+                for ids_p, cent_p in parts[1:]:
+                    cells.append(ids_p)
+                    cents.append(cent_p)
+        counts = np.array([g.size for g in cells])
+        lmax = max(int(counts.max()), 1)
+        table = np.full((len(cells), lmax), -1, np.int32)
+        for c, g in enumerate(cells):
+            table[c, : g.size] = g
+        return cls(np.stack(cents).astype(np.float32), table,
+                   vectors.shape[0])
 
     def save(self, path: str) -> None:
         np.savez_compressed(path, centroids=self.centroids,

@@ -82,6 +82,7 @@ class RetrievalService:
                  quantized: bool = False,
                  ivf_clusters: Optional[int] = None, nprobe: int = 8,
                  ivf_iters: int = 20,
+                 ivf_max_cell: Optional[int] = None,
                  ivf_index_path: Optional[str] = None):
         self.index = index
         self.max_k = min(max_k, len(index))
@@ -149,7 +150,8 @@ class RetrievalService:
                 # a no-op on a device array) — never a second upload of the
                 # full matrix, which stalls on tunneled links (CLAUDE.md)
                 self.ivf = IVFIndex.build(self._items, ivf_clusters,
-                                          iters=ivf_iters)
+                                          iters=ivf_iters,
+                                          max_cell=ivf_max_cell)
                 if ivf_index_path:
                     self.ivf.save(ivf_index_path)
             self._centroids = jnp.asarray(self.ivf.centroids)
@@ -380,6 +382,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           quantized: bool = False,
           ivf_clusters: Optional[int] = None,
           nprobe: int = 8,
+          ivf_max_cell: Optional[int] = None,
           ivf_index_path: Optional[str] = None) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
 
@@ -402,6 +405,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                                recall_target=recall_target,
                                quantized=quantized,
                                ivf_clusters=ivf_clusters, nprobe=nprobe,
+                               ivf_max_cell=ivf_max_cell,
                                ivf_index_path=ivf_index_path)
     batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
     httpd = ThreadingHTTPServer((host, port), _make_handler(service, batcher))
@@ -438,6 +442,11 @@ def main(argv=None):
                         "at startup; probe --nprobe cells per query "
                         "(sublinear; composes with --quantized)")
     p.add_argument("--nprobe", type=int, default=8)
+    p.add_argument("--ivf_max_cell", type=int, default=0,
+                   help="cap IVF cell size: oversized cells are split "
+                        "(balanced median cuts), shrinking the padded "
+                        "probe width nprobe×Lmax that every query pays; "
+                        "try 2×(items/clusters) on imbalanced catalogs")
     p.add_argument("--ivf_index", default="",
                    help="path to a prebuilt inverted file (.npz): loaded if "
                         "present, else built from --ivf_clusters and saved "
@@ -467,6 +476,7 @@ def main(argv=None):
           quantized=args.quantized,
           ivf_clusters=args.ivf_clusters or None,
           nprobe=args.nprobe,
+          ivf_max_cell=args.ivf_max_cell or None,
           ivf_index_path=args.ivf_index or None).serve_forever()
 
 

@@ -79,23 +79,24 @@ def recall(found: np.ndarray, truth: np.ndarray) -> float:
 
 
 def ivf_curve(vecs, queries, truth10, truth100, n_clusters, iters, nprobes,
-              batch: int = 32) -> dict:
+              batch: int = 32, max_cell=None) -> dict:
     import jax
     import jax.numpy as jnp
 
     from esrecsys_tpu.retrieval.ivf import IVFIndex, ivf_topk
 
     t0 = time.perf_counter()
-    index = IVFIndex.build(vecs, n_clusters, iters=iters)
+    index = IVFIndex.build(vecs, n_clusters, iters=iters, max_cell=max_cell)
     build_s = time.perf_counter() - t0
     cent = jnp.asarray(index.centroids)
     buckets = jnp.asarray(index.bucket_ids)
     items = jnp.asarray(vecs)
     n, lmax = vecs.shape[0], index.bucket_ids.shape[1]
     log.info("ivf built: C=%d Lmax=%d imbalance=%.2f (%.1fs)",
-             n_clusters, lmax, index.imbalance, build_s)
+             index.n_clusters, lmax, index.imbalance, build_s)
     fn = jax.jit(ivf_topk, static_argnums=(4, 5))
-    out = {"n_clusters": n_clusters, "lmax": lmax,
+    out = {"n_clusters": index.n_clusters, "lmax": lmax,
+           "max_cell": max_cell,
            "imbalance": round(index.imbalance, 3),
            "build_seconds": round(build_s, 1), "curve": []}
     for p in nprobes:
@@ -138,7 +139,7 @@ def int8_overlap(vecs, queries, truth10, truth100, batch: int = 128) -> dict:
 
 
 def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
-          nprobes: list) -> dict:
+          nprobes: list, max_cell=None) -> dict:
     t0 = time.perf_counter()
     truth100 = exact_topk(vecs, queries, 100)
     truth10 = truth100[:, :10]
@@ -148,7 +149,7 @@ def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
         "n_queries": int(queries.shape[0]),
         "int8_fullscan": int8_overlap(vecs, queries, truth10, truth100),
         "ivf": ivf_curve(vecs, queries, truth10, truth100, n_clusters,
-                         iters, nprobes),
+                         iters, nprobes, max_cell=max_cell),
     }
 
 
@@ -162,6 +163,10 @@ def main(argv=None):
     p.add_argument("--dim", type=int, default=32)
     p.add_argument("--n_queries", type=int, default=512)
     p.add_argument("--n_clusters", type=int, default=1024)
+    p.add_argument("--max_cell", type=int, default=0,
+                   help="cap IVF cell size (0 = off): oversized cells are "
+                        "balanced-split, shrinking the padded probe width "
+                        "every query pays (retrieval/ivf.py IVFIndex.build)")
     p.add_argument("--kmeans_iters", type=int, default=10)
     p.add_argument("--nprobes", default="1,2,4,8,16,32,64")
     p.add_argument("--regimes", default="clustered,isotropic")
@@ -183,7 +188,8 @@ def main(argv=None):
         queries = vecs[qi] + 0.1 * rng.standard_normal(
             (args.n_queries, vecs.shape[1])).astype(np.float32)
         results["artifact"] = study(vecs, queries, args.n_clusters,
-                                    args.kmeans_iters, nprobes)
+                                    args.kmeans_iters, nprobes,
+                                    max_cell=args.max_cell or None)
     else:
         for kind in args.regimes.split(","):
             log.info("=== regime: %s (%d x %d) ===", kind, args.n_items,
@@ -191,7 +197,8 @@ def main(argv=None):
             vecs, queries = synth_catalog(kind, args.n_items,
                                           args.n_queries, args.dim, rng)
             results[kind] = study(vecs, queries, args.n_clusters,
-                                  args.kmeans_iters, nprobes)
+                                  args.kmeans_iters, nprobes,
+                                  max_cell=args.max_cell or None)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))

@@ -230,3 +230,78 @@ def test_service_rejects_ivf_with_scan_modes(tmp_path):
     eidx = EmbeddingIndex([f"i{n}" for n in range(x.shape[0])], x)
     with pytest.raises(ValueError, match="ivf"):
         RetrievalService(eidx, ivf_clusters=4, approx=True)
+
+
+def _zipf_mixture(rng, n_comp=32, n=4000, d=16):
+    """Heavy-tailed component sizes → an imbalanced base IVF build."""
+    w = 1.0 / np.arange(1, n_comp + 1) ** 1.1
+    w /= w.sum()
+    means = rng.normal(size=(n_comp, d)).astype(np.float32) * 3.0
+    comp = rng.choice(n_comp, size=n, p=w)
+    return (means[comp] + rng.normal(size=(n, d)).astype(np.float32) * 0.2)
+
+
+def test_build_max_cell_caps_lmax_keeps_coverage_and_exactness():
+    rng = np.random.default_rng(10)
+    x = _zipf_mixture(rng)
+    base = ivf.IVFIndex.build(x, n_clusters=16, iters=10)
+    cap = 2 * x.shape[0] // 16
+    assert base.bucket_ids.shape[1] > cap  # premise: base IS imbalanced
+    idx = ivf.IVFIndex.build(x, n_clusters=16, iters=10, max_cell=cap)
+    assert idx.bucket_ids.shape[1] <= cap
+    assert idx.n_clusters > 16  # split cells became new cells
+    # per-query probe cost is nprobe*Lmax — the cap shrinks the table width
+    # (imbalance = Lmax/mean can still rise, since the mean shrinks with C)
+    assert idx.bucket_ids.shape[1] < base.bucket_ids.shape[1]
+    got = idx.bucket_ids[idx.bucket_ids >= 0]
+    assert sorted(got.tolist()) == list(range(x.shape[0]))  # exactly once
+    # full probe of the capped index is still the exact result
+    q = rng.normal(size=(4, x.shape[1])).astype(np.float32)
+    _, idxs = ivf.ivf_topk(
+        jnp.asarray(q), jnp.asarray(idx.centroids),
+        jnp.asarray(idx.bucket_ids), jnp.asarray(x), k=10,
+        nprobe=idx.n_clusters)
+    _, bidx = _brute(q, x, 10)
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+
+
+def test_build_max_cell_recall_at_equal_scanned_fraction():
+    """The point of the cap: per-query work is nprobe*Lmax, so the capped
+    index reaches >= the base recall while scanning no more rows."""
+    rng = np.random.default_rng(11)
+    x = _zipf_mixture(rng, n_comp=32, n=6000)
+    base = ivf.IVFIndex.build(x, n_clusters=32, iters=10)
+    cap = 2 * x.shape[0] // 32
+    capped = ivf.IVFIndex.build(x, n_clusters=32, iters=10, max_cell=cap)
+    q = x[rng.integers(0, x.shape[0], 16)] + rng.normal(
+        size=(16, x.shape[1])).astype(np.float32) * 0.05
+    _, bidx = _brute(q, x, 10)
+
+    def recall_and_cost(index, nprobe):
+        _, idxs = ivf.ivf_topk(
+            jnp.asarray(q), jnp.asarray(index.centroids),
+            jnp.asarray(index.bucket_ids), jnp.asarray(x), k=10,
+            nprobe=nprobe)
+        idxs = np.asarray(idxs)
+        r = np.mean([len(set(idxs[b]) & set(bidx[b])) / 10
+                     for b in range(len(q))])
+        return r, nprobe * index.bucket_ids.shape[1]
+
+    r_base, cost_base = recall_and_cost(base, 4)
+    # capped cells are narrower: pick the largest nprobe within base's cost
+    np_capped = max(1, cost_base // capped.bucket_ids.shape[1])
+    r_capped, cost_capped = recall_and_cost(capped, np_capped)
+    assert cost_capped <= cost_base
+    assert r_capped >= r_base - 1e-9, (r_capped, r_base)
+
+
+def test_build_max_cell_validates_and_handles_degenerate_cells():
+    with pytest.raises(ValueError, match="max_cell"):
+        ivf.IVFIndex.build(np.ones((20, 4), np.float32), 2, iters=2,
+                           max_cell=0)
+    # all-identical rows: zero-variance split path must still terminate
+    x = np.ones((40, 4), np.float32)
+    idx = ivf.IVFIndex.build(x, n_clusters=2, iters=2, max_cell=5)
+    assert idx.bucket_ids.shape[1] <= 5
+    got = idx.bucket_ids[idx.bucket_ids >= 0]
+    assert sorted(got.tolist()) == list(range(40))
