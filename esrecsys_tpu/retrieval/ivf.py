@@ -170,13 +170,19 @@ class IVFIndex(NamedTuple):
         if max_cell is not None:
             if max_cell < 1:
                 raise ValueError(f"max_cell must be >= 1, got {max_cell}")
+            # host catalogs index in numpy; device catalogs gather on
+            # device and pull ONLY the oversized cell's rows (never
+            # jnp.asarray(host_array) per cell — that re-uploads the whole
+            # catalog each iteration on tunneled links)
+            host_vecs = vectors if isinstance(vectors, np.ndarray) else None
             for slot in [i for i, g in enumerate(cells)
                          if g.size > max_cell]:
                 g = cells[slot]
-                # pull only this oversized cell's rows to host, once
-                x = np.asarray(jax.device_get(jnp.take(
-                    jnp.asarray(vectors), jnp.asarray(g), axis=0)),
-                    np.float64)
+                if host_vecs is not None:
+                    x = host_vecs[g].astype(np.float64)
+                else:
+                    x = np.asarray(jax.device_get(jnp.take(
+                        vectors, jnp.asarray(g), axis=0)), np.float64)
                 parts = _split_to_cap(g, x, max_cell)
                 (cells[slot], cents[slot]) = parts[0]
                 for ids_p, cent_p in parts[1:]:

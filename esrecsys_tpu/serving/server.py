@@ -141,6 +141,13 @@ class RetrievalService:
                         f"{self.ivf.n_items} items dim "
                         f"{self.ivf.centroids.shape[1]}, catalog is "
                         f"{len(index)} items dim {self._dim}")
+                if (ivf_max_cell
+                        and self.ivf.bucket_ids.shape[1] > ivf_max_cell):
+                    log.warning(
+                        "ivf_max_cell=%d ignored: prebuilt index at %s has "
+                        "Lmax=%d (built without the cap). Delete the file "
+                        "to rebuild with cells capped.", ivf_max_cell,
+                        ivf_index_path, self.ivf.bucket_ids.shape[1])
             else:
                 if not ivf_clusters:
                     raise ValueError(

@@ -102,12 +102,16 @@ def ivf_curve(vecs, queries, truth10, truth100, n_clusters, iters, nprobes,
     for p in nprobes:
         found = []
         for s in range(0, queries.shape[0], batch):
-            _, idx = fn(jnp.asarray(queries[s:s + batch]), cent, buckets,
-                        items, 100, p)
+            vals, idx = fn(jnp.asarray(queries[s:s + batch]), cent, buckets,
+                           items, 100, p)
+            # pad slots come back as index 0 with NEG_INF scores — mask
+            # them so item 0 can't count as a retrieved hit
+            idx = jnp.where(jnp.isfinite(vals), idx, -1)
             found.append(np.asarray(jax.device_get(idx)))
         found = np.concatenate(found)
+        p_eff = min(p, index.n_clusters)  # ivf_topk clamps internally
         row = {"nprobe": p,
-               "catalog_fraction_scored": round(p * lmax / n, 5),
+               "catalog_fraction_scored": round(p_eff * lmax / n, 5),
                "recall@10": round(recall(found[:, :10], truth10), 4),
                "recall@100": round(recall(found, truth100), 4)}
         out["curve"].append(row)
@@ -130,8 +134,9 @@ def int8_overlap(vecs, queries, truth10, truth100, batch: int = 128) -> dict:
                  static_argnames=("k", "select"))
     found = []
     for s in range(0, queries.shape[0], batch):
-        _, idx = fn(jnp.asarray(queries[s:s + batch]), q_items, scales,
-                    items, k=100, select="exact")
+        vals, idx = fn(jnp.asarray(queries[s:s + batch]), q_items, scales,
+                       items, k=100, select="exact")
+        idx = jnp.where(jnp.isfinite(vals), idx, -1)  # mask pad slots
         found.append(np.asarray(jax.device_get(idx)))
     found = np.concatenate(found)
     return {"overlap@10": round(recall(found[:, :10], truth10), 4),

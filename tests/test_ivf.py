@@ -305,3 +305,21 @@ def test_build_max_cell_validates_and_handles_degenerate_cells():
     assert idx.bucket_ids.shape[1] <= 5
     got = idx.bucket_ids[idx.bucket_ids >= 0]
     assert sorted(got.tolist()) == list(range(40))
+
+
+def test_service_warns_when_prebuilt_index_ignores_max_cell(tmp_path, caplog):
+    import logging
+
+    from esrecsys_tpu.serving.server import RetrievalService
+
+    rng = np.random.default_rng(12)
+    x = _zipf_mixture(rng, n_comp=8, n=1200, d=8)
+    eidx = EmbeddingIndex([f"i{n}" for n in range(x.shape[0])], x)
+    p = str(tmp_path / "ivf.npz")
+    RetrievalService(eidx, max_k=5, ivf_clusters=8, ivf_iters=5,
+                     ivf_index_path=p)  # built WITHOUT a cap
+    with caplog.at_level(logging.WARNING):
+        svc = RetrievalService(eidx, max_k=5, ivf_index_path=p,
+                               ivf_max_cell=10)
+    assert any("ivf_max_cell" in r.message for r in caplog.records)
+    assert svc.ivf.bucket_ids.shape[1] > 10  # loaded, uncapped

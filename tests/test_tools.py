@@ -232,14 +232,19 @@ def test_retrieval_quality_study_smoke(tmp_path):
     out = str(tmp_path / "rq.json")
     rqs.main(["--n_items", "3000", "--dim", "8", "--n_queries", "16",
               "--n_clusters", "8", "--kmeans_iters", "3",
-              "--nprobes", "1,4,8", "--regimes", "clustered", "--out", out])
+              "--nprobes", "1,4,8,16", "--regimes", "clustered",
+              "--out", out])
     with open(out) as f:
         d = json.load(f)["clustered"]
     assert d["int8_fullscan"]["overlap@10"] >= 0.9
     curve = d["ivf"]["curve"]
     r10 = [row["recall@10"] for row in curve]
     assert r10 == sorted(r10)  # monotone in nprobe
-    assert r10[-1] == 1.0  # nprobe == n_clusters is exact
+    assert r10[-2] == 1.0  # nprobe == n_clusters is exact
+    # nprobe > n_clusters is clamped: same cost, same recall as full probe
+    assert curve[-1]["catalog_fraction_scored"] == \
+        curve[-2]["catalog_fraction_scored"]
+    assert r10[-1] == r10[-2]
 
 
 def test_retrieval_quality_study_artifact_mode(tmp_path):
