@@ -1,0 +1,180 @@
+"""Product quantization (PQ): 4-byte-per-item catalog codes for catalogs
+whose dense form outgrows HBM.
+
+The scan paths in :mod:`esrecsys_tpu.retrieval.mips` need the catalog
+resident as f32 (4·D bytes/item) or int8 (D bytes/item). PQ compresses to
+``n_subspaces`` bytes/item (default 8 — 16× smaller than f32 at D=32):
+the dimension axis is split into S subspaces, each subspace gets its own
+256-entry k-means codebook, and an item is stored as its S nearest-centroid
+ids. A query scores an item as the sum of S table lookups (ADC — the
+query·centroid dot products are precomputed per query into a (S, 256) LUT),
+so the scan streams only the codes.
+
+TPU-shaped:
+  * codebook training reuses :func:`esrecsys_tpu.retrieval.ivf.kmeans`
+    (blocked MXU assignment matmuls) once per subspace — every subspace has
+    identical shapes, so the trainer compiles once;
+  * the LUT build is one ``(B, S, Ds) × (S, C, Ds)`` einsum; block scoring
+    is S gathers from the per-query LUT summed on the VPU, streamed with
+    the same two-phase skeleton as the int8/approx scans
+    (:func:`~esrecsys_tpu.retrieval.mips._streamed_candidate_topk`), so
+    candidate selection is PQ-approximate and the returned ranking is an
+    exact rescore of the selected candidates whenever a full-precision (or
+    int8) catalog is available for phase 2.
+
+When even a rescore catalog cannot be resident, ``rescore_items=None``
+returns the raw ADC ranking — quality is then bounded by PQ distortion
+alone (measure it per catalog:
+``tools/retrieval_quality_study.py --pq_subspaces S``).
+
+No reference counterpart (the reference scores full f32 matrices,
+pinterest/make_recommendations.py:49-65; its largest catalog fits HBM).
+PQ is what lets the serving path survive catalogs 10-100× beyond that.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esrecsys_tpu.core.mesh import pad_to_multiple
+from esrecsys_tpu.retrieval.ivf import kmeans
+from esrecsys_tpu.retrieval.mips import NEG_INF, _streamed_candidate_topk
+
+
+class PQCodebook(NamedTuple):
+    """Trained PQ codebooks + encoded catalog."""
+
+    centroids: np.ndarray  # (S, C, Ds) f32
+    codes: np.ndarray      # (M, S) uint8
+    n_items: int
+
+    @property
+    def n_subspaces(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def n_codes(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def bytes_per_item(self) -> int:
+        return self.n_subspaces  # one uint8 code per subspace
+
+    @classmethod
+    def build(cls, vectors, n_subspaces: int = 8, n_codes: int = 256,
+              iters: int = 15, seed: int = 0) -> "PQCodebook":
+        """Train per-subspace k-means codebooks and encode the catalog.
+
+        ``vectors`` may be host or already-device-resident (the device copy
+        is sliced per subspace; nothing is re-uploaded). Each subspace
+        trains on identical shapes, so the jitted k-means compiles once.
+        """
+        m, d = vectors.shape
+        if d % n_subspaces:
+            raise ValueError(
+                f"dim {d} not divisible by n_subspaces {n_subspaces}")
+        if not 2 <= n_codes <= 256:
+            raise ValueError(f"n_codes must be in [2, 256], got {n_codes}")
+        if n_codes > m:
+            raise ValueError(f"n_codes {n_codes} > items {m}")
+        ds = d // n_subspaces
+        dev = jnp.asarray(vectors, jnp.float32)
+        fit = jax.jit(kmeans, static_argnums=(1, 2, 3))
+        cents, codes = [], []
+        for s in range(n_subspaces):
+            cent, assign = fit(
+                jax.lax.slice_in_dim(dev, s * ds, (s + 1) * ds, axis=1),
+                n_codes, iters, seed + s)
+            cents.append(np.asarray(jax.device_get(cent)))
+            codes.append(np.asarray(jax.device_get(assign)))
+        return cls(np.stack(cents),
+                   np.stack(codes, axis=1).astype(np.uint8), m)
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, centroids=self.centroids,
+                            codes=self.codes, n_items=np.int64(self.n_items))
+
+    @classmethod
+    def load(cls, path: str) -> "PQCodebook":
+        with np.load(path, allow_pickle=False) as z:
+            return cls(z["centroids"], z["codes"], int(z["n_items"]))
+
+    def decode(self) -> np.ndarray:
+        """Reconstruct the (M, D) approximation (host-side; for tests and
+        distortion measurement, not the query path)."""
+        parts = [self.centroids[s][self.codes[:, s]]
+                 for s in range(self.n_subspaces)]
+        return np.concatenate(parts, axis=1)
+
+
+def pq_topk(
+    queries: jax.Array,        # (B, D)
+    centroids: jax.Array,      # (S, C, Ds) f32
+    codes: jax.Array,          # (M, S) uint8
+    k: int,
+    rescore_items: Optional[jax.Array] = None,  # (M, D): exact phase-2
+    block_size: int = 262_144,
+    per_block_k: Optional[int] = None,
+    oversample: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """ADC top-k over PQ codes, with an optional exact candidate rescore.
+
+    Phase 1 streams the (M, S) code matrix in blocks: per-query scores are
+    S lookups into the precomputed ``q·centroid`` LUT, summed — the only
+    HBM traffic is S bytes/item. With ``rescore_items`` the selected
+    ``nblk×per_block_k`` candidates are rescored exactly (the returned
+    ranking is exact over the candidate set, as in the int8 scan); without
+    it the raw ADC scores/order are returned (PQ-distorted, catalogs
+    beyond HBM).
+    """
+    s_sub, c, ds = centroids.shape
+    b_shape, d = queries.shape[:-1], queries.shape[-1]
+    if d != s_sub * ds:
+        raise ValueError(f"query dim {d} != S*Ds = {s_sub}*{ds}")
+    num_items = codes.shape[0]
+    block = min(block_size, pad_to_multiple(num_items, 128))
+    padded_rows = pad_to_multiple(num_items, block)
+    if padded_rows != num_items:
+        codes = jnp.pad(codes, ((0, padded_rows - num_items), (0, 0)))
+    nblk = padded_rows // block
+    kb = per_block_k or min(block, max(-(-oversample * k // nblk), 1))
+
+    qf = queries.astype(jnp.float32)
+    # (B, S, C) per-query lookup tables: lut[b, s, c] = <q_bs, cent_sc>
+    lut = jnp.einsum("bsd,scd->bsc", qf.reshape(b_shape + (s_sub, ds)),
+                     centroids, preferred_element_type=jnp.float32)
+
+    def score_block(b):
+        blk = jax.lax.dynamic_slice_in_dim(codes, b * block, block, axis=0)
+        total = jnp.zeros(b_shape + (block,), jnp.float32)
+        for s in range(s_sub):  # S is small and static: unrolled gathers
+            total = total + jnp.take(lut[..., s, :],
+                                     blk[:, s].astype(jnp.int32), axis=-1)
+        return total
+
+    if rescore_items is not None:
+        return _streamed_candidate_topk(
+            score_block, qf, rescore_items, num_items, k, block, nblk, kb,
+            select="exact", recall_target=0.95)
+
+    # no rescore catalog: plain streaming top-k of the raw ADC scores
+    def body(carry, b):
+        vals, idxs = carry
+        s = score_block(b)
+        loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+        s = jnp.where(b * block + loc < num_items, s, NEG_INF)
+        bv, bi = jax.lax.top_k(s, min(k, block))
+        cat_v = jnp.concatenate([vals, bv], axis=-1)
+        cat_i = jnp.concatenate([idxs, bi + b * block], axis=-1)
+        nv, sel = jax.lax.top_k(cat_v, k)
+        return (nv, jnp.take_along_axis(cat_i, sel, axis=-1)), None
+
+    init = (jnp.full(b_shape + (k,), NEG_INF, jnp.float32),
+            jnp.zeros(b_shape + (k,), jnp.int32))
+    (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(nblk))
+    idxs = jnp.where(jnp.isfinite(vals), idxs, 0)
+    return vals, idxs

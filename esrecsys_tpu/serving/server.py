@@ -83,7 +83,10 @@ class RetrievalService:
                  ivf_clusters: Optional[int] = None, nprobe: int = 8,
                  ivf_iters: int = 20,
                  ivf_max_cell: Optional[int] = None,
-                 ivf_index_path: Optional[str] = None):
+                 ivf_index_path: Optional[str] = None,
+                 pq_subspaces: Optional[int] = None, pq_codes: int = 256,
+                 pq_iters: int = 15,
+                 pq_index_path: Optional[str] = None):
         self.index = index
         self.max_k = min(max_k, len(index))
         self.max_batch = max_batch
@@ -116,6 +119,15 @@ class RetrievalService:
         if (ivf_clusters or ivf_index_path) and approx:
             raise ValueError("ivf and approx are mutually exclusive"
                              " (ivf probe selection already approximates)")
+        # pq_subspaces=S: the catalog SCAN reads only S bytes/item of PQ
+        # codes (retrieval/pq.py — 16x less traffic than f32 at D=32/S=8)
+        # with an exact rescore of the candidates from the resident f32
+        # catalog. An alternative scan, not a compounding lever: mutually
+        # exclusive with approx/quantized/ivf.
+        if (pq_subspaces or pq_index_path) and (
+                approx or quantized or ivf_clusters or ivf_index_path):
+            raise ValueError("pq is an alternative catalog scan — it does "
+                             "not compose with approx/quantized/ivf")
         self.nprobe = nprobe
         self._items = _chunked_device_put(index.vectors)  # (N, D) resident
         self._dim = int(self._items.shape[1])
@@ -166,16 +178,55 @@ class RetrievalService:
         else:
             self.ivf = None
             self._centroids = self._bucket_ids = None
+        if pq_subspaces or pq_index_path:
+            import os
+
+            from esrecsys_tpu.retrieval.pq import PQCodebook
+
+            if pq_index_path and os.path.exists(pq_index_path):
+                # prebuilt codebook: restarts skip the S k-means trainings
+                self.pq = PQCodebook.load(pq_index_path)
+                if (self.pq.n_items != len(index)
+                        or self.pq.centroids.shape[0]
+                        * self.pq.centroids.shape[2] != self._dim):
+                    raise ValueError(
+                        f"pq codebook at {pq_index_path} was built for "
+                        f"{self.pq.n_items} items dim "
+                        f"{self.pq.centroids.shape[0] * self.pq.centroids.shape[2]},"
+                        f" catalog is {len(index)} items dim {self._dim}")
+            else:
+                if not pq_subspaces:
+                    raise ValueError(
+                        f"pq_index_path {pq_index_path!r} does not exist "
+                        "and no pq_subspaces given to build one")
+                # trains on the ALREADY-resident catalog (sliced per
+                # subspace on device — never a second full upload)
+                self.pq = PQCodebook.build(self._items, pq_subspaces,
+                                           n_codes=pq_codes, iters=pq_iters)
+                if pq_index_path:
+                    self.pq.save(pq_index_path)
+            self._pq_centroids = jnp.asarray(self.pq.centroids)
+            self._pq_codes = jnp.asarray(self.pq.codes)
+        else:
+            self.pq = None
+            self._pq_centroids = self._pq_codes = None
 
         # The catalog is an ARGUMENT of the jitted query, never a closure:
         # closed-over arrays become compile-time constants, which tunneled
         # PJRT backends re-ship with the program (a 580 MB catalog stalls the
         # compile request entirely).
-        def query(q, items, q_items, scales, centroids, bucket_ids):
+        def query(q, items, q_items, scales, centroids, bucket_ids,
+                  pq_centroids, pq_codes):
             # approx/quantized paths want LARGE blocks (few scan iterations,
             # few candidates to rescore) — the 11.7k q/s number was measured
             # at 262144; the exact path's small-block default would explode
             # nblk*per_block_k rescore work
+            if self.pq is not None:
+                from esrecsys_tpu.retrieval.pq import pq_topk
+
+                return pq_topk(q, pq_centroids, pq_codes, self.max_k,
+                               rescore_items=items,
+                               block_size=max(block_size, 262_144))
             if self.ivf is not None:
                 from esrecsys_tpu.retrieval.ivf import ivf_topk
 
@@ -202,7 +253,8 @@ class RetrievalService:
         self._query_fn = jax.jit(query)
         self._query = lambda q, items: self._query_fn(
             q, items, self._q_items, self._scales,
-            self._centroids, self._bucket_ids)
+            self._centroids, self._bucket_ids,
+            self._pq_centroids, self._pq_codes)
         # Compile once at construction so first request latency is steady.
         warm = jnp.zeros((max_batch, self._dim), jnp.float32)
         jax.device_get(jax.tree_util.tree_leaves(
@@ -390,7 +442,10 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           ivf_clusters: Optional[int] = None,
           nprobe: int = 8,
           ivf_max_cell: Optional[int] = None,
-          ivf_index_path: Optional[str] = None) -> ThreadingHTTPServer:
+          ivf_index_path: Optional[str] = None,
+          pq_subspaces: Optional[int] = None,
+          pq_codes: int = 256,
+          pq_index_path: Optional[str] = None) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
 
     Call ``.serve_forever()`` to block, or run it in a thread for tests.
@@ -404,7 +459,10 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
     k-means inverted file at startup and probes ``nprobe`` cells per query
     (sublinear — retrieval/ivf.py; composes with ``quantized``);
     ``ivf_index_path`` loads a prebuilt inverted file if present, else
-    builds and saves there (restarts skip the k-means).
+    builds and saves there (restarts skip the k-means);
+    ``pq_subspaces`` switches the scan to S-byte-per-item PQ codes with an
+    exact rescore (retrieval/pq.py — an alternative scan, exclusive with
+    approx/quantized/ivf).
     """
     index = EmbeddingIndex.load(index_path)
     service = RetrievalService(index, max_k=max_k, max_batch=max_batch,
@@ -413,7 +471,9 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                                quantized=quantized,
                                ivf_clusters=ivf_clusters, nprobe=nprobe,
                                ivf_max_cell=ivf_max_cell,
-                               ivf_index_path=ivf_index_path)
+                               ivf_index_path=ivf_index_path,
+                               pq_subspaces=pq_subspaces, pq_codes=pq_codes,
+                               pq_index_path=pq_index_path)
     batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
     httpd = ThreadingHTTPServer((host, port), _make_handler(service, batcher))
     httpd.service = service  # exposed for tests/tools
@@ -458,6 +518,17 @@ def main(argv=None):
                    help="path to a prebuilt inverted file (.npz): loaded if "
                         "present, else built from --ivf_clusters and saved "
                         "here so restarts skip the k-means")
+    p.add_argument("--pq_subspaces", type=int, default=0,
+                   help="scan PQ codes of this many bytes/item instead of "
+                        "the f32 catalog (16x less scan traffic at D=32/S=8)"
+                        " with an exact candidate rescore; exclusive with "
+                        "--approx/--quantized/--ivf_clusters")
+    p.add_argument("--pq_codes", type=int, default=256,
+                   help="PQ codebook entries per subspace (<=256)")
+    p.add_argument("--pq_index", default="",
+                   help="path to a prebuilt PQ codebook (.npz): loaded if "
+                        "present, else built from --pq_subspaces and saved "
+                        "here so restarts skip codebook training")
     # query-side model inference (serving/encoders.py)
     p.add_argument("--txt2url_artifact", default="",
                    help="enable 'text' queries via this trained artifact")
@@ -484,7 +555,10 @@ def main(argv=None):
           ivf_clusters=args.ivf_clusters or None,
           nprobe=args.nprobe,
           ivf_max_cell=args.ivf_max_cell or None,
-          ivf_index_path=args.ivf_index or None).serve_forever()
+          ivf_index_path=args.ivf_index or None,
+          pq_subspaces=args.pq_subspaces or None,
+          pq_codes=args.pq_codes,
+          pq_index_path=args.pq_index or None).serve_forever()
 
 
 if __name__ == "__main__":

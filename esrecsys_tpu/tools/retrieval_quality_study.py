@@ -143,19 +143,65 @@ def int8_overlap(vecs, queries, truth10, truth100, batch: int = 128) -> dict:
             "overlap@100": round(recall(found, truth100), 4)}
 
 
+def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
+               n_codes: int = 256, iters: int = 15,
+               batch: int = 128) -> dict:
+    """PQ ADC scan quality (retrieval/pq.py): overlap vs the exact scan,
+    both with the exact candidate rescore (the serving path) and raw ADC
+    (the beyond-HBM fallback, bounded by code distortion alone)."""
+    import jax
+    import jax.numpy as jnp
+
+    from esrecsys_tpu.retrieval.pq import PQCodebook, pq_topk
+
+    t0 = time.perf_counter()
+    book = PQCodebook.build(vecs, n_subspaces, n_codes=n_codes, iters=iters)
+    build_s = time.perf_counter() - t0
+    log.info("pq built: S=%d C=%d (%d bytes/item vs %d f32) in %.1fs",
+             n_subspaces, n_codes, book.bytes_per_item,
+             4 * vecs.shape[1], build_s)
+    cents = jnp.asarray(book.centroids)
+    codes = jnp.asarray(book.codes)
+    items = jnp.asarray(vecs)
+    fn = jax.jit(pq_topk, static_argnames=("k", "block_size", "per_block_k",
+                                           "oversample"))
+    out = {"n_subspaces": n_subspaces, "n_codes": n_codes,
+           "bytes_per_item": book.bytes_per_item,
+           "compression_vs_f32": round(4 * vecs.shape[1] / n_subspaces, 1),
+           "build_seconds": round(build_s, 1)}
+    for mode, rescore in (("rescored", items), ("raw_adc", None)):
+        found = []
+        for s in range(0, queries.shape[0], batch):
+            vals, idx = fn(jnp.asarray(queries[s:s + batch]), cents, codes,
+                           k=100, rescore_items=rescore)
+            idx = jnp.where(jnp.isfinite(vals), idx, -1)  # mask pad slots
+            found.append(np.asarray(jax.device_get(idx)))
+        found = np.concatenate(found)
+        row = {"overlap@10": round(recall(found[:, :10], truth10), 4),
+               "overlap@100": round(recall(found, truth100), 4)}
+        out[mode] = row
+        log.info("pq %s: o@10=%.3f o@100=%.3f", mode, row["overlap@10"],
+                 row["overlap@100"])
+    return out
+
+
 def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
-          nprobes: list, max_cell=None) -> dict:
+          nprobes: list, max_cell=None, pq_subspaces=None) -> dict:
     t0 = time.perf_counter()
     truth100 = exact_topk(vecs, queries, 100)
     truth10 = truth100[:, :10]
     log.info("exact ground truth (%.1fs)", time.perf_counter() - t0)
-    return {
+    out = {
         "n_items": int(vecs.shape[0]), "dim": int(vecs.shape[1]),
         "n_queries": int(queries.shape[0]),
         "int8_fullscan": int8_overlap(vecs, queries, truth10, truth100),
         "ivf": ivf_curve(vecs, queries, truth10, truth100, n_clusters,
                          iters, nprobes, max_cell=max_cell),
     }
+    if pq_subspaces:
+        out["pq"] = pq_quality(vecs, queries, truth10, truth100,
+                               pq_subspaces)
+    return out
 
 
 def main(argv=None):
@@ -172,6 +218,9 @@ def main(argv=None):
                    help="cap IVF cell size (0 = off): oversized cells are "
                         "balanced-split, shrinking the padded probe width "
                         "every query pays (retrieval/ivf.py IVFIndex.build)")
+    p.add_argument("--pq_subspaces", type=int, default=0,
+                   help="also measure PQ ADC scan quality with this many "
+                        "bytes/item (0 = off; retrieval/pq.py)")
     p.add_argument("--kmeans_iters", type=int, default=10)
     p.add_argument("--nprobes", default="1,2,4,8,16,32,64")
     p.add_argument("--regimes", default="clustered,isotropic")
@@ -194,7 +243,8 @@ def main(argv=None):
             (args.n_queries, vecs.shape[1])).astype(np.float32)
         results["artifact"] = study(vecs, queries, args.n_clusters,
                                     args.kmeans_iters, nprobes,
-                                    max_cell=args.max_cell or None)
+                                    max_cell=args.max_cell or None,
+                                    pq_subspaces=args.pq_subspaces or None)
     else:
         for kind in args.regimes.split(","):
             log.info("=== regime: %s (%d x %d) ===", kind, args.n_items,
@@ -203,7 +253,8 @@ def main(argv=None):
                                           args.n_queries, args.dim, rng)
             results[kind] = study(vecs, queries, args.n_clusters,
                                   args.kmeans_iters, nprobes,
-                                  max_cell=args.max_cell or None)
+                                  max_cell=args.max_cell or None,
+                                  pq_subspaces=args.pq_subspaces or None)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))

@@ -1,0 +1,128 @@
+"""Product quantization (retrieval/pq.py): codebook training, codes
+layout, ADC search semantics, rescore composition, persistence."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esrecsys_tpu.retrieval import pq
+from tests.test_ivf import _brute, _mixture
+
+
+def test_build_shapes_and_distortion_on_clusterable_data():
+    rng = np.random.default_rng(0)
+    x, _ = _mixture(rng, n_comp=16, per=150, d=16)
+    book = pq.PQCodebook.build(x, n_subspaces=4, n_codes=64, iters=10)
+    assert book.centroids.shape == (4, 64, 4)
+    assert book.codes.shape == (x.shape[0], 4)
+    assert book.codes.dtype == np.uint8
+    assert book.bytes_per_item == 4  # vs 64 bytes f32: 16x
+    # reconstruction keeps most of the signal on clusterable data
+    rel = (np.linalg.norm(book.decode() - x, axis=1)
+           / np.maximum(np.linalg.norm(x, axis=1), 1e-9))
+    assert np.mean(rel) < 0.25, np.mean(rel)
+
+
+def test_pq_topk_full_candidates_equals_brute_force():
+    """per_block_k = block keeps every item as a candidate, so the exact
+    rescore must recover brute force EXACTLY — the selection/rescore
+    factoring invariant, independent of PQ quality."""
+    rng = np.random.default_rng(1)
+    x, _ = _mixture(rng, n_comp=8, per=60, d=16)
+    book = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    k = 10
+    vals, idxs = pq.pq_topk(jnp.asarray(q), jnp.asarray(book.centroids),
+                            jnp.asarray(book.codes), k,
+                            rescore_items=jnp.asarray(x), block_size=128,
+                            per_block_k=128)
+    bvals, bidx = _brute(q, x, k)
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+    np.testing.assert_allclose(np.asarray(vals), bvals, rtol=1e-5)
+
+
+def test_pq_topk_with_rescore_quality_when_codes_can_distinguish():
+    """Quality smoke in a PQ-friendly regime (spread comparable to what
+    codebooks can resolve, items shuffled so the top-k spreads across
+    blocks): high overlap with the exact top-k, exact returned scores.
+
+    The complement — tightly-clustered items collapsing to tied codes and
+    capping recall — is intrinsic to PQ, measured per catalog by
+    tools/retrieval_quality_study.py --pq_subspaces."""
+    rng = np.random.default_rng(1)
+    x, _ = _mixture(rng, n_comp=16, per=150, d=16, spread=0.6)
+    x = x[rng.permutation(x.shape[0])]
+    book = pq.PQCodebook.build(x, n_subspaces=8, n_codes=128, iters=10)
+    q = x[rng.integers(0, x.shape[0], 8)] + rng.normal(
+        size=(8, 16)).astype(np.float32) * 0.05
+    k = 10
+    vals, idxs = pq.pq_topk(jnp.asarray(q), jnp.asarray(book.centroids),
+                            jnp.asarray(book.codes), k,
+                            rescore_items=jnp.asarray(x), block_size=512,
+                            oversample=8)
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+    _, bidx = _brute(q, x, k)
+    ov = np.mean([len(set(idxs[b]) & set(bidx[b])) / k for b in range(8)])
+    assert ov >= 0.8, ov
+    # rescored values are exact dots of the returned indices
+    for b in range(8):
+        np.testing.assert_allclose(vals[b], q[b] @ x[idxs[b]].T, rtol=1e-5)
+
+
+def test_pq_topk_raw_adc_matches_decoded_brute_force():
+    """Without a rescore catalog the ranking must equal brute force over
+    the DECODED (reconstructed) catalog — the ADC identity."""
+    rng = np.random.default_rng(2)
+    x, _ = _mixture(rng, n_comp=8, per=80, d=8)
+    book = pq.PQCodebook.build(x, n_subspaces=2, n_codes=32, iters=10)
+    q = rng.normal(size=(4, 8)).astype(np.float32)
+    vals, idxs = pq.pq_topk(jnp.asarray(q), jnp.asarray(book.centroids),
+                            jnp.asarray(book.codes), 5, block_size=256)
+    dec = book.decode()
+    bvals, _ = _brute(q, dec, 5)
+    np.testing.assert_allclose(np.asarray(vals), bvals, rtol=1e-4)
+    # indices may permute within score ties (items sharing codes); each
+    # returned index's decoded dot must equal its returned value
+    for b in range(4):
+        np.testing.assert_allclose(
+            np.asarray(vals)[b], q[b] @ dec[np.asarray(idxs)[b]].T,
+            rtol=1e-4)
+
+
+def test_pq_build_validation():
+    x = np.ones((100, 10), np.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        pq.PQCodebook.build(x, n_subspaces=3)
+    with pytest.raises(ValueError, match="n_codes"):
+        pq.PQCodebook.build(x, n_subspaces=2, n_codes=300)
+    with pytest.raises(ValueError, match="> items"):
+        pq.PQCodebook.build(x, n_subspaces=2, n_codes=256)
+    with pytest.raises(ValueError, match="query dim"):
+        pq.pq_topk(jnp.ones((2, 8)), jnp.ones((2, 4, 2)),
+                   jnp.zeros((10, 2), jnp.uint8), 3)
+
+
+def test_pq_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    x, _ = _mixture(rng, n_comp=4, per=70, d=8)
+    book = pq.PQCodebook.build(x, n_subspaces=2, n_codes=16, iters=5)
+    p = str(tmp_path / "pq.npz")
+    book.save(p)
+    back = pq.PQCodebook.load(p)
+    np.testing.assert_array_equal(back.codes, book.codes)
+    np.testing.assert_allclose(back.centroids, book.centroids)
+    assert back.n_items == book.n_items
+
+
+def test_pq_topk_k_exceeds_items_pads_and_sanitizes():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    book = pq.PQCodebook.build(x, n_subspaces=2, n_codes=8, iters=5)
+    k = 60
+    vals, idxs = pq.pq_topk(jnp.ones((2, 8)), jnp.asarray(book.centroids),
+                            jnp.asarray(book.codes), k,
+                            rescore_items=jnp.asarray(x), block_size=128)
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+    assert vals.shape == (2, k)
+    assert np.isneginf(vals[:, 40:]).all()
+    assert (idxs >= 0).all() and (idxs < 40).all()  # sanitized

@@ -210,3 +210,52 @@ def test_text_query_matches_manual_embed(tmp_path):
         assert ei.value.code == 400
     finally:
         httpd.shutdown()
+
+def test_pq_mode_reachable_from_serve_and_finds_self(index, tmp_path):
+    """serve(pq_subspaces=S) (and the --pq_subspaces CLI flag behind it)
+    must route queries through the PQ ADC scan + exact rescore; an item's
+    own vector must retrieve itself (self dot ~||q||^2 dominates even under
+    code distortion), with exact returned scores. Also: the codebook saved
+    at pq_index_path is reloaded on restart."""
+    idx, path = index
+    book_path = str(tmp_path / "pq.npz")
+    httpd = serve(path, port=0, max_k=10, max_batch=4, coalesce=False,
+                  pq_subspaces=4, pq_codes=64, pq_index_path=book_path)
+    port = httpd.server_address[1]
+    assert httpd.service.pq is not None
+    assert httpd.service.pq.bytes_per_item == 4
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        for item in ("item3", "item42"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/topk",
+                data=json.dumps({"id": item, "k": 5}).encode(),
+            )
+            with urllib.request.urlopen(req) as r:
+                out = json.loads(r.read())
+            assert item in out["ids"], out["ids"]
+            # rescored scores are exact dots of the returned ids
+            q = idx.vector(item)
+            for rid, score in zip(out["ids"], out["scores"]):
+                np.testing.assert_allclose(
+                    score, float(q @ idx.vector(rid)), rtol=1e-4)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    # restart from the saved codebook: identical codes, no retraining
+    svc2 = RetrievalService(idx, max_k=10, max_batch=4,
+                            pq_index_path=book_path)
+    np.testing.assert_array_equal(svc2.pq.codes, httpd.service.pq.codes)
+
+
+def test_pq_is_exclusive_with_other_scan_modes(index):
+    idx, _ = index
+    with pytest.raises(ValueError, match="does not compose"):
+        RetrievalService(idx, pq_subspaces=4, quantized=True)
+    with pytest.raises(ValueError, match="does not compose"):
+        RetrievalService(idx, pq_subspaces=4, approx=True)
+    with pytest.raises(ValueError, match="does not compose"):
+        RetrievalService(idx, pq_subspaces=4, ivf_clusters=8)
+    with pytest.raises(ValueError, match="does not exist"):
+        RetrievalService(idx, pq_index_path="/nonexistent/pq.npz")
