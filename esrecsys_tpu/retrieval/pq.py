@@ -41,8 +41,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from esrecsys_tpu.core.mesh import pad_to_multiple
+from esrecsys_tpu.core.transfer import chunked_device_put
 from esrecsys_tpu.retrieval.ivf import kmeans
-from esrecsys_tpu.retrieval.mips import NEG_INF, _streamed_candidate_topk
+from esrecsys_tpu.retrieval.mips import (_streamed_candidate_topk,
+                                         chunked_topk)
 
 
 class PQCodebook(NamedTuple):
@@ -82,8 +84,13 @@ class PQCodebook(NamedTuple):
         if n_codes > m:
             raise ValueError(f"n_codes {n_codes} > items {m}")
         ds = d // n_subspaces
-        dev = jnp.asarray(vectors, jnp.float32)
-        fit = jax.jit(kmeans, static_argnums=(1, 2, 3))
+        if isinstance(vectors, jax.Array):
+            dev = vectors.astype(jnp.float32)
+        else:  # host catalog: chunked upload (tunneled links stall >100 MB)
+            dev = chunked_device_put(np.asarray(vectors, np.float32))
+        # seed stays TRACED (PRNGKey accepts tracers): one k-means compile
+        # shared by all S subspaces, not one per distinct seed
+        fit = jax.jit(kmeans, static_argnums=(1, 2))
         cents, codes = [], []
         for s in range(n_subspaces):
             cent, assign = fit(
@@ -148,8 +155,8 @@ def pq_topk(
     lut = jnp.einsum("bsd,scd->bsc", qf.reshape(b_shape + (s_sub, ds)),
                      centroids, preferred_element_type=jnp.float32)
 
-    def score_block(b):
-        blk = jax.lax.dynamic_slice_in_dim(codes, b * block, block, axis=0)
+    def score_from(start):
+        blk = jax.lax.dynamic_slice_in_dim(codes, start, block, axis=0)
         total = jnp.zeros(b_shape + (block,), jnp.float32)
         for s in range(s_sub):  # S is small and static: unrolled gathers
             total = total + jnp.take(lut[..., s, :],
@@ -158,23 +165,11 @@ def pq_topk(
 
     if rescore_items is not None:
         return _streamed_candidate_topk(
-            score_block, qf, rescore_items, num_items, k, block, nblk, kb,
-            select="exact", recall_target=0.95)
+            lambda b: score_from(b * block), qf, rescore_items, num_items, k,
+            block, nblk, kb, select="exact", recall_target=0.95)
 
-    # no rescore catalog: plain streaming top-k of the raw ADC scores
-    def body(carry, b):
-        vals, idxs = carry
-        s = score_block(b)
-        loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
-        s = jnp.where(b * block + loc < num_items, s, NEG_INF)
-        bv, bi = jax.lax.top_k(s, min(k, block))
-        cat_v = jnp.concatenate([vals, bv], axis=-1)
-        cat_i = jnp.concatenate([idxs, bi + b * block], axis=-1)
-        nv, sel = jax.lax.top_k(cat_v, k)
-        return (nv, jnp.take_along_axis(cat_i, sel, axis=-1)), None
-
-    init = (jnp.full(b_shape + (k,), NEG_INF, jnp.float32),
-            jnp.zeros(b_shape + (k,), jnp.int32))
-    (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(nblk))
+    # no rescore catalog: the shared streaming top-k over the raw ADC scores
+    # (tail masking, -inf padding to k, descending order — mips.chunked_topk)
+    vals, idxs = chunked_topk(score_from, num_items, k, block_size=block)
     idxs = jnp.where(jnp.isfinite(vals), idxs, 0)
     return vals, idxs

@@ -42,30 +42,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from esrecsys_tpu.core.transfer import chunked_device_put as _chunked_device_put
 from esrecsys_tpu.retrieval.index import EmbeddingIndex
 from esrecsys_tpu.retrieval.mips import topk_over_matrix
 
 log = logging.getLogger(__name__)
-
-_UPLOAD_CHUNK_BYTES = 64 << 20
-
-
-def _chunked_device_put(x: np.ndarray) -> jax.Array:
-    """Host→device transfer in ~64 MB slices.
-
-    Single large transfers degrade badly on tunneled PJRT backends (observed
-    on axon: ~30 MB/s with multi-minute stalls past a few hundred MB); sliced
-    uploads + one on-device concatenate stay predictable.
-    """
-    rows_per_chunk = max(1, _UPLOAD_CHUNK_BYTES // max(x[0:1].nbytes, 1))
-    if x.shape[0] <= rows_per_chunk:
-        return jnp.asarray(x)
-    parts = [
-        jnp.asarray(x[i : i + rows_per_chunk])
-        for i in range(0, x.shape[0], rows_per_chunk)
-    ]
-    out = jnp.concatenate(parts, axis=0)
-    return out
 
 
 class RetrievalService:
@@ -194,6 +175,13 @@ class RetrievalService:
                         f"{self.pq.n_items} items dim "
                         f"{self.pq.centroids.shape[0] * self.pq.centroids.shape[2]},"
                         f" catalog is {len(index)} items dim {self._dim}")
+                if ((pq_subspaces and self.pq.n_subspaces != pq_subspaces)
+                        or self.pq.n_codes != pq_codes):
+                    log.warning(
+                        "prebuilt pq codebook at %s has S=%d C=%d; requested "
+                        "S=%s C=%d ignored. Delete the file to retrain.",
+                        pq_index_path, self.pq.n_subspaces, self.pq.n_codes,
+                        pq_subspaces, pq_codes)
             else:
                 if not pq_subspaces:
                     raise ValueError(

@@ -35,6 +35,8 @@ import time
 
 import numpy as np
 
+from esrecsys_tpu.core.transfer import chunked_device_put
+
 log = logging.getLogger(__name__)
 
 
@@ -68,7 +70,7 @@ def exact_topk(vecs: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
     from esrecsys_tpu.retrieval.mips import topk_over_matrix
 
     _, idx = jax.jit(topk_over_matrix, static_argnums=(2,))(
-        jnp.asarray(queries), jnp.asarray(vecs), k)
+        jnp.asarray(queries), chunked_device_put(vecs), k)
     return np.asarray(jax.device_get(idx))
 
 
@@ -90,7 +92,7 @@ def ivf_curve(vecs, queries, truth10, truth100, n_clusters, iters, nprobes,
     build_s = time.perf_counter() - t0
     cent = jnp.asarray(index.centroids)
     buckets = jnp.asarray(index.bucket_ids)
-    items = jnp.asarray(vecs)
+    items = chunked_device_put(vecs)
     n, lmax = vecs.shape[0], index.bucket_ids.shape[1]
     log.info("ivf built: C=%d Lmax=%d imbalance=%.2f (%.1fs)",
              index.n_clusters, lmax, index.imbalance, build_s)
@@ -128,7 +130,7 @@ def int8_overlap(vecs, queries, truth10, truth100, batch: int = 128) -> dict:
     from esrecsys_tpu.retrieval.mips import (quantize_rows,
                                              quantized_topk_over_matrix)
 
-    items = jnp.asarray(vecs)
+    items = chunked_device_put(vecs)
     q_items, scales = jax.jit(quantize_rows)(items)
     fn = jax.jit(quantized_topk_over_matrix,
                  static_argnames=("k", "select"))
@@ -144,7 +146,7 @@ def int8_overlap(vecs, queries, truth10, truth100, batch: int = 128) -> dict:
 
 
 def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
-               n_codes: int = 256, iters: int = 15,
+               n_codes: int = 256, iters: int = 10,
                batch: int = 128) -> dict:
     """PQ ADC scan quality (retrieval/pq.py): overlap vs the exact scan,
     both with the exact candidate rescore (the serving path) and raw ADC
@@ -162,7 +164,7 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
              4 * vecs.shape[1], build_s)
     cents = jnp.asarray(book.centroids)
     codes = jnp.asarray(book.codes)
-    items = jnp.asarray(vecs)
+    items = chunked_device_put(vecs)
     fn = jax.jit(pq_topk, static_argnames=("k", "block_size", "per_block_k",
                                            "oversample"))
     out = {"n_subspaces": n_subspaces, "n_codes": n_codes,
@@ -200,7 +202,7 @@ def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
     }
     if pq_subspaces:
         out["pq"] = pq_quality(vecs, queries, truth10, truth100,
-                               pq_subspaces)
+                               pq_subspaces, iters=iters)
     return out
 
 
