@@ -21,11 +21,15 @@ a dependency-free HTTP service over the TPU retrieval path:
     ``text`` through a trained txt2url sentence tower, ``image_key`` through
     an STL tower (:mod:`esrecsys_tpu.serving.encoders`).
   * ``serve`` — a stdlib ``ThreadingHTTPServer`` exposing:
-      GET  /healthz                 → {"status": "ok", "items": N}
+      GET  /healthz                 → {"status": "ok", "items": N, ...}
       POST /v1/topk                 → body {"vector": [...] | "id": "..." |
                                            "text": "..." |
                                            "image_key": "...", "k": 10}
                                     → {"ids": [...], "scores": [...]}
+      POST /admin/reload            → body {"index": "path.npz"} (optional;
+                                      defaults to the serving index path) —
+                                      zero-downtime hot swap to a freshly
+                                      exported artifact (RetrievalHTTPServer)
 """
 
 from __future__ import annotations
@@ -362,61 +366,142 @@ class QueryBatcher:
                 done.set()
 
 
-def _make_handler(service: RetrievalService, batcher: Optional[QueryBatcher] = None):
-    class Handler(BaseHTTPRequestHandler):
-        def _send(self, code: int, payload: dict):
-            body = json.dumps(payload).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+class _Handler(BaseHTTPRequestHandler):
+    """Reads ``self.server.service``/``.batcher`` PER REQUEST (never cached
+    across requests) so a hot reload swaps them atomically under live
+    traffic — in-flight requests finish on the old service."""
 
-        def log_message(self, fmt, *args):  # route through logging, not stderr
-            log.debug("serving: " + fmt, *args)
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
-        def do_GET(self):
-            if self.path == "/healthz":
-                self._send(200, {"status": "ok", "items": len(service.index),
-                                 "dim": service.dim, "max_k": service.max_k})
-            else:
-                self._send(404, {"error": f"unknown path {self.path}"})
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        log.debug("serving: " + fmt, *args)
 
-        def do_POST(self):
-            if self.path != "/v1/topk":
-                self._send(404, {"error": f"unknown path {self.path}"})
-                return
+    def do_GET(self):
+        service = self.server.service
+        if self.path == "/healthz":
+            self._send(200, {"status": "ok", "items": len(service.index),
+                             "dim": service.dim, "max_k": service.max_k,
+                             "index": self.server.index_path})
+        else:
+            self._send(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        if self.path == "/admin/reload":
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                k = int(req.get("k", service.max_k))
-                # resolve the query to ONE vector: raw, catalog id, or a raw
-                # query embedded through a registered model encoder
-                if "vector" in req:
-                    vec = np.asarray(req["vector"], np.float32)
-                elif "id" in req:
-                    vec = service.index.vector(str(req["id"]))
-                elif "text" in req:
-                    vec = service.encode("text", str(req["text"]))
-                elif "image_key" in req:
-                    vec = service.encode("image_key", str(req["image_key"]))
-                else:
-                    self._send(400, {"error":
-                                     "need 'vector', 'id', 'text' or 'image_key'"})
-                    return
-                if batcher is not None:
-                    ids, scores = batcher.submit(vec, k)
-                else:
-                    ids2, scores2 = service.topk(vec[None, :], k)
-                    ids, scores = ids2[0], scores2[0]
-                self._send(200, {"ids": [str(x) for x in ids],
-                                 "scores": [float(s) for s in scores]})
-            except KeyError as e:
-                self._send(404, {"error": f"unknown id {e}"})
-            except Exception as e:  # malformed JSON, wrong dim, ...
+                t0 = time.perf_counter()
+                self.server.reload_index(req.get("index"))
+                self._send(200, {
+                    "status": "ok",
+                    "items": len(self.server.service.index),
+                    "index": self.server.index_path,
+                    "reload_seconds": round(time.perf_counter() - t0, 3)})
+            except Exception as e:  # missing file, dim mismatch, ...
                 self._send(400, {"error": str(e)})
+            return
+        if self.path != "/v1/topk":
+            self._send(404, {"error": f"unknown path {self.path}"})
+            return
+        service, batcher = self.server.service, self.server.batcher
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            k = int(req.get("k", service.max_k))
+            # resolve the query to ONE vector: raw, catalog id, or a raw
+            # query embedded through a registered model encoder
+            if "vector" in req:
+                vec = np.asarray(req["vector"], np.float32)
+            elif "id" in req:
+                vec = service.index.vector(str(req["id"]))
+            elif "text" in req:
+                vec = service.encode("text", str(req["text"]))
+            elif "image_key" in req:
+                vec = service.encode("image_key", str(req["image_key"]))
+            else:
+                self._send(400, {"error":
+                                 "need 'vector', 'id', 'text' or 'image_key'"})
+                return
+            if batcher is not None:
+                ids, scores = batcher.submit(vec, k)
+            else:
+                ids2, scores2 = service.topk(vec[None, :], k)
+                ids, scores = ids2[0], scores2[0]
+            self._send(200, {"ids": [str(x) for x in ids],
+                             "scores": [float(s) for s in scores]})
+        except KeyError as e:
+            self._send(404, {"error": f"unknown id {e}"})
+        except Exception as e:  # malformed JSON, wrong dim, ...
+            self._send(400, {"error": str(e)})
 
-    return Handler
+
+class RetrievalHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer + zero-downtime index reload.
+
+    ``reload_index(path)`` builds a complete NEW RetrievalService (device
+    upload, aux index builds, one-time compile) while the old one keeps
+    answering, then swaps ``self.service``/``self.batcher`` — the
+    train→export→serve loop (tools/full_scale_run.py) can push a fresh
+    artifact into a live server with no restart and no failed queries.
+    Reloads are serialized; queries are never blocked by one.
+
+    Aux structures (IVF inverted file, PQ codebook) are REBUILT for the new
+    catalog; configured ``ivf_index_path``/``pq_index_path`` caches are
+    overwritten, since they describe the catalog being served. Build
+    parameters not restatable from config (a prebuilt-only IVF/PQ) are
+    carried over from the running service.
+    """
+
+    service: RetrievalService
+    batcher: Optional[QueryBatcher]
+    index_path: str
+
+    def _configure(self, index_path: str, service_kwargs: dict,
+                   coalesce: bool, max_wait_ms: float) -> None:
+        self.index_path = index_path
+        self._service_kwargs = dict(service_kwargs)
+        self._coalesce = coalesce
+        self._max_wait_ms = max_wait_ms
+        self._reload_lock = threading.Lock()
+
+    def reload_index(self, index_path: Optional[str] = None) -> None:
+        with self._reload_lock:
+            path = index_path or self.index_path
+            index = EmbeddingIndex.load(path)
+            kwargs = dict(self._service_kwargs)
+            old = self.service
+            # rebuild aux indexes for the NEW catalog (never load a cache
+            # built for the old one); recover build params from the running
+            # service when config only had a prebuilt path
+            ivf_path = kwargs.pop("ivf_index_path", None)
+            pq_path = kwargs.pop("pq_index_path", None)
+            if ivf_path and not kwargs.get("ivf_clusters"):
+                kwargs["ivf_clusters"] = old.ivf.n_clusters
+            if pq_path and not kwargs.get("pq_subspaces"):
+                kwargs["pq_subspaces"] = old.pq.n_subspaces
+                kwargs["pq_codes"] = old.pq.n_codes
+            service = RetrievalService(index, **kwargs)
+            if ivf_path and service.ivf is not None:
+                service.ivf.save(ivf_path)
+            if pq_path and service.pq is not None:
+                service.pq.save(pq_path)
+            batcher = (QueryBatcher(service, max_wait_ms=self._max_wait_ms)
+                       if self._coalesce else None)
+            old_batcher = self.batcher
+            # atomic swap: handlers read these per request
+            self.service = service
+            self.batcher = batcher
+            self.index_path = path
+            if old_batcher is not None:
+                old_batcher.close()
+            log.info("reloaded %s: %d items (dim %d)", path, len(index),
+                     service.dim)
 
 
 def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
@@ -453,18 +538,20 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
     approx/quantized/ivf).
     """
     index = EmbeddingIndex.load(index_path)
-    service = RetrievalService(index, max_k=max_k, max_batch=max_batch,
-                               encoders=encoders, approx=approx,
-                               recall_target=recall_target,
-                               quantized=quantized,
-                               ivf_clusters=ivf_clusters, nprobe=nprobe,
-                               ivf_max_cell=ivf_max_cell,
-                               ivf_index_path=ivf_index_path,
-                               pq_subspaces=pq_subspaces, pq_codes=pq_codes,
-                               pq_index_path=pq_index_path)
+    service_kwargs = dict(max_k=max_k, max_batch=max_batch,
+                          encoders=encoders, approx=approx,
+                          recall_target=recall_target,
+                          quantized=quantized,
+                          ivf_clusters=ivf_clusters, nprobe=nprobe,
+                          ivf_max_cell=ivf_max_cell,
+                          ivf_index_path=ivf_index_path,
+                          pq_subspaces=pq_subspaces, pq_codes=pq_codes,
+                          pq_index_path=pq_index_path)
+    service = RetrievalService(index, **service_kwargs)
     batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
-    httpd = ThreadingHTTPServer((host, port), _make_handler(service, batcher))
-    httpd.service = service  # exposed for tests/tools
+    httpd = RetrievalHTTPServer((host, port), _Handler)
+    httpd._configure(index_path, service_kwargs, coalesce, max_wait_ms)
+    httpd.service = service  # exposed for tests/tools; swapped by reload
     httpd.batcher = batcher
     log.info("serving %d items (dim %d) on %s:%d", len(index), service.dim,
              host, port)

@@ -1,5 +1,6 @@
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -259,3 +260,80 @@ def test_pq_is_exclusive_with_other_scan_modes(index):
         RetrievalService(idx, pq_subspaces=4, ivf_clusters=8)
     with pytest.raises(ValueError, match="does not exist"):
         RetrievalService(idx, pq_index_path="/nonexistent/pq.npz")
+
+def test_hot_reload_swaps_catalog_under_live_traffic(index, tmp_path):
+    """POST /admin/reload swaps in a new artifact with zero downtime: the
+    health/query surface reflects the new catalog, queries issued
+    concurrently with the reload all succeed (on old or new service), and
+    a configured pq cache is rebuilt for the NEW catalog."""
+    idx, path = index
+    rng = np.random.default_rng(7)
+    new_vecs = rng.normal(size=(120, 16)).astype(np.float32)
+    new_idx = EmbeddingIndex([f"new{i}" for i in range(120)], new_vecs)
+    new_path = str(tmp_path / "new_catalog.npz")
+    new_idx.save(new_path)
+
+    pq_cache = str(tmp_path / "pq_cache.npz")
+    httpd = serve(path, port=0, max_k=10, max_batch=4,
+                  pq_subspaces=4, pq_codes=32, pq_index_path=pq_cache)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        stop = threading.Event()
+        errors = []
+
+        def hammer():
+            q = np.asarray(idx.vector("item3"), np.float32).tolist()
+            while not stop.is_set():
+                try:
+                    req = urllib.request.Request(
+                        f"http://127.0.0.1:{port}/v1/topk",
+                        data=json.dumps({"vector": q, "k": 3}).encode())
+                    urllib.request.urlopen(req, timeout=30).read()
+                except Exception as e:  # any failed query breaks the test
+                    errors.append(e)
+        hthread = threading.Thread(target=hammer)
+        hthread.start()
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload",
+            data=json.dumps({"index": new_path}).encode())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["status"] == "ok" and out["items"] == 120
+
+        stop.set()
+        hthread.join(timeout=30)
+        assert not errors, errors
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["items"] == 120 and health["index"] == new_path
+
+        # queries now answer from the new catalog (new ids, exact scores)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "new5", "k": 3}).encode())
+        with urllib.request.urlopen(req, timeout=30) as r:
+            got = json.loads(r.read())
+        assert got["ids"][0].startswith("new") and "new5" in got["ids"]
+
+        # the pq cache was rebuilt for the NEW catalog
+        from esrecsys_tpu.retrieval.pq import PQCodebook
+        assert PQCodebook.load(pq_cache).n_items == 120
+
+        # reload of a missing file is a clean 400, service keeps running
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload",
+            data=json.dumps({"index": "/nonexistent.npz"}).encode())
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["items"] == 120
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
