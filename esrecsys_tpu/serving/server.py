@@ -71,6 +71,7 @@ class RetrievalService:
                  ivf_index_path: Optional[str] = None,
                  pq_subspaces: Optional[int] = None, pq_codes: int = 256,
                  pq_iters: int = 15,
+                 pq_oversample: int = 4,
                  pq_index_path: Optional[str] = None):
         self.index = index
         self.max_k = min(max_k, len(index))
@@ -114,6 +115,7 @@ class RetrievalService:
             raise ValueError("pq is an alternative catalog scan — it does "
                              "not compose with approx/quantized/ivf")
         self.nprobe = nprobe
+        self.pq_oversample = pq_oversample
         self._items = _chunked_device_put(index.vectors)  # (N, D) resident
         self._dim = int(self._items.shape[1])
         if quantized:
@@ -216,9 +218,15 @@ class RetrievalService:
             if self.pq is not None:
                 from esrecsys_tpu.retrieval.pq import pq_topk
 
+                # oversample sets the exact-rescore candidate budget
+                # (~oversample*max_k of the catalog). At MPD scale the
+                # default 4 caps overlap@10 at ~0.73 on clustered
+                # catalogs; 64+ recovers >=0.95 for a still-negligible
+                # rescore cost (BENCHMARKS.md "PQ quality at MPD scale")
                 return pq_topk(q, pq_centroids, pq_codes, self.max_k,
                                rescore_items=items,
-                               block_size=max(block_size, 262_144))
+                               block_size=max(block_size, 262_144),
+                               oversample=self.pq_oversample)
             if self.ivf is not None:
                 from esrecsys_tpu.retrieval.ivf import ivf_topk
 
@@ -518,6 +526,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           ivf_index_path: Optional[str] = None,
           pq_subspaces: Optional[int] = None,
           pq_codes: int = 256,
+          pq_oversample: int = 4,
           pq_index_path: Optional[str] = None) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
 
@@ -546,6 +555,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                           ivf_max_cell=ivf_max_cell,
                           ivf_index_path=ivf_index_path,
                           pq_subspaces=pq_subspaces, pq_codes=pq_codes,
+                          pq_oversample=pq_oversample,
                           pq_index_path=pq_index_path)
     service = RetrievalService(index, **service_kwargs)
     batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
@@ -600,6 +610,10 @@ def main(argv=None):
                         "--approx/--quantized/--ivf_clusters")
     p.add_argument("--pq_codes", type=int, default=256,
                    help="PQ codebook entries per subspace (<=256)")
+    p.add_argument("--pq_oversample", type=int, default=4,
+                   help="exact-rescore candidate budget ~oversample*max_k; "
+                        "raise to 64+ on large clustered catalogs where "
+                        "code collisions cap recall (BENCHMARKS.md)")
     p.add_argument("--pq_index", default="",
                    help="path to a prebuilt PQ codebook (.npz): loaded if "
                         "present, else built from --pq_subspaces and saved "
@@ -633,6 +647,7 @@ def main(argv=None):
           ivf_index_path=args.ivf_index or None,
           pq_subspaces=args.pq_subspaces or None,
           pq_codes=args.pq_codes,
+          pq_oversample=args.pq_oversample,
           pq_index_path=args.pq_index or None).serve_forever()
 
 

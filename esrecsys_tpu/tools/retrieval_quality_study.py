@@ -147,10 +147,12 @@ def int8_overlap(vecs, queries, truth10, truth100, batch: int = 128) -> dict:
 
 def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
                n_codes: int = 256, iters: int = 10,
-               batch: int = 128) -> dict:
-    """PQ ADC scan quality (retrieval/pq.py): overlap vs the exact scan,
-    both with the exact candidate rescore (the serving path) and raw ADC
-    (the beyond-HBM fallback, bounded by code distortion alone)."""
+               batch: int = 128, oversamples=(4, 16, 64, 256)) -> dict:
+    """PQ ADC scan quality (retrieval/pq.py): overlap vs the exact scan —
+    the exact-rescore serving path swept over its candidate-budget knob
+    (``oversample``: ~oversample*k candidates rescored per query), plus raw
+    ADC (the beyond-HBM fallback, bounded by code distortion alone). The
+    codebook is trained ONCE; only the scan phase repeats."""
     import jax
     import jax.numpy as jnp
 
@@ -167,28 +169,43 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
     items = chunked_device_put(vecs)
     fn = jax.jit(pq_topk, static_argnames=("k", "block_size", "per_block_k",
                                            "oversample"))
-    out = {"n_subspaces": n_subspaces, "n_codes": n_codes,
-           "bytes_per_item": book.bytes_per_item,
-           "compression_vs_f32": round(4 * vecs.shape[1] / n_subspaces, 1),
-           "build_seconds": round(build_s, 1)}
-    for mode, rescore in (("rescored", items), ("raw_adc", None)):
+
+    def scan(rescore, oversample):
         found = []
         for s in range(0, queries.shape[0], batch):
             vals, idx = fn(jnp.asarray(queries[s:s + batch]), cents, codes,
-                           k=100, rescore_items=rescore)
+                           k=100, rescore_items=rescore,
+                           oversample=oversample)
             idx = jnp.where(jnp.isfinite(vals), idx, -1)  # mask pad slots
             found.append(np.asarray(jax.device_get(idx)))
         found = np.concatenate(found)
-        row = {"overlap@10": round(recall(found[:, :10], truth10), 4),
-               "overlap@100": round(recall(found, truth100), 4)}
-        out[mode] = row
-        log.info("pq %s: o@10=%.3f o@100=%.3f", mode, row["overlap@10"],
+        return {"overlap@10": round(recall(found[:, :10], truth10), 4),
+                "overlap@100": round(recall(found, truth100), 4)}
+
+    out = {"n_subspaces": n_subspaces, "n_codes": n_codes,
+           "bytes_per_item": book.bytes_per_item,
+           "compression_vs_f32": round(4 * vecs.shape[1] / n_subspaces, 1),
+           "build_seconds": round(build_s, 1), "rescored_curve": []}
+    # candidate count actually rescored: nblk * ceil(oversample*k/nblk)
+    block = min(262_144, vecs.shape[0])
+    nblk = -(-vecs.shape[0] // block)
+    for o in oversamples:
+        row = scan(items, o)
+        row["oversample"] = o
+        row["candidates_rescored"] = nblk * max(-(-o * 100 // nblk), 1)
+        out["rescored_curve"].append(row)
+        log.info("pq rescored o=%-4d (%d cand): o@10=%.3f o@100=%.3f", o,
+                 row["candidates_rescored"], row["overlap@10"],
                  row["overlap@100"])
+    out["raw_adc"] = scan(None, 4)
+    log.info("pq raw_adc: o@10=%.3f o@100=%.3f",
+             out["raw_adc"]["overlap@10"], out["raw_adc"]["overlap@100"])
     return out
 
 
 def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
-          nprobes: list, max_cell=None, pq_subspaces=None) -> dict:
+          nprobes: list, max_cell=None, pq_subspaces=None,
+          pq_oversamples=(4, 16, 64, 256)) -> dict:
     t0 = time.perf_counter()
     truth100 = exact_topk(vecs, queries, 100)
     truth10 = truth100[:, :10]
@@ -202,7 +219,8 @@ def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
     }
     if pq_subspaces:
         out["pq"] = pq_quality(vecs, queries, truth10, truth100,
-                               pq_subspaces, iters=iters)
+                               pq_subspaces, iters=iters,
+                               oversamples=pq_oversamples)
     return out
 
 
@@ -223,6 +241,9 @@ def main(argv=None):
     p.add_argument("--pq_subspaces", type=int, default=0,
                    help="also measure PQ ADC scan quality with this many "
                         "bytes/item (0 = off; retrieval/pq.py)")
+    p.add_argument("--pq_oversamples", default="4,16,64,256",
+                   help="rescore candidate budgets to sweep "
+                        "(~oversample*100 candidates per query)")
     p.add_argument("--kmeans_iters", type=int, default=10)
     p.add_argument("--nprobes", default="1,2,4,8,16,32,64")
     p.add_argument("--regimes", default="clustered,isotropic")
@@ -231,6 +252,7 @@ def main(argv=None):
     p.add_argument("--out", default="/tmp/retrieval_quality.json")
     args = p.parse_args(argv)
     nprobes = [int(x) for x in args.nprobes.split(",")]
+    pq_oversamples = [int(x) for x in args.pq_oversamples.split(",")]
     rng = np.random.default_rng(0)
     results = {}
     if args.artifact:
@@ -246,7 +268,8 @@ def main(argv=None):
         results["artifact"] = study(vecs, queries, args.n_clusters,
                                     args.kmeans_iters, nprobes,
                                     max_cell=args.max_cell or None,
-                                    pq_subspaces=args.pq_subspaces or None)
+                                    pq_subspaces=args.pq_subspaces or None,
+                                    pq_oversamples=pq_oversamples)
     else:
         for kind in args.regimes.split(","):
             log.info("=== regime: %s (%d x %d) ===", kind, args.n_items,
@@ -256,7 +279,8 @@ def main(argv=None):
             results[kind] = study(vecs, queries, args.n_clusters,
                                   args.kmeans_iters, nprobes,
                                   max_cell=args.max_cell or None,
-                                  pq_subspaces=args.pq_subspaces or None)
+                                  pq_subspaces=args.pq_subspaces or None,
+                                  pq_oversamples=pq_oversamples)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
