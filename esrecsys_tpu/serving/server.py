@@ -72,7 +72,8 @@ class RetrievalService:
                  pq_subspaces: Optional[int] = None, pq_codes: int = 256,
                  pq_iters: int = 15,
                  pq_oversample: int = 4,
-                 pq_index_path: Optional[str] = None):
+                 pq_index_path: Optional[str] = None,
+                 n_model_shards: Optional[int] = None):
         self.index = index
         self.max_k = min(max_k, len(index))
         self.max_batch = max_batch
@@ -114,9 +115,40 @@ class RetrievalService:
                 approx or quantized or ivf_clusters or ivf_index_path):
             raise ValueError("pq is an alternative catalog scan — it does "
                              "not compose with approx/quantized/ivf")
+        # n_model_shards=N: catalog rows sharded over the mesh's `model`
+        # axis — serving scales past one chip's HBM. Each device scans its
+        # local rows (exact), local top-k candidates ride ICI
+        # (O(B*k*shards), catalog-size independent — mips.py
+        # sharded_topk_over_matrix, the same path the sharded trainers
+        # evaluate with). Exact scan only: the single-chip approx modes
+        # don't compose with it yet.
+        if n_model_shards and (approx or quantized or ivf_clusters
+                               or ivf_index_path or pq_subspaces
+                               or pq_index_path):
+            raise ValueError(
+                "n_model_shards serves the exact sharded scan — it does not"
+                " compose with approx/quantized/ivf/pq")
         self.nprobe = nprobe
         self.pq_oversample = pq_oversample
-        self._items = _chunked_device_put(index.vectors)  # (N, D) resident
+        self.n_model_shards = n_model_shards
+        if n_model_shards:
+            from esrecsys_tpu.core.mesh import (make_mesh, pad_to_multiple,
+                                                table_sharding)
+
+            self._mesh = make_mesh(n_model=n_model_shards)
+            self._valid_items = len(index)
+            padded = pad_to_multiple(self._valid_items, n_model_shards)
+            vecs = index.vectors
+            if padded != self._valid_items:  # pad host-side, pre-upload
+                vecs = np.pad(vecs, ((0, padded - self._valid_items), (0, 0)))
+            # device_put with a row sharding ships per-shard pieces — each
+            # transfer is 1/N of the catalog, so no extra chunking needed
+            self._items = jax.device_put(
+                vecs, table_sharding(self._mesh, vecs.ndim))
+        else:
+            self._mesh = None
+            self._valid_items = None
+            self._items = _chunked_device_put(index.vectors)  # (N, D) resident
         self._dim = int(self._items.shape[1])
         if quantized:
             from esrecsys_tpu.retrieval.mips import quantize_rows
@@ -215,6 +247,14 @@ class RetrievalService:
             # few candidates to rescore) — the 11.7k q/s number was measured
             # at 262144; the exact path's small-block default would explode
             # nblk*per_block_k rescore work
+            if self._mesh is not None:
+                from esrecsys_tpu.retrieval.mips import (
+                    sharded_topk_over_matrix)
+
+                return sharded_topk_over_matrix(
+                    q, items, self.max_k, mesh=self._mesh,
+                    block_size=block_size,
+                    valid_items=self._valid_items)
             if self.pq is not None:
                 from esrecsys_tpu.retrieval.pq import pq_topk
 
@@ -527,7 +567,8 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           pq_subspaces: Optional[int] = None,
           pq_codes: int = 256,
           pq_oversample: int = 4,
-          pq_index_path: Optional[str] = None) -> ThreadingHTTPServer:
+          pq_index_path: Optional[str] = None,
+          n_model_shards: Optional[int] = None) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
 
     Call ``.serve_forever()`` to block, or run it in a thread for tests.
@@ -556,7 +597,8 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                           ivf_index_path=ivf_index_path,
                           pq_subspaces=pq_subspaces, pq_codes=pq_codes,
                           pq_oversample=pq_oversample,
-                          pq_index_path=pq_index_path)
+                          pq_index_path=pq_index_path,
+                          n_model_shards=n_model_shards)
     service = RetrievalService(index, **service_kwargs)
     batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
     httpd = RetrievalHTTPServer((host, port), _Handler)
@@ -618,6 +660,10 @@ def main(argv=None):
                    help="path to a prebuilt PQ codebook (.npz): loaded if "
                         "present, else built from --pq_subspaces and saved "
                         "here so restarts skip codebook training")
+    p.add_argument("--n_model_shards", type=int, default=0,
+                   help="shard the catalog's rows over this many devices "
+                        "on the mesh's model axis (serve catalogs beyond "
+                        "one chip's HBM; exact sharded scan)")
     # query-side model inference (serving/encoders.py)
     p.add_argument("--txt2url_artifact", default="",
                    help="enable 'text' queries via this trained artifact")
@@ -648,7 +694,8 @@ def main(argv=None):
           pq_subspaces=args.pq_subspaces or None,
           pq_codes=args.pq_codes,
           pq_oversample=args.pq_oversample,
-          pq_index_path=args.pq_index or None).serve_forever()
+          pq_index_path=args.pq_index or None,
+          n_model_shards=args.n_model_shards or None).serve_forever()
 
 
 if __name__ == "__main__":

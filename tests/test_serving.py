@@ -337,3 +337,50 @@ def test_hot_reload_swaps_catalog_under_live_traffic(index, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+def test_sharded_service_matches_bruteforce_including_padding(index):
+    """n_model_shards=4: catalog rows sharded over the mesh's model axis
+    (serving past one chip's HBM); exact results vs brute force, including
+    a catalog whose row count does not divide the shard count (padded
+    rows must never be returned)."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(203, 16)).astype(np.float32)  # 203 % 4 != 0
+    idx = EmbeddingIndex([f"s{i}" for i in range(203)], vecs)
+    svc = RetrievalService(idx, max_k=10, max_batch=4, n_model_shards=4)
+    q = rng.normal(size=(6, 16)).astype(np.float32)
+    ids, scores = svc.topk(q, k=10)
+    ref = q @ vecs.T
+    for b in range(6):
+        want = np.argsort(-ref[b])[:10]
+        assert [idx.ids.index(i) for i in ids[b]] == list(want)
+        np.testing.assert_allclose(scores[b], ref[b][want], rtol=1e-5)
+
+
+def test_sharded_service_reachable_from_serve_and_exclusive(index, tmp_path):
+    idx, path = index
+    with pytest.raises(ValueError, match="does not\n? ?compose"):
+        RetrievalService(idx, n_model_shards=2, quantized=True)
+    with pytest.raises(ValueError, match="does not\n? ?compose"):
+        RetrievalService(idx, n_model_shards=2, pq_subspaces=4)
+    httpd = serve(path, port=0, max_k=5, max_batch=2, coalesce=False,
+                  n_model_shards=4)
+    port = httpd.server_address[1]
+    assert httpd.service.n_model_shards == 4
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "item3", "k": 5}).encode())
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        assert out["ids"][0] == "item3"
+        # hot reload preserves the sharded configuration
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload", data=b"{}")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        assert httpd.service.n_model_shards == 4
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
