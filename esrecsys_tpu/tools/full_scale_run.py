@@ -203,34 +203,40 @@ def run_train(args) -> dict:
     wall = time.time() - t0
     from esrecsys_tpu.train import export_model
 
+    def do_export(state):
+        export_model(
+            cfg.work_dir, "playlist", pl.settled_params(state, cfg),
+            step=int(jax.device_get(state.step)), tracker=tracker,
+            metadata={"feature_size": cfg.feature_size,
+                      "album_hash_buckets": cfg.album_hash_buckets,
+                      "num_artists": cfg.num_artists})
+
+    def continue_fn(state, to_step):
+        """Resume the SAME fit wiring to an absolute step, then export —
+        one retrain segment of the continuous-deployment loop (no eval/
+        ckpt cadence inside a segment: cycles measure train+deploy)."""
+        res = fit(state, train_step, seeds(), num_steps=to_step,
+                  log_every=cfg.log_every_steps, tracker=tracker,
+                  examples_per_step=cfg.batch_size,
+                  steps_per_call=cfg.steps_per_call)
+        do_export(res.state)
+        return res.state
+
     t_exp = time.time()
-    export_model(
-        cfg.work_dir, "playlist", pl.settled_params(result.state, cfg),
-        step=int(jax.device_get(result.state.step)), tracker=tracker,
-        metadata={"feature_size": cfg.feature_size,
-                  "album_hash_buckets": cfg.album_hash_buckets,
-                  "num_artists": cfg.num_artists})
+    do_export(result.state)
     export_s = time.time() - t_exp
     return {"cfg": cfg, "result": result, "train_wall_s": wall,
-            "export_s": export_s,
+            "export_s": export_s, "continue_fn": continue_fn,
             "examples": int(jax.device_get(result.state.step)) * cfg.batch_size}
 
 
-def serve_from_artifact(args, cfg, corpus_np) -> dict:
-    """Artifact → embedded catalog → device-resident serving → first query.
-
-    This is the deploy handoff the reference describes but never builds
-    (SURVEY.md §1: offline HTML generation only): load the exported params,
-    embed all 2.26M catalog items on-chip, hand the matrix to
-    RetrievalService, answer a top-500 query.
-    """
+def embed_catalog_from_artifact(cfg, corpus_np) -> np.ndarray:
+    """Latest exported artifact → (NUM_TRACKS, D) catalog matrix, embedded
+    on device in fixed-shape blocks (one compile)."""
     from esrecsys_tpu.models.playlist import PlaylistModel
-    from esrecsys_tpu.retrieval.index import EmbeddingIndex
-    from esrecsys_tpu.serving.server import RetrievalService
     from esrecsys_tpu.train import latest_artifact, load_model
     from esrecsys_tpu.workloads import playlist as pl
 
-    t0 = time.time()
     artifact = latest_artifact(cfg.work_dir, "playlist")
     assert artifact, f"no artifact under {cfg.work_dir}"
     params, _, meta = load_model(artifact)
@@ -250,7 +256,22 @@ def serve_from_artifact(args, cfg, corpus_np) -> dict:
         parts.append(np.asarray(jax.device_get(
             embed(params, jax.lax.dynamic_slice_in_dim(albums_p, s, block),
                   jax.lax.dynamic_slice_in_dim(artists_p, s, block)))))
-    vectors = np.concatenate(parts, axis=0)[:NUM_TRACKS]
+    return np.concatenate(parts, axis=0)[:NUM_TRACKS]
+
+
+def serve_from_artifact(args, cfg, corpus_np) -> dict:
+    """Artifact → embedded catalog → device-resident serving → first query.
+
+    This is the deploy handoff the reference describes but never builds
+    (SURVEY.md §1: offline HTML generation only): load the exported params,
+    embed all 2.26M catalog items on-chip, hand the matrix to
+    RetrievalService, answer a top-500 query.
+    """
+    from esrecsys_tpu.retrieval.index import EmbeddingIndex
+    from esrecsys_tpu.serving.server import RetrievalService
+
+    t0 = time.time()
+    vectors = embed_catalog_from_artifact(cfg, corpus_np)
     t_embed = time.time() - t0
 
     index = EmbeddingIndex([str(i) for i in range(NUM_TRACKS)], vectors)
@@ -268,6 +289,72 @@ def serve_from_artifact(args, cfg, corpus_np) -> dict:
     return {"embed_catalog_s": round(t_embed, 1),
             "time_to_first_query_s": round(t_first_query, 1),
             "serving_qps": round(qps, 1)}
+
+
+def deploy_loop(args, cfg, corpus_np, state, continue_fn) -> dict:
+    """Continuous deployment: live HTTP server + N retrain→export→hot-reload
+    cycles with zero downtime (serving/server.py POST /admin/reload).
+
+    Per cycle: train ``--cycle_steps`` more, export the artifact, re-embed
+    the catalog, save the index, reload it into the RUNNING server, verify
+    a query answers from the new index. Reported per cycle: retrain wall,
+    embed+save wall, reload wall (upload + aux rebuilds + recompile), and
+    the total artifact-to-live latency.
+    """
+    import threading
+    import urllib.request
+
+    from esrecsys_tpu.retrieval.index import EmbeddingIndex
+    from esrecsys_tpu.serving.server import serve
+
+    def build_index(tag):
+        t0 = time.time()
+        vectors = embed_catalog_from_artifact(cfg, corpus_np)
+        path = os.path.join(args.out_dir, f"index_{tag}.npz")
+        EmbeddingIndex([str(i) for i in range(NUM_TRACKS)],
+                       vectors).save(path)
+        return path, time.time() - t0
+
+    path0, _ = build_index("v0")
+    httpd = serve(path0, port=0, max_k=500, max_batch=8, coalesce=False)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    cycles = []
+    try:
+        step = int(jax.device_get(state.step))
+        for i in range(args.deploy_cycles):
+            t_cycle = time.time()
+            step += args.cycle_steps
+            state = continue_fn(state, step)
+            t_train = time.time() - t_cycle
+            pathi, embed_s = build_index(f"v{i + 1}")
+            t_reload = time.time()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/admin/reload",
+                data=json.dumps({"index": pathi}).encode())
+            with urllib.request.urlopen(req, timeout=600) as r:
+                rep = json.loads(r.read())
+            assert rep["status"] == "ok" and rep["index"] == pathi, rep
+            reload_s = time.time() - t_reload
+            # the new index answers queries (self-retrieval on item 17)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/topk",
+                data=json.dumps({"id": "17", "k": 10}).encode())
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert "17" in json.loads(r.read())["ids"]
+            cycles.append({
+                "cycle": i + 1, "steps": args.cycle_steps,
+                "retrain_s": round(t_train, 1),
+                "embed_and_save_s": round(embed_s, 1),
+                "reload_s": round(reload_s, 1),
+                "artifact_to_live_s": round(embed_s + reload_s, 1)})
+            log.info("deploy cycle %d: retrain %.1fs embed %.1fs reload "
+                     "%.1fs", i + 1, t_train, embed_s, reload_s)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    return {"deploy_cycles": cycles}
 
 
 def main(argv=None):
@@ -289,6 +376,10 @@ def main(argv=None):
     p.add_argument("--approx_serving", action="store_true")
     p.add_argument("--quantized_serving", action="store_true")
     p.add_argument("--skip_serving", action="store_true")
+    p.add_argument("--deploy_cycles", type=int, default=0,
+                   help="after training, run N retrain->export->hot-reload "
+                        "cycles against a LIVE server (device feed only)")
+    p.add_argument("--cycle_steps", type=int, default=500)
     p.add_argument("--out_dir", default="/tmp/full_scale")
     # scale overrides (tests / CPU smoke; defaults are the real MPD scale)
     p.add_argument("--corpus_size", type=int, default=NUM_TRACKS)
@@ -318,6 +409,11 @@ def main(argv=None):
     if not args.skip_serving:
         out.update(serve_from_artifact(args, tr["cfg"],
                                        synth_corpus(np.random.default_rng(0))))
+    if args.deploy_cycles:
+        assert "continue_fn" in tr, "--deploy_cycles needs --feed device"
+        out.update(deploy_loop(args, tr["cfg"],
+                               synth_corpus(np.random.default_rng(0)),
+                               tr["result"].state, tr["continue_fn"]))
     path = os.path.join(args.out_dir, "full_scale_run.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

@@ -50,3 +50,23 @@ def test_host_feed_runs_real_pipeline(tmp_path):
     # packed shards were written and consumed
     shards = os.listdir(tmp_path / "host" / "shards")
     assert any(s.startswith("packed-") for s in shards)
+
+def test_deploy_cycles_hot_reload_live_server(tmp_path):
+    """--deploy_cycles: retrain segments export artifacts that go LIVE via
+    /admin/reload on a running server, with per-cycle latencies reported."""
+    from esrecsys_tpu.tools import full_scale_run as fsr
+
+    fsr.main(_args(tmp_path, "device",
+                   ["--skip_serving", "--deploy_cycles", "2",
+                    "--cycle_steps", "32"]))
+    out = json.load(open(tmp_path / "device" / "full_scale_run.json"))
+    cycles = out["deploy_cycles"]
+    assert len(cycles) == 2
+    for i, c in enumerate(cycles):
+        assert c["cycle"] == i + 1 and c["steps"] == 32
+        assert c["retrain_s"] >= 0 and c["artifact_to_live_s"] > 0
+    # each cycle exported a new artifact and saved a new index generation
+    arts = os.listdir(tmp_path / "device" / "artifacts")
+    assert sum(f.startswith("playlist-") for f in arts) >= 3, arts
+    for tag in ("v0", "v1", "v2"):
+        assert os.path.exists(tmp_path / "device" / f"index_{tag}.npz")
