@@ -126,7 +126,7 @@ def pq_topk(
     rescore_items: Optional[jax.Array] = None,  # (M, D): exact phase-2
     block_size: int = 262_144,
     per_block_k: Optional[int] = None,
-    oversample: int = 4,
+    oversample: int = 64,
 ) -> Tuple[jax.Array, jax.Array]:
     """ADC top-k over PQ codes, with an optional exact candidate rescore.
 

@@ -71,7 +71,7 @@ class RetrievalService:
                  ivf_index_path: Optional[str] = None,
                  pq_subspaces: Optional[int] = None, pq_codes: int = 256,
                  pq_iters: int = 15,
-                 pq_oversample: int = 4,
+                 pq_oversample: int = 64,
                  pq_index_path: Optional[str] = None,
                  n_model_shards: Optional[int] = None):
         self.index = index
@@ -259,10 +259,10 @@ class RetrievalService:
                 from esrecsys_tpu.retrieval.pq import pq_topk
 
                 # oversample sets the exact-rescore candidate budget
-                # (~oversample*max_k of the catalog). At MPD scale the
-                # default 4 caps overlap@10 at ~0.73 on clustered
-                # catalogs; 64+ recovers >=0.95 for a still-negligible
-                # rescore cost (BENCHMARKS.md "PQ quality at MPD scale")
+                # (~oversample*max_k of the catalog). Default 64 = the
+                # measured MPD-scale sweet spot (overlap@10 0.988 at a
+                # ~6k-row rescore); 256 is exact there (BENCHMARKS.md
+                # "PQ quality at MPD scale")
                 return pq_topk(q, pq_centroids, pq_codes, self.max_k,
                                rescore_items=items,
                                block_size=max(block_size, 262_144),
@@ -566,7 +566,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           ivf_index_path: Optional[str] = None,
           pq_subspaces: Optional[int] = None,
           pq_codes: int = 256,
-          pq_oversample: int = 4,
+          pq_oversample: int = 64,
           pq_index_path: Optional[str] = None,
           n_model_shards: Optional[int] = None) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
@@ -652,10 +652,11 @@ def main(argv=None):
                         "--approx/--quantized/--ivf_clusters")
     p.add_argument("--pq_codes", type=int, default=256,
                    help="PQ codebook entries per subspace (<=256)")
-    p.add_argument("--pq_oversample", type=int, default=4,
-                   help="exact-rescore candidate budget ~oversample*max_k; "
-                        "raise to 64+ on large clustered catalogs where "
-                        "code collisions cap recall (BENCHMARKS.md)")
+    p.add_argument("--pq_oversample", type=int, default=64,
+                   help="exact-rescore candidate budget ~oversample*max_k "
+                        "(default matches the measured MPD-scale optimum: "
+                        "0.988 overlap@10 at a ~6k-row rescore; 256 is "
+                        "exact there — BENCHMARKS.md)")
     p.add_argument("--pq_index", default="",
                    help="path to a prebuilt PQ codebook (.npz): loaded if "
                         "present, else built from --pq_subspaces and saved "
