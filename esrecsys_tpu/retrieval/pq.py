@@ -48,11 +48,19 @@ from esrecsys_tpu.retrieval.mips import (_streamed_candidate_topk,
 
 
 class PQCodebook(NamedTuple):
-    """Trained PQ codebooks + encoded catalog."""
+    """Trained PQ codebooks + encoded catalog.
+
+    ``rotation`` (optional, D×D orthonormal) is the OPQ-style pre-rotation:
+    codes live in the ROTATED space (balanced per-subspace variance), but
+    since ``q·x == (qR)·(xR)`` the ADC scores still approximate
+    original-space dot products — queries are rotated at search time and
+    the exact rescore stays in the original space untouched.
+    """
 
     centroids: np.ndarray  # (S, C, Ds) f32
     codes: np.ndarray      # (M, S) uint8
     n_items: int
+    rotation: Optional[np.ndarray] = None  # (D, D) orthonormal, or None
 
     @property
     def n_subspaces(self) -> int:
@@ -68,12 +76,17 @@ class PQCodebook(NamedTuple):
 
     @classmethod
     def build(cls, vectors, n_subspaces: int = 8, n_codes: int = 256,
-              iters: int = 15, seed: int = 0) -> "PQCodebook":
+              iters: int = 15, seed: int = 0,
+              rotate: bool = False) -> "PQCodebook":
         """Train per-subspace k-means codebooks and encode the catalog.
 
         ``vectors`` may be host or already-device-resident (the device copy
         is sliced per subspace; nothing is re-uploaded). Each subspace
         trains on identical shapes, so the jitted k-means compiles once.
+        ``rotate`` applies a seeded random orthonormal pre-rotation before
+        the subspace split (OPQ-lite): it spreads anisotropic variance
+        evenly over subspaces, which tightens codes exactly where catalogs
+        hurt PQ most (clustered/correlated dimensions).
         """
         m, d = vectors.shape
         if d % n_subspaces:
@@ -88,6 +101,13 @@ class PQCodebook(NamedTuple):
             dev = vectors.astype(jnp.float32)
         else:  # host catalog: chunked upload (tunneled links stall >100 MB)
             dev = chunked_device_put(np.asarray(vectors, np.float32))
+        rotation = None
+        if rotate:
+            q_rng = np.random.default_rng(seed)
+            rotation, _ = np.linalg.qr(
+                q_rng.standard_normal((d, d)).astype(np.float64))
+            rotation = rotation.astype(np.float32)
+            dev = dev @ jnp.asarray(rotation)  # train/encode in rotated space
         # seed stays TRACED (PRNGKey accepts tracers): one k-means compile
         # shared by all S subspaces, not one per distinct seed
         fit = jax.jit(kmeans, static_argnums=(1, 2))
@@ -99,23 +119,29 @@ class PQCodebook(NamedTuple):
             cents.append(np.asarray(jax.device_get(cent)))
             codes.append(np.asarray(jax.device_get(assign)))
         return cls(np.stack(cents),
-                   np.stack(codes, axis=1).astype(np.uint8), m)
+                   np.stack(codes, axis=1).astype(np.uint8), m, rotation)
 
     def save(self, path: str) -> None:
+        extra = ({"rotation": self.rotation}
+                 if self.rotation is not None else {})
         np.savez_compressed(path, centroids=self.centroids,
-                            codes=self.codes, n_items=np.int64(self.n_items))
+                            codes=self.codes, n_items=np.int64(self.n_items),
+                            **extra)
 
     @classmethod
     def load(cls, path: str) -> "PQCodebook":
         with np.load(path, allow_pickle=False) as z:
-            return cls(z["centroids"], z["codes"], int(z["n_items"]))
+            rot = z["rotation"] if "rotation" in z.files else None
+            return cls(z["centroids"], z["codes"], int(z["n_items"]), rot)
 
     def decode(self) -> np.ndarray:
-        """Reconstruct the (M, D) approximation (host-side; for tests and
-        distortion measurement, not the query path)."""
+        """Reconstruct the (M, D) approximation in the ORIGINAL space
+        (host-side; for tests and distortion measurement, not the query
+        path)."""
         parts = [self.centroids[s][self.codes[:, s]]
                  for s in range(self.n_subspaces)]
-        return np.concatenate(parts, axis=1)
+        dec = np.concatenate(parts, axis=1)
+        return dec @ self.rotation.T if self.rotation is not None else dec
 
 
 def pq_topk(
@@ -127,6 +153,7 @@ def pq_topk(
     block_size: int = 262_144,
     per_block_k: Optional[int] = None,
     oversample: int = 64,
+    rotation: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """ADC top-k over PQ codes, with an optional exact candidate rescore.
 
@@ -136,7 +163,10 @@ def pq_topk(
     ``nblk×per_block_k`` candidates are rescored exactly (the returned
     ranking is exact over the candidate set, as in the int8 scan); without
     it the raw ADC scores/order are returned (PQ-distorted, catalogs
-    beyond HBM).
+    beyond HBM). ``rotation`` must be the codebook's pre-rotation when one
+    was trained (codes live in rotated space; queries are rotated here;
+    ``rescore_items`` stays in the ORIGINAL space — dots are
+    rotation-invariant).
     """
     s_sub, c, ds = centroids.shape
     b_shape, d = queries.shape[:-1], queries.shape[-1]
@@ -151,8 +181,12 @@ def pq_topk(
     kb = per_block_k or min(block, max(-(-oversample * k // nblk), 1))
 
     qf = queries.astype(jnp.float32)
+    # LUT/selection run in the codebook's (possibly rotated) space; the
+    # exact rescore below uses the ORIGINAL-space query against the
+    # original-space rescore_items
+    qr = qf @ rotation.astype(jnp.float32) if rotation is not None else qf
     # (B, S, C) per-query lookup tables: lut[b, s, c] = <q_bs, cent_sc>
-    lut = jnp.einsum("bsd,scd->bsc", qf.reshape(b_shape + (s_sub, ds)),
+    lut = jnp.einsum("bsd,scd->bsc", qr.reshape(b_shape + (s_sub, ds)),
                      centroids, preferred_element_type=jnp.float32)
 
     def score_from(start):

@@ -72,6 +72,7 @@ class RetrievalService:
                  pq_subspaces: Optional[int] = None, pq_codes: int = 256,
                  pq_iters: int = 15,
                  pq_oversample: int = 64,
+                 pq_rotate: bool = False,
                  pq_index_path: Optional[str] = None,
                  n_model_shards: Optional[int] = None):
         self.index = index
@@ -228,21 +229,24 @@ class RetrievalService:
                 # trains on the ALREADY-resident catalog (sliced per
                 # subspace on device — never a second full upload)
                 self.pq = PQCodebook.build(self._items, pq_subspaces,
-                                           n_codes=pq_codes, iters=pq_iters)
+                                           n_codes=pq_codes, iters=pq_iters,
+                                           rotate=pq_rotate)
                 if pq_index_path:
                     self.pq.save(pq_index_path)
             self._pq_centroids = jnp.asarray(self.pq.centroids)
             self._pq_codes = jnp.asarray(self.pq.codes)
+            self._pq_rot = (jnp.asarray(self.pq.rotation)
+                            if self.pq.rotation is not None else None)
         else:
             self.pq = None
-            self._pq_centroids = self._pq_codes = None
+            self._pq_centroids = self._pq_codes = self._pq_rot = None
 
         # The catalog is an ARGUMENT of the jitted query, never a closure:
         # closed-over arrays become compile-time constants, which tunneled
         # PJRT backends re-ship with the program (a 580 MB catalog stalls the
         # compile request entirely).
         def query(q, items, q_items, scales, centroids, bucket_ids,
-                  pq_centroids, pq_codes):
+                  pq_centroids, pq_codes, pq_rot):
             # approx/quantized paths want LARGE blocks (few scan iterations,
             # few candidates to rescore) — the 11.7k q/s number was measured
             # at 262144; the exact path's small-block default would explode
@@ -266,7 +270,8 @@ class RetrievalService:
                 return pq_topk(q, pq_centroids, pq_codes, self.max_k,
                                rescore_items=items,
                                block_size=max(block_size, 262_144),
-                               oversample=self.pq_oversample)
+                               oversample=self.pq_oversample,
+                               rotation=pq_rot)
             if self.ivf is not None:
                 from esrecsys_tpu.retrieval.ivf import ivf_topk
 
@@ -294,7 +299,7 @@ class RetrievalService:
         self._query = lambda q, items: self._query_fn(
             q, items, self._q_items, self._scales,
             self._centroids, self._bucket_ids,
-            self._pq_centroids, self._pq_codes)
+            self._pq_centroids, self._pq_codes, self._pq_rot)
         # Compile once at construction so first request latency is steady.
         warm = jnp.zeros((max_batch, self._dim), jnp.float32)
         jax.device_get(jax.tree_util.tree_leaves(
@@ -567,6 +572,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           pq_subspaces: Optional[int] = None,
           pq_codes: int = 256,
           pq_oversample: int = 64,
+          pq_rotate: bool = False,
           pq_index_path: Optional[str] = None,
           n_model_shards: Optional[int] = None) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
@@ -597,6 +603,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                           ivf_index_path=ivf_index_path,
                           pq_subspaces=pq_subspaces, pq_codes=pq_codes,
                           pq_oversample=pq_oversample,
+                          pq_rotate=pq_rotate,
                           pq_index_path=pq_index_path,
                           n_model_shards=n_model_shards)
     service = RetrievalService(index, **service_kwargs)
@@ -657,6 +664,11 @@ def main(argv=None):
                         "(default matches the measured MPD-scale optimum: "
                         "0.988 overlap@10 at a ~6k-row rescore; 256 is "
                         "exact there — BENCHMARKS.md)")
+    p.add_argument("--pq_rotate", action="store_true",
+                   help="train the PQ codebook in a random-orthonormal "
+                        "rotated space (OPQ-lite): balances per-subspace "
+                        "variance on anisotropic catalogs; queries are "
+                        "rotated at search, rescore stays exact")
     p.add_argument("--pq_index", default="",
                    help="path to a prebuilt PQ codebook (.npz): loaded if "
                         "present, else built from --pq_subspaces and saved "
@@ -695,6 +707,7 @@ def main(argv=None):
           pq_subspaces=args.pq_subspaces or None,
           pq_codes=args.pq_codes,
           pq_oversample=args.pq_oversample,
+          pq_rotate=args.pq_rotate,
           pq_index_path=args.pq_index or None,
           n_model_shards=args.n_model_shards or None).serve_forever()
 

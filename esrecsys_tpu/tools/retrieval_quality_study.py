@@ -147,7 +147,8 @@ def int8_overlap(vecs, queries, truth10, truth100, batch: int = 128) -> dict:
 
 def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
                n_codes: int = 256, iters: int = 10,
-               batch: int = 128, oversamples=(4, 16, 64, 256)) -> dict:
+               batch: int = 128, oversamples=(4, 16, 64, 256),
+               rotate: bool = False) -> dict:
     """PQ ADC scan quality (retrieval/pq.py): overlap vs the exact scan —
     the exact-rescore serving path swept over its candidate-budget knob
     (``oversample``: ~oversample*k candidates rescored per query), plus raw
@@ -159,13 +160,16 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
     from esrecsys_tpu.retrieval.pq import PQCodebook, pq_topk
 
     t0 = time.perf_counter()
-    book = PQCodebook.build(vecs, n_subspaces, n_codes=n_codes, iters=iters)
+    book = PQCodebook.build(vecs, n_subspaces, n_codes=n_codes, iters=iters,
+                            rotate=rotate)
     build_s = time.perf_counter() - t0
     log.info("pq built: S=%d C=%d (%d bytes/item vs %d f32) in %.1fs",
              n_subspaces, n_codes, book.bytes_per_item,
              4 * vecs.shape[1], build_s)
     cents = jnp.asarray(book.centroids)
     codes = jnp.asarray(book.codes)
+    rot = (jnp.asarray(book.rotation)
+           if book.rotation is not None else None)
     items = chunked_device_put(vecs)
     fn = jax.jit(pq_topk, static_argnames=("k", "block_size", "per_block_k",
                                            "oversample"))
@@ -175,7 +179,7 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
         for s in range(0, queries.shape[0], batch):
             vals, idx = fn(jnp.asarray(queries[s:s + batch]), cents, codes,
                            k=100, rescore_items=rescore,
-                           oversample=oversample)
+                           oversample=oversample, rotation=rot)
             idx = jnp.where(jnp.isfinite(vals), idx, -1)  # mask pad slots
             found.append(np.asarray(jax.device_get(idx)))
         found = np.concatenate(found)
@@ -183,6 +187,7 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
                 "overlap@100": round(recall(found, truth100), 4)}
 
     out = {"n_subspaces": n_subspaces, "n_codes": n_codes,
+           "rotated": rotate,
            "bytes_per_item": book.bytes_per_item,
            "compression_vs_f32": round(4 * vecs.shape[1] / n_subspaces, 1),
            "build_seconds": round(build_s, 1), "rescored_curve": []}
@@ -205,7 +210,7 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
 
 def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
           nprobes: list, max_cell=None, pq_subspaces=None,
-          pq_oversamples=(4, 16, 64, 256)) -> dict:
+          pq_oversamples=(4, 16, 64, 256), pq_rotate: bool = False) -> dict:
     t0 = time.perf_counter()
     truth100 = exact_topk(vecs, queries, 100)
     truth10 = truth100[:, :10]
@@ -220,7 +225,7 @@ def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
     if pq_subspaces:
         out["pq"] = pq_quality(vecs, queries, truth10, truth100,
                                pq_subspaces, iters=iters,
-                               oversamples=pq_oversamples)
+                               oversamples=pq_oversamples, rotate=pq_rotate)
     return out
 
 
@@ -244,6 +249,9 @@ def main(argv=None):
     p.add_argument("--pq_oversamples", default="4,16,64,256",
                    help="rescore candidate budgets to sweep "
                         "(~oversample*100 candidates per query)")
+    p.add_argument("--pq_rotate", action="store_true",
+                   help="OPQ-lite random-orthonormal pre-rotation before "
+                        "the subspace split (retrieval/pq.py)")
     p.add_argument("--kmeans_iters", type=int, default=10)
     p.add_argument("--nprobes", default="1,2,4,8,16,32,64")
     p.add_argument("--regimes", default="clustered,isotropic")
@@ -269,7 +277,8 @@ def main(argv=None):
                                     args.kmeans_iters, nprobes,
                                     max_cell=args.max_cell or None,
                                     pq_subspaces=args.pq_subspaces or None,
-                                    pq_oversamples=pq_oversamples)
+                                    pq_oversamples=pq_oversamples,
+                                    pq_rotate=args.pq_rotate)
     else:
         for kind in args.regimes.split(","):
             log.info("=== regime: %s (%d x %d) ===", kind, args.n_items,
@@ -280,7 +289,8 @@ def main(argv=None):
                                   args.kmeans_iters, nprobes,
                                   max_cell=args.max_cell or None,
                                   pq_subspaces=args.pq_subspaces or None,
-                                  pq_oversamples=pq_oversamples)
+                                  pq_oversamples=pq_oversamples,
+                                  pq_rotate=args.pq_rotate)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))

@@ -126,3 +126,63 @@ def test_pq_topk_k_exceeds_items_pads_and_sanitizes():
     assert vals.shape == (2, k)
     assert np.isneginf(vals[:, 40:]).all()
     assert (idxs >= 0).all() and (idxs < 40).all()  # sanitized
+
+def test_rotation_invariants():
+    """Rotated codebooks: R is orthonormal, decode returns ORIGINAL-space
+    approximations, full-candidate selection still recovers brute force
+    exactly (rotation preserves dots), and save/load keeps R."""
+    rng = np.random.default_rng(5)
+    x, _ = _mixture(rng, n_comp=8, per=60, d=16)
+    book = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8,
+                               rotate=True)
+    r = book.rotation
+    assert r is not None and r.shape == (16, 16)
+    np.testing.assert_allclose(r @ r.T, np.eye(16), atol=1e-5)
+    # decode lives in the original space: mean relative error comparable
+    # to the unrotated codebook's (not the rotated-space artifact)
+    rel = (np.linalg.norm(book.decode() - x, axis=1)
+           / np.maximum(np.linalg.norm(x, axis=1), 1e-9))
+    assert np.mean(rel) < 0.5, np.mean(rel)
+
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    vals, idxs = pq.pq_topk(jnp.asarray(q), jnp.asarray(book.centroids),
+                            jnp.asarray(book.codes), 10,
+                            rescore_items=jnp.asarray(x), block_size=128,
+                            per_block_k=128, rotation=jnp.asarray(r))
+    from tests.test_ivf import _brute as brute
+    bvals, bidx = brute(q, x, 10)
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+    np.testing.assert_allclose(np.asarray(vals), bvals, rtol=1e-5)
+
+
+def test_rotation_save_load_and_serving_reachable(tmp_path):
+    rng = np.random.default_rng(6)
+    x, _ = _mixture(rng, n_comp=4, per=70, d=8)
+    book = pq.PQCodebook.build(x, n_subspaces=2, n_codes=16, iters=5,
+                               rotate=True)
+    p = str(tmp_path / "pq_rot.npz")
+    book.save(p)
+    back = pq.PQCodebook.load(p)
+    np.testing.assert_allclose(back.rotation, book.rotation)
+    # unrotated codebooks round-trip rotation=None
+    book2 = pq.PQCodebook.build(x, n_subspaces=2, n_codes=16, iters=5)
+    p2 = str(tmp_path / "pq_plain.npz")
+    book2.save(p2)
+    assert pq.PQCodebook.load(p2).rotation is None
+
+    # serving: pq_rotate trains a rotated codebook; queries still exact
+    from esrecsys_tpu.retrieval.index import EmbeddingIndex
+    from esrecsys_tpu.serving.server import RetrievalService
+
+    idx = EmbeddingIndex([f"r{i}" for i in range(x.shape[0])], x)
+    svc = RetrievalService(idx, max_k=5, max_batch=2, pq_subspaces=2,
+                           pq_codes=16, pq_rotate=True)
+    assert svc.pq.rotation is not None
+    ids, scores = svc.topk(x[7][None], k=5)
+    # the small catalog makes every item a rescore candidate, so the
+    # result must BE brute force (MIPS self-retrieval top-1 is not
+    # guaranteed — a same-cluster item with a larger norm can out-dot
+    # the query's own vector)
+    want = np.argsort(-(x @ x[7]))[:5]
+    assert list(ids[0]) == [f"r{i}" for i in want]
+    np.testing.assert_allclose(scores[0], (x @ x[7])[want], rtol=1e-4)
