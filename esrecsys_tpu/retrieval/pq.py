@@ -204,6 +204,7 @@ def pq_topk(
 
     # no rescore catalog: the shared streaming top-k over the raw ADC scores
     # (tail masking, -inf padding to k, descending order — mips.chunked_topk)
-    vals, idxs = chunked_topk(score_from, num_items, k, block_size=block)
+    # chunked_topk takes its block size from score_from's output shape
+    vals, idxs = chunked_topk(score_from, num_items, k)
     idxs = jnp.where(jnp.isfinite(vals), idxs, 0)
     return vals, idxs

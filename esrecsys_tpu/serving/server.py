@@ -214,11 +214,15 @@ class RetrievalService:
                         f"{self.pq.n_items} items dim "
                         f"{self.pq.centroids.shape[0] * self.pq.centroids.shape[2]},"
                         f" catalog is {len(index)} items dim {self._dim}")
-                if ((pq_subspaces and self.pq.n_subspaces != pq_subspaces)
-                        or self.pq.n_codes != pq_codes):
+                # warn only on EXPLICIT build requests (pq_subspaces
+                # given): pq_codes alone is a build modifier whose default
+                # must not read as a request, and without pq_subspaces
+                # "delete to retrain" would leave the server unable to start
+                if pq_subspaces and (self.pq.n_subspaces != pq_subspaces
+                                     or self.pq.n_codes != pq_codes):
                     log.warning(
                         "prebuilt pq codebook at %s has S=%d C=%d; requested "
-                        "S=%s C=%d ignored. Delete the file to retrain.",
+                        "S=%d C=%d ignored. Delete the file to retrain.",
                         pq_index_path, self.pq.n_subspaces, self.pq.n_codes,
                         pq_subspaces, pq_codes)
             else:

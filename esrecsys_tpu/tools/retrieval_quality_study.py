@@ -87,12 +87,14 @@ def ivf_curve(vecs, queries, truth10, truth100, n_clusters, iters, nprobes,
 
     from esrecsys_tpu.retrieval.ivf import IVFIndex, ivf_topk
 
+    # upload ONCE, chunked; build consumes the device array directly
+    # (jnp.asarray is a no-op on it), so the catalog never ships unchunked
+    items = chunked_device_put(vecs)
     t0 = time.perf_counter()
-    index = IVFIndex.build(vecs, n_clusters, iters=iters, max_cell=max_cell)
+    index = IVFIndex.build(items, n_clusters, iters=iters, max_cell=max_cell)
     build_s = time.perf_counter() - t0
     cent = jnp.asarray(index.centroids)
     buckets = jnp.asarray(index.bucket_ids)
-    items = chunked_device_put(vecs)
     n, lmax = vecs.shape[0], index.bucket_ids.shape[1]
     log.info("ivf built: C=%d Lmax=%d imbalance=%.2f (%.1fs)",
              index.n_clusters, lmax, index.imbalance, build_s)
@@ -146,7 +148,7 @@ def int8_overlap(vecs, queries, truth10, truth100, batch: int = 128) -> dict:
 
 
 def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
-               n_codes: int = 256, iters: int = 10,
+               n_codes: int = 256, iters: int = 15,
                batch: int = 128, oversamples=(4, 16, 64, 256),
                rotate: bool = False) -> dict:
     """PQ ADC scan quality (retrieval/pq.py): overlap vs the exact scan —
@@ -210,7 +212,8 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
 
 def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
           nprobes: list, max_cell=None, pq_subspaces=None,
-          pq_oversamples=(4, 16, 64, 256), pq_rotate: bool = False) -> dict:
+          pq_oversamples=(4, 16, 64, 256), pq_rotate: bool = False,
+          pq_iters: int = 15) -> dict:
     t0 = time.perf_counter()
     truth100 = exact_topk(vecs, queries, 100)
     truth10 = truth100[:, :10]
@@ -223,8 +226,12 @@ def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
                          iters, nprobes, max_cell=max_cell),
     }
     if pq_subspaces:
+        # PQ trains with ITS OWN iters knob (default = the serving
+        # default, RetrievalService pq_iters=15) so the study measures the
+        # codebook production would actually build — --kmeans_iters stays
+        # the IVF coarse-quantizer knob
         out["pq"] = pq_quality(vecs, queries, truth10, truth100,
-                               pq_subspaces, iters=iters,
+                               pq_subspaces, iters=pq_iters,
                                oversamples=pq_oversamples, rotate=pq_rotate)
     return out
 
@@ -252,6 +259,9 @@ def main(argv=None):
     p.add_argument("--pq_rotate", action="store_true",
                    help="OPQ-lite random-orthonormal pre-rotation before "
                         "the subspace split (retrieval/pq.py)")
+    p.add_argument("--pq_iters", type=int, default=15,
+                   help="PQ codebook k-means iters (default = the serving "
+                        "build default; --kmeans_iters governs IVF only)")
     p.add_argument("--kmeans_iters", type=int, default=10)
     p.add_argument("--nprobes", default="1,2,4,8,16,32,64")
     p.add_argument("--regimes", default="clustered,isotropic")
@@ -278,7 +288,8 @@ def main(argv=None):
                                     max_cell=args.max_cell or None,
                                     pq_subspaces=args.pq_subspaces or None,
                                     pq_oversamples=pq_oversamples,
-                                    pq_rotate=args.pq_rotate)
+                                    pq_rotate=args.pq_rotate,
+                                    pq_iters=args.pq_iters)
     else:
         for kind in args.regimes.split(","):
             log.info("=== regime: %s (%d x %d) ===", kind, args.n_items,
@@ -290,7 +301,8 @@ def main(argv=None):
                                   max_cell=args.max_cell or None,
                                   pq_subspaces=args.pq_subspaces or None,
                                   pq_oversamples=pq_oversamples,
-                                  pq_rotate=args.pq_rotate)
+                                  pq_rotate=args.pq_rotate,
+                                  pq_iters=args.pq_iters)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
