@@ -22,6 +22,9 @@ a dependency-free HTTP service over the TPU retrieval path:
     an STL tower (:mod:`esrecsys_tpu.serving.encoders`).
   * ``serve`` — a stdlib ``ThreadingHTTPServer`` exposing:
       GET  /healthz                 → {"status": "ok", "items": N, ...}
+      GET  /statsz                  → {"mode", "queries", "device_calls",
+                                       "queries_per_dispatch", "reloads",
+                                       "uptime_s", ...} (observability)
       POST /v1/topk                 → body {"vector": [...] | "id": "..." |
                                            "text": "..." |
                                            "image_key": "...", "k": 10}
@@ -81,6 +84,7 @@ class RetrievalService:
         # raw-query embedders, e.g. {"text": txt2url_text_encoder(...)}
         self.encoders = dict(encoders or {})
         self.device_calls = 0  # compiled query dispatches (coalescing stat)
+        self.queries = 0       # query vectors answered
         # approx=True: hardware approx_max_k candidate selection + exact
         # rescore — 3.7x the exact path at ~0.95 recall on a 2.26M catalog
         # (retrieval/mips.py approx_topk_over_matrix); exact stays default
@@ -314,6 +318,21 @@ class RetrievalService:
     def dim(self) -> int:
         return self._dim
 
+    @property
+    def mode(self) -> str:
+        """Human-readable name of the active catalog-scan mode."""
+        if self.n_model_shards:
+            return f"sharded:{self.n_model_shards}"
+        if self.pq is not None:
+            rot = "+rotated" if self.pq.rotation is not None else ""
+            return (f"pq:S={self.pq.n_subspaces}{rot}"
+                    f":oversample={self.pq_oversample}")
+        if self.ivf is not None:
+            return f"ivf:{self.ivf.n_clusters}:nprobe={self.nprobe}"
+        if self.quantized:
+            return "int8+approx" if self.approx else "int8"
+        return "approx" if self.approx else "exact"
+
     def topk(self, vectors: np.ndarray, k: Optional[int] = None
              ) -> Tuple[np.ndarray, np.ndarray]:
         """(B, D) query vectors → (ids (B, k) of str, scores (B, k))."""
@@ -328,6 +347,7 @@ class RetrievalService:
             padded = np.pad(chunk, ((0, pad), (0, 0)))
             with self._lock:
                 self.device_calls += 1
+                self.queries += chunk.shape[0]
                 vals, idxs = jax.device_get(
                     self._query(jnp.asarray(padded), self._items))
             out_v.append(vals[: chunk.shape[0], :k])
@@ -445,6 +465,19 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, {"status": "ok", "items": len(service.index),
                              "dim": service.dim, "max_k": service.max_k,
                              "index": self.server.index_path})
+        elif self.path == "/statsz":
+            q, d = service.queries, service.device_calls
+            self._send(200, {
+                "mode": service.mode,
+                "items": len(service.index),
+                "index": self.server.index_path,
+                "queries": q,
+                "device_calls": d,
+                # >1 means coalescing is winning (several requests per
+                # compiled dispatch); counters reset on hot reload
+                "queries_per_dispatch": round(q / d, 2) if d else None,
+                "reloads": self.server.reloads,
+                "uptime_s": round(time.time() - self.server.started, 1)})
         else:
             self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -526,6 +559,8 @@ class RetrievalHTTPServer(ThreadingHTTPServer):
         self._coalesce = coalesce
         self._max_wait_ms = max_wait_ms
         self._reload_lock = threading.Lock()
+        self.started = time.time()
+        self.reloads = 0
 
     def reload_index(self, index_path: Optional[str] = None) -> None:
         with self._reload_lock:
@@ -555,6 +590,7 @@ class RetrievalHTTPServer(ThreadingHTTPServer):
             self.service = service
             self.batcher = batcher
             self.index_path = path
+            self.reloads += 1
             if old_batcher is not None:
                 old_batcher.close()
             log.info("reloaded %s: %d items (dim %d)", path, len(index),

@@ -384,3 +384,33 @@ def test_sharded_service_reachable_from_serve_and_exclusive(index, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+def test_statsz_reports_mode_and_coalescing(index):
+    idx, path = index
+    httpd = serve(path, port=0, max_k=10, max_batch=8, quantized=True)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        for _ in range(3):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/topk",
+                data=json.dumps({"id": "item3", "k": 3}).encode())
+            urllib.request.urlopen(req, timeout=30).read()
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/statsz", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["mode"] == "int8"
+        assert stats["queries"] >= 3 and stats["device_calls"] >= 1
+        assert stats["queries_per_dispatch"] >= 1.0
+        assert stats["reloads"] == 0 and stats["uptime_s"] >= 0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    # mode strings for the other scan configurations
+    assert RetrievalService(idx, max_batch=2).mode == "exact"
+    assert RetrievalService(idx, max_batch=2,
+                            n_model_shards=4).mode == "sharded:4"
+    assert RetrievalService(
+        idx, max_batch=2, pq_subspaces=4, pq_codes=32,
+        pq_rotate=True).mode == "pq:S=4+rotated:oversample=64"
