@@ -45,7 +45,15 @@ def synth_catalog(kind: str, n: int, n_queries: int, d: int,
     """MPD-shaped synthetic (catalog, queries) — f32, unnormalized (MIPS
     not cosine). Queries are drawn from the SAME distribution as the
     catalog (same mixture for ``clustered``): serving queries are context
-    embeddings living in the trained item space, not outliers."""
+    embeddings living in the trained item space, not outliers.
+
+    Regimes: ``isotropic`` (single gaussian — the ANN floor),
+    ``clustered`` (heavy-tailed gaussian mixture — trained artist/genre
+    catalogs), ``correlated`` (the clustered mixture with a steeply
+    decaying per-dimension variance spectrum — trained embeddings
+    concentrate variance in leading directions, the axis-aligned
+    anisotropy that plain PQ subspace splits suffer under and
+    ``--pq_rotate`` redistributes)."""
     if kind == "isotropic":
         return (rng.standard_normal((n, d), np.float32),
                 rng.standard_normal((n_queries, d), np.float32))
@@ -54,11 +62,16 @@ def synth_catalog(kind: str, n: int, n_queries: int, d: int,
     cent = rng.standard_normal((components, d)).astype(np.float32) * 2.0
     w = 1.0 / np.arange(1, components + 1) ** 0.7
     w /= w.sum()
+    # correlated: variance falls e-fold every d/6 dims, so the leading
+    # subspace would otherwise carry nearly all the signal
+    scales = (np.exp(-np.arange(d) / (d / 6.0)).astype(np.float32)
+              if kind == "correlated" else np.ones(d, np.float32))
 
     def draw(m):
         comp = rng.choice(components, size=m, p=w)
         return (cent[comp]
-                + rng.standard_normal((m, d)).astype(np.float32) * 0.45)
+                + rng.standard_normal((m, d)).astype(np.float32) * 0.45
+                ) * scales
 
     return draw(n), draw(n_queries)
 

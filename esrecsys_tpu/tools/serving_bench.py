@@ -9,7 +9,10 @@ across the mode lattice:
   quantized        int8 catalog scan + exact rescore
   quantized_approx int8 scan + approx_max_k selection
   ivf              k-means inverted file, nprobe cells per query
+                   (``--ivf_max_cell`` caps cell width)
   ivf_quantized    ivf probe + int8 candidate gathers
+  pq               product-quantization ADC scan + exact rescore
+                   (``--pq_subspaces/--pq_oversample/--pq_rotate``)
 
 reporting, per mode: queries/s (wall, steady-state over ``--queries``
 queries in ``--batch`` chunks), mean overlap@k vs the exact mode on a
@@ -37,7 +40,7 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 MODES = ("exact", "approx", "quantized", "quantized_approx",
-         "ivf", "ivf_quantized")
+         "ivf", "ivf_quantized", "pq")
 
 
 def make_catalog(n: int, dim: int, structured: bool, seed: int = 0):
@@ -68,6 +71,12 @@ def service_for(mode: str, index, k: int, batch: int, args):
     elif mode == "ivf_quantized":
         kw.update(ivf_clusters=args.ivf_clusters, nprobe=args.nprobe,
                   ivf_iters=args.ivf_iters, quantized=True)
+    elif mode == "pq":
+        kw.update(pq_subspaces=args.pq_subspaces,
+                  pq_oversample=args.pq_oversample,
+                  pq_rotate=args.pq_rotate)
+    if mode.startswith("ivf") and args.ivf_max_cell:
+        kw.update(ivf_max_cell=args.ivf_max_cell)
     return RetrievalService(index, **kw)
 
 
@@ -94,6 +103,9 @@ def bench_mode(mode: str, index, queries: np.ndarray, k: int, args,
            "overlap_vs_exact": overlap, "setup_s": round(setup_s, 2)}
     if mode.startswith("ivf"):
         out["ivf_imbalance"] = round(svc.ivf.imbalance, 2)
+        out["ivf_lmax"] = int(svc.ivf.bucket_ids.shape[1])
+    if mode == "pq":
+        out["pq_bytes_per_item"] = svc.pq.bytes_per_item
     return out, ids
 
 
@@ -116,6 +128,11 @@ def main(argv=None):
     p.add_argument("--ivf_clusters", type=int, default=4096)
     p.add_argument("--nprobe", type=int, default=64)
     p.add_argument("--ivf_iters", type=int, default=10)
+    p.add_argument("--ivf_max_cell", type=int, default=0,
+                   help="cap IVF cell size (0 = off; retrieval/ivf.py)")
+    p.add_argument("--pq_subspaces", type=int, default=8)
+    p.add_argument("--pq_oversample", type=int, default=64)
+    p.add_argument("--pq_rotate", action="store_true")
     p.add_argument("--out", default="/tmp/serving_bench.json")
     args = p.parse_args(argv)
 
