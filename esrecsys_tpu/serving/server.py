@@ -114,12 +114,12 @@ class RetrievalService:
         # pq_subspaces=S: the catalog SCAN reads only S bytes/item of PQ
         # codes (retrieval/pq.py — 16x less traffic than f32 at D=32/S=8)
         # with an exact rescore of the candidates from the resident f32
-        # catalog. An alternative scan, not a compounding lever: mutually
-        # exclusive with approx/quantized/ivf.
-        if (pq_subspaces or pq_index_path) and (
-                approx or quantized or ivf_clusters or ivf_index_path):
+        # catalog. Composes with ivf (IVF-PQ: probe cells, ADC-score the
+        # candidates from codes, exact rescore — retrieval/ivf.py
+        # ivf_pq_topk); mutually exclusive with approx/quantized.
+        if (pq_subspaces or pq_index_path) and (approx or quantized):
             raise ValueError("pq is an alternative catalog scan — it does "
-                             "not compose with approx/quantized/ivf")
+                             "not compose with approx/quantized")
         # n_model_shards=N: catalog rows sharded over the mesh's `model`
         # axis — serving scales past one chip's HBM. Each device scans its
         # local rows (exact), local top-k candidates ride ICI
@@ -129,7 +129,7 @@ class RetrievalService:
         # don't compose with it yet.
         if n_model_shards and (approx or quantized or ivf_clusters
                                or ivf_index_path or pq_subspaces
-                               or pq_index_path):
+                               or pq_index_path):  # (incl. ivf+pq)
             raise ValueError(
                 "n_model_shards serves the exact sharded scan — it does not"
                 " compose with approx/quantized/ivf/pq")
@@ -267,6 +267,17 @@ class RetrievalService:
                     q, items, self.max_k, mesh=self._mesh,
                     block_size=block_size,
                     valid_items=self._valid_items)
+            if self.pq is not None and self.ivf is not None:
+                from esrecsys_tpu.retrieval.ivf import ivf_pq_topk
+
+                # IVF-PQ: sublinear probe + S-bytes-per-candidate ADC +
+                # exact rescore of ~oversample*k candidates
+                return ivf_pq_topk(q, centroids, bucket_ids, items,
+                                   self.max_k, nprobe=self.nprobe,
+                                   pq_centroids=pq_centroids,
+                                   pq_codes=pq_codes,
+                                   oversample=self.pq_oversample,
+                                   rotation=pq_rot)
             if self.pq is not None:
                 from esrecsys_tpu.retrieval.pq import pq_topk
 
@@ -325,8 +336,12 @@ class RetrievalService:
             return f"sharded:{self.n_model_shards}"
         if self.pq is not None:
             rot = "+rotated" if self.pq.rotation is not None else ""
-            return (f"pq:S={self.pq.n_subspaces}{rot}"
-                    f":oversample={self.pq_oversample}")
+            pq_part = (f"pq:S={self.pq.n_subspaces}{rot}"
+                       f":oversample={self.pq_oversample}")
+            if self.ivf is not None:
+                return (f"ivf:{self.ivf.n_clusters}:nprobe={self.nprobe}"
+                        f"+{pq_part}")
+            return pq_part
         if self.ivf is not None:
             return f"ivf:{self.ivf.n_clusters}:nprobe={self.nprobe}"
         if self.quantized:

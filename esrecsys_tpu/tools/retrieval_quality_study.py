@@ -223,10 +223,67 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
     return out
 
 
+def ivfpq_curve(vecs, queries, truth10, truth100, n_clusters, iters,
+                nprobes, n_subspaces, pq_iters, oversample=64,
+                rotate=False, max_cell=None, batch: int = 32) -> dict:
+    """IVF-PQ (retrieval/ivf.ivf_pq_topk): probe + ADC candidate scoring
+    from S-byte codes + exact rescore, swept over nprobe at a fixed
+    rescore budget. Builds its own coarse index + codebook (same seeds as
+    the standalone sections, so structures are identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    from esrecsys_tpu.retrieval.ivf import IVFIndex, ivf_pq_topk
+    from esrecsys_tpu.retrieval.pq import PQCodebook
+
+    items = chunked_device_put(vecs)
+    t0 = time.perf_counter()
+    index = IVFIndex.build(items, n_clusters, iters=iters, max_cell=max_cell)
+    book = PQCodebook.build(items, n_subspaces, iters=pq_iters,
+                            rotate=rotate)
+    build_s = time.perf_counter() - t0
+    cent = jnp.asarray(index.centroids)
+    buckets = jnp.asarray(index.bucket_ids)
+    pq_cent = jnp.asarray(book.centroids)
+    pq_codes = jnp.asarray(book.codes)
+    rot = (jnp.asarray(book.rotation)
+           if book.rotation is not None else None)
+    n, lmax = vecs.shape[0], index.bucket_ids.shape[1]
+    log.info("ivfpq built: C=%d Lmax=%d S=%d (%.1fs)", index.n_clusters,
+             lmax, n_subspaces, build_s)
+    fn = jax.jit(ivf_pq_topk, static_argnames=("k", "nprobe", "oversample"))
+    out = {"n_clusters": index.n_clusters, "lmax": lmax,
+           "n_subspaces": n_subspaces, "oversample": oversample,
+           "rotated": rotate, "build_seconds": round(build_s, 1),
+           "curve": []}
+    for p in nprobes:
+        found = []
+        for st in range(0, queries.shape[0], batch):
+            vals, idx = fn(jnp.asarray(queries[st:st + batch]), cent,
+                           buckets, items, k=100, nprobe=p,
+                           pq_centroids=pq_cent, pq_codes=pq_codes,
+                           oversample=oversample, rotation=rot)
+            idx = jnp.where(jnp.isfinite(vals), idx, -1)  # mask pad slots
+            found.append(np.asarray(jax.device_get(idx)))
+        found = np.concatenate(found)
+        p_eff = min(p, index.n_clusters)
+        row = {"nprobe": p,
+               # ADC reads S bytes per probed slot; the f32 gather is only
+               # the oversample*k rescore — report the probed fraction
+               "catalog_fraction_probed": round(p_eff * lmax / n, 5),
+               "recall@10": round(recall(found[:, :10], truth10), 4),
+               "recall@100": round(recall(found, truth100), 4)}
+        out["curve"].append(row)
+        log.info("ivfpq nprobe=%-3d frac=%.4f r@10=%.3f r@100=%.3f", p,
+                 row["catalog_fraction_probed"], row["recall@10"],
+                 row["recall@100"])
+    return out
+
+
 def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
           nprobes: list, max_cell=None, pq_subspaces=None,
           pq_oversamples=(4, 16, 64, 256), pq_rotate: bool = False,
-          pq_iters: int = 15) -> dict:
+          pq_iters: int = 15, ivfpq: bool = False) -> dict:
     t0 = time.perf_counter()
     truth100 = exact_topk(vecs, queries, 100)
     truth10 = truth100[:, :10]
@@ -246,6 +303,13 @@ def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
         out["pq"] = pq_quality(vecs, queries, truth10, truth100,
                                pq_subspaces, iters=pq_iters,
                                oversamples=pq_oversamples, rotate=pq_rotate)
+    if ivfpq:
+        if not pq_subspaces:
+            raise ValueError("--ivfpq needs --pq_subspaces")
+        out["ivfpq"] = ivfpq_curve(
+            vecs, queries, truth10, truth100, n_clusters, iters, nprobes,
+            pq_subspaces, pq_iters, oversample=max(pq_oversamples),
+            rotate=pq_rotate, max_cell=max_cell)
     return out
 
 
@@ -272,6 +336,10 @@ def main(argv=None):
     p.add_argument("--pq_rotate", action="store_true",
                    help="OPQ-lite random-orthonormal pre-rotation before "
                         "the subspace split (retrieval/pq.py)")
+    p.add_argument("--ivfpq", action="store_true",
+                   help="also sweep IVF-PQ (probe + ADC codes + exact "
+                        "rescore, retrieval/ivf.ivf_pq_topk) over --nprobes "
+                        "at the largest --pq_oversamples budget")
     p.add_argument("--pq_iters", type=int, default=15,
                    help="PQ codebook k-means iters (default = the serving "
                         "build default; --kmeans_iters governs IVF only)")
@@ -302,7 +370,8 @@ def main(argv=None):
                                     pq_subspaces=args.pq_subspaces or None,
                                     pq_oversamples=pq_oversamples,
                                     pq_rotate=args.pq_rotate,
-                                    pq_iters=args.pq_iters)
+                                    pq_iters=args.pq_iters,
+                                    ivfpq=args.ivfpq)
     else:
         for kind in args.regimes.split(","):
             log.info("=== regime: %s (%d x %d) ===", kind, args.n_items,
@@ -315,7 +384,8 @@ def main(argv=None):
                                   pq_subspaces=args.pq_subspaces or None,
                                   pq_oversamples=pq_oversamples,
                                   pq_rotate=args.pq_rotate,
-                                  pq_iters=args.pq_iters)
+                                  pq_iters=args.pq_iters,
+                                  ivfpq=args.ivfpq)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))

@@ -13,6 +13,7 @@ across the mode lattice:
   ivf_quantized    ivf probe + int8 candidate gathers
   pq               product-quantization ADC scan + exact rescore
                    (``--pq_subspaces/--pq_oversample/--pq_rotate``)
+  ivf_pq           ivf probe + PQ ADC candidate scoring + exact rescore
 
 reporting, per mode: queries/s (wall, steady-state over ``--queries``
 queries in ``--batch`` chunks), mean overlap@k vs the exact mode on a
@@ -40,7 +41,7 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 MODES = ("exact", "approx", "quantized", "quantized_approx",
-         "ivf", "ivf_quantized", "pq")
+         "ivf", "ivf_quantized", "pq", "ivf_pq")
 
 
 def make_catalog(n: int, dim: int, structured: bool, seed: int = 0):
@@ -73,6 +74,12 @@ def service_for(mode: str, index, k: int, batch: int, args):
                   ivf_iters=args.ivf_iters, quantized=True)
     elif mode == "pq":
         kw.update(pq_subspaces=args.pq_subspaces,
+                  pq_oversample=args.pq_oversample,
+                  pq_rotate=args.pq_rotate)
+    elif mode == "ivf_pq":
+        kw.update(ivf_clusters=args.ivf_clusters, nprobe=args.nprobe,
+                  ivf_iters=args.ivf_iters,
+                  pq_subspaces=args.pq_subspaces,
                   pq_oversample=args.pq_oversample,
                   pq_rotate=args.pq_rotate)
     if mode.startswith("ivf") and args.ivf_max_cell:

@@ -323,3 +323,84 @@ def test_service_warns_when_prebuilt_index_ignores_max_cell(tmp_path, caplog):
                                ivf_max_cell=10)
     assert any("ivf_max_cell" in r.message for r in caplog.records)
     assert svc.ivf.bucket_ids.shape[1] > 10  # loaded, uncapped
+
+
+def test_ivf_pq_full_probe_full_oversample_equals_brute_force():
+    """nprobe=C with an oversample covering every probed slot keeps ALL
+    candidates through the exact rescore — brute force must come back
+    exactly (the selection/rescore factoring invariant for IVF-PQ)."""
+    from esrecsys_tpu.retrieval.pq import PQCodebook
+
+    rng = np.random.default_rng(21)
+    x, _ = _mixture(rng, n_comp=8, per=60, d=16)
+    index = ivf.IVFIndex.build(x, n_clusters=8, iters=8)
+    book = PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    k = 10
+    pl = index.n_clusters * index.bucket_ids.shape[1]
+    vals, idxs = ivf.ivf_pq_topk(
+        jnp.asarray(q), jnp.asarray(index.centroids),
+        jnp.asarray(index.bucket_ids), jnp.asarray(x), k,
+        nprobe=index.n_clusters,
+        pq_centroids=jnp.asarray(book.centroids),
+        pq_codes=jnp.asarray(book.codes),
+        oversample=-(-pl // k))  # oversample*k >= nprobe*L
+    bvals, bidx = _brute(q, x, k)
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+    np.testing.assert_allclose(np.asarray(vals), bvals, rtol=1e-5)
+
+
+def test_ivf_pq_recall_monotone_in_nprobe_and_scores_exact():
+    from esrecsys_tpu.retrieval.pq import PQCodebook
+
+    rng = np.random.default_rng(22)
+    x, _ = _mixture(rng, n_comp=16, per=120, d=16, spread=0.6)
+    x = x[rng.permutation(x.shape[0])]
+    index = ivf.IVFIndex.build(x, n_clusters=16, iters=10)
+    book = PQCodebook.build(x, n_subspaces=8, n_codes=64, iters=8)
+    q = x[rng.integers(0, x.shape[0], 16)] + rng.normal(
+        size=(16, 16)).astype(np.float32) * 0.05
+    k = 10
+    _, bidx = _brute(q, x, k)
+    recalls = []
+    for nprobe in (1, 4, 16):
+        vals, idxs = ivf.ivf_pq_topk(
+            jnp.asarray(q), jnp.asarray(index.centroids),
+            jnp.asarray(index.bucket_ids), jnp.asarray(x), k, nprobe,
+            pq_centroids=jnp.asarray(book.centroids),
+            pq_codes=jnp.asarray(book.codes), oversample=8)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        recalls.append(np.mean(
+            [len(set(idxs[b]) & set(bidx[b])) / k for b in range(16)]))
+        # returned scores are exact dots of the returned indices
+        for b in range(16):
+            got = vals[b][np.isfinite(vals[b])]
+            np.testing.assert_allclose(
+                got, (q[b] @ x[idxs[b][: got.size]].T), rtol=1e-4)
+    assert recalls[0] <= recalls[1] + 0.05 <= recalls[2] + 0.1, recalls
+    assert recalls[-1] >= 0.9, recalls
+
+
+def test_ivf_pq_with_rotation_matches_unrotated_quality_shape():
+    """A rotated codebook must plug in transparently (rotation applied to
+    the LUT query only; rescore exact either way)."""
+    from esrecsys_tpu.retrieval.pq import PQCodebook
+
+    rng = np.random.default_rng(23)
+    x, _ = _mixture(rng, n_comp=8, per=80, d=16)
+    index = ivf.IVFIndex.build(x, n_clusters=8, iters=8)
+    book = PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8,
+                            rotate=True)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    pl = index.n_clusters * index.bucket_ids.shape[1]
+    vals, idxs = ivf.ivf_pq_topk(
+        jnp.asarray(q), jnp.asarray(index.centroids),
+        jnp.asarray(index.bucket_ids), jnp.asarray(x), 5,
+        nprobe=index.n_clusters,
+        pq_centroids=jnp.asarray(book.centroids),
+        pq_codes=jnp.asarray(book.codes),
+        oversample=-(-pl // 5),
+        rotation=jnp.asarray(book.rotation))
+    bvals, bidx = _brute(q, x, 5)
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+    np.testing.assert_allclose(np.asarray(vals), bvals, rtol=1e-5)

@@ -256,10 +256,9 @@ def test_pq_is_exclusive_with_other_scan_modes(index):
         RetrievalService(idx, pq_subspaces=4, quantized=True)
     with pytest.raises(ValueError, match="does not compose"):
         RetrievalService(idx, pq_subspaces=4, approx=True)
-    with pytest.raises(ValueError, match="does not compose"):
-        RetrievalService(idx, pq_subspaces=4, ivf_clusters=8)
     with pytest.raises(ValueError, match="does not exist"):
         RetrievalService(idx, pq_index_path="/nonexistent/pq.npz")
+    # pq + ivf COMPOSES (IVF-PQ) — see test_ivf_pq_composition_reachable
 
 def test_hot_reload_swaps_catalog_under_live_traffic(index, tmp_path):
     """POST /admin/reload swaps in a new artifact with zero downtime: the
@@ -414,3 +413,33 @@ def test_statsz_reports_mode_and_coalescing(index):
     assert RetrievalService(
         idx, max_batch=2, pq_subspaces=4, pq_codes=32,
         pq_rotate=True).mode == "pq:S=4+rotated:oversample=64"
+
+def test_ivf_pq_composition_reachable_from_serve(index):
+    """--ivf_clusters + --pq_subspaces together = IVF-PQ: sublinear probe
+    with compressed candidate scoring and exact returned scores."""
+    idx, path = index
+    httpd = serve(path, port=0, max_k=10, max_batch=4, coalesce=False,
+                  ivf_clusters=8, nprobe=8, pq_subspaces=4, pq_codes=32)
+    port = httpd.server_address[1]
+    svc = httpd.service
+    assert svc.ivf is not None and svc.pq is not None
+    assert svc.mode.startswith("ivf:") and "+pq:S=4" in svc.mode
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # full probe (nprobe=8=C): only ADC-vs-oversample error remains,
+        # and the default oversample covers this tiny catalog entirely,
+        # so results must equal brute force with exact scores
+        q = idx.vector("item3")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "item3", "k": 10}).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        want = np.argsort(-(idx.vectors @ q))[:10]
+        assert out["ids"] == [f"item{i}" for i in want]
+        np.testing.assert_allclose(
+            out["scores"], (idx.vectors @ q)[want], rtol=1e-4)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
