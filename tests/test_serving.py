@@ -443,3 +443,41 @@ def test_ivf_pq_composition_reachable_from_serve(index):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+def test_hot_reload_rebuilds_ivf_cache_with_carried_params(index, tmp_path):
+    """Reload with a prebuilt-only IVF config: the rebuild recovers
+    n_clusters from the RUNNING service and overwrites the cache for the
+    new catalog (RetrievalHTTPServer.reload_index carry-over logic)."""
+    from esrecsys_tpu.retrieval.ivf import IVFIndex
+
+    idx, path = index
+    rng = np.random.default_rng(13)
+    new_vecs = rng.normal(size=(160, 16)).astype(np.float32)
+    new_path = str(tmp_path / "new_cat.npz")
+    EmbeddingIndex([f"n{i}" for i in range(160)], new_vecs).save(new_path)
+
+    cache = str(tmp_path / "ivf_cache.npz")
+    httpd = serve(path, port=0, max_k=10, max_batch=4, coalesce=False,
+                  ivf_clusters=8, nprobe=8, ivf_index_path=cache)
+    assert IVFIndex.load(cache).n_items == 200
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload",
+            data=json.dumps({"index": new_path}).encode())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert json.loads(r.read())["items"] == 160
+        # cache rebuilt for the NEW catalog, same cluster count
+        back = IVFIndex.load(cache)
+        assert back.n_items == 160 and back.n_clusters >= 8
+        # and the live service answers from it
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "n3", "k": 3}).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert "n3" in json.loads(r.read())["ids"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
