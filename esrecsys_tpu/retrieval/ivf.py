@@ -207,6 +207,32 @@ class IVFIndex(NamedTuple):
             return cls(z["centroids"], z["bucket_ids"], int(z["n_items"]))
 
 
+def _probe_candidates(qf, centroids, bucket_ids, nprobe):
+    """Shared probe prelude: score coarse centroids, take the ``nprobe``
+    best cells per query, flatten their (padded) member ids.
+
+    Returns ``(cand (B, P*L) int32 with -1 pads, valid mask, safe ids)``.
+    """
+    c, l = bucket_ids.shape
+    cs = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(cs, nprobe)  # (B, P)
+    cand = jnp.take(bucket_ids, probes.reshape(-1), axis=0)
+    cand = cand.reshape(qf.shape[0], nprobe * l)
+    return cand, cand >= 0, jnp.maximum(cand, 0)
+
+
+def _pad_topk_to_k(vals, idxs, k, k_eff):
+    """Shared tail: sanitize -inf slot indices to 0 and honor the
+    requested ``k`` with -inf padding when ``k_eff < k``."""
+    idxs = jnp.where(jnp.isfinite(vals), idxs, 0)
+    if k_eff < k:
+        pad = k - k_eff
+        vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)],
+                       constant_values=NEG_INF)
+        idxs = jnp.pad(idxs, [(0, 0)] * (idxs.ndim - 1) + [(0, pad)])
+    return vals, idxs
+
+
 def ivf_topk(
     queries: jax.Array,      # (B, D)
     centroids: jax.Array,    # (C, D)
@@ -235,12 +261,7 @@ def ivf_topk(
     c, l = bucket_ids.shape
     nprobe = min(nprobe, c)
     qf = queries.astype(jnp.float32)
-    cs = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
-    _, probes = jax.lax.top_k(cs, nprobe)  # (B, P)
-    cand = jnp.take(bucket_ids, probes.reshape(-1), axis=0)
-    cand = cand.reshape(queries.shape[0], nprobe * l)
-    valid = cand >= 0
-    safe = jnp.maximum(cand, 0)
+    cand, valid, safe = _probe_candidates(qf, centroids, bucket_ids, nprobe)
     if q_items is not None:
         from esrecsys_tpu.retrieval.mips import quantize_rows
 
@@ -267,13 +288,7 @@ def ivf_topk(
         vals = jnp.where(jnp.isfinite(vals), rv, NEG_INF)
         vals, order = jax.lax.top_k(vals, k_eff)
         idxs = jnp.take_along_axis(idxs, order, axis=-1)
-    idxs = jnp.where(jnp.isfinite(vals), idxs, 0)
-    if k_eff < k:
-        pad = k - k_eff
-        vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)],
-                       constant_values=NEG_INF)
-        idxs = jnp.pad(idxs, [(0, 0)] * (idxs.ndim - 1) + [(0, pad)])
-    return vals, idxs
+    return _pad_topk_to_k(vals, idxs, k, k_eff)
 
 
 def ivf_pq_topk(
@@ -305,23 +320,14 @@ def ivf_pq_topk(
 
     ``rotation`` must be the codebook's pre-rotation when one was trained.
     """
+    from esrecsys_tpu.retrieval.pq import adc_lut  # lazy: pq imports ivf
+
     c, l = bucket_ids.shape
     s_sub = pq_centroids.shape[0]
     nprobe = min(nprobe, c)
     qf = queries.astype(jnp.float32)
-    cs = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
-    _, probes = jax.lax.top_k(cs, nprobe)  # (B, P)
-    cand = jnp.take(bucket_ids, probes.reshape(-1), axis=0)
-    cand = cand.reshape(queries.shape[0], nprobe * l)
-    valid = cand >= 0
-    safe = jnp.maximum(cand, 0)
-
-    # ADC over the candidate codes: lut[b, s, c] = <q_bs, cent_sc>
-    qr = qf @ rotation.astype(jnp.float32) if rotation is not None else qf
-    ds = pq_centroids.shape[2]
-    lut = jnp.einsum("bsd,scd->bsc",
-                     qr.reshape(qr.shape[0], s_sub, ds), pq_centroids,
-                     preferred_element_type=jnp.float32)
+    cand, valid, safe = _probe_candidates(qf, centroids, bucket_ids, nprobe)
+    lut = adc_lut(qf, pq_centroids, rotation)  # (B, S, Cc)
     rows_c = jnp.take(pq_codes, safe, axis=0)  # (B, PL, S) uint8
     s = jnp.zeros(cand.shape, jnp.float32)
     for sub in range(s_sub):  # S is small and static: unrolled gathers
@@ -341,10 +347,4 @@ def ivf_pq_topk(
     k_eff = min(k, n_cand)
     vals, order = jax.lax.top_k(rv, k_eff)
     idxs = jnp.take_along_axis(idxs, order, axis=-1)
-    idxs = jnp.where(jnp.isfinite(vals), idxs, 0)
-    if k_eff < k:
-        pad = k - k_eff
-        vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)],
-                       constant_values=NEG_INF)
-        idxs = jnp.pad(idxs, [(0, 0)] * (idxs.ndim - 1) + [(0, pad)])
-    return vals, idxs
+    return _pad_topk_to_k(vals, idxs, k, k_eff)

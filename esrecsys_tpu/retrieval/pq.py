@@ -144,6 +144,19 @@ class PQCodebook(NamedTuple):
         return dec @ self.rotation.T if self.rotation is not None else dec
 
 
+def adc_lut(queries_f32: jax.Array, centroids: jax.Array,
+            rotation: Optional[jax.Array] = None) -> jax.Array:
+    """(B..., S, C) per-query ADC lookup tables:
+    ``lut[..., s, c] = <q_s, cent_sc>``, with the query rotated into the
+    codebook's space when a pre-rotation was trained."""
+    s_sub, _, ds = centroids.shape
+    q = (queries_f32 @ rotation.astype(jnp.float32)
+         if rotation is not None else queries_f32)
+    return jnp.einsum("...sd,scd->...sc",
+                      q.reshape(q.shape[:-1] + (s_sub, ds)), centroids,
+                      preferred_element_type=jnp.float32)
+
+
 def pq_topk(
     queries: jax.Array,        # (B, D)
     centroids: jax.Array,      # (S, C, Ds) f32
@@ -184,10 +197,7 @@ def pq_topk(
     # LUT/selection run in the codebook's (possibly rotated) space; the
     # exact rescore below uses the ORIGINAL-space query against the
     # original-space rescore_items
-    qr = qf @ rotation.astype(jnp.float32) if rotation is not None else qf
-    # (B, S, C) per-query lookup tables: lut[b, s, c] = <q_bs, cent_sc>
-    lut = jnp.einsum("bsd,scd->bsc", qr.reshape(b_shape + (s_sub, ds)),
-                     centroids, preferred_element_type=jnp.float32)
+    lut = adc_lut(qf, centroids, rotation)  # (B..., S, C)
 
     def score_from(start):
         blk = jax.lax.dynamic_slice_in_dim(codes, start, block, axis=0)

@@ -343,7 +343,8 @@ class RetrievalService:
                         f"+{pq_part}")
             return pq_part
         if self.ivf is not None:
-            return f"ivf:{self.ivf.n_clusters}:nprobe={self.nprobe}"
+            q8 = "+int8" if self.quantized else ""
+            return f"ivf:{self.ivf.n_clusters}:nprobe={self.nprobe}{q8}"
         if self.quantized:
             return "int8+approx" if self.approx else "int8"
         return "approx" if self.approx else "exact"
@@ -589,10 +590,20 @@ class RetrievalHTTPServer(ThreadingHTTPServer):
             ivf_path = kwargs.pop("ivf_index_path", None)
             pq_path = kwargs.pop("pq_index_path", None)
             if ivf_path and not kwargs.get("ivf_clusters"):
+                # derive ONCE and persist: old.ivf.n_clusters is the
+                # POST-split count when ivf_max_cell is set, so re-deriving
+                # from the current service every reload would ratchet C
+                # upward across deploy cycles
                 kwargs["ivf_clusters"] = old.ivf.n_clusters
+                self._service_kwargs["ivf_clusters"] = old.ivf.n_clusters
             if pq_path and not kwargs.get("pq_subspaces"):
                 kwargs["pq_subspaces"] = old.pq.n_subspaces
                 kwargs["pq_codes"] = old.pq.n_codes
+                kwargs["pq_rotate"] = old.pq.rotation is not None
+                self._service_kwargs.update(
+                    pq_subspaces=kwargs["pq_subspaces"],
+                    pq_codes=kwargs["pq_codes"],
+                    pq_rotate=kwargs["pq_rotate"])
             service = RetrievalService(index, **kwargs)
             if ivf_path and service.ivf is not None:
                 service.ivf.save(ivf_path)
@@ -645,8 +656,9 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
     ``ivf_index_path`` loads a prebuilt inverted file if present, else
     builds and saves there (restarts skip the k-means);
     ``pq_subspaces`` switches the scan to S-byte-per-item PQ codes with an
-    exact rescore (retrieval/pq.py — an alternative scan, exclusive with
-    approx/quantized/ivf).
+    exact rescore (retrieval/pq.py — exclusive with approx/quantized;
+    combined WITH ``ivf_clusters`` it becomes IVF-PQ: sublinear probe +
+    ADC candidate scoring + exact rescore, retrieval/ivf.ivf_pq_topk).
     """
     index = EmbeddingIndex.load(index_path)
     service_kwargs = dict(max_k=max_k, max_batch=max_batch,
@@ -711,7 +723,8 @@ def main(argv=None):
                    help="scan PQ codes of this many bytes/item instead of "
                         "the f32 catalog (16x less scan traffic at D=32/S=8)"
                         " with an exact candidate rescore; exclusive with "
-                        "--approx/--quantized/--ivf_clusters")
+                        "--approx/--quantized; combined with --ivf_clusters "
+                        "it becomes IVF-PQ (sublinear + compressed)")
     p.add_argument("--pq_codes", type=int, default=256,
                    help="PQ codebook entries per subspace (<=256)")
     p.add_argument("--pq_oversample", type=int, default=64,

@@ -115,7 +115,8 @@ def ivf_curve(vecs, queries, truth10, truth100, n_clusters, iters, nprobes,
     out = {"n_clusters": index.n_clusters, "lmax": lmax,
            "max_cell": max_cell,
            "imbalance": round(index.imbalance, 3),
-           "build_seconds": round(build_s, 1), "curve": []}
+           "build_seconds": round(build_s, 1), "curve": [],
+           "_index": index}  # stripped before reporting; reused by ivfpq
     for p in nprobes:
         found = []
         for s in range(0, queries.shape[0], batch):
@@ -205,7 +206,8 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
            "rotated": rotate,
            "bytes_per_item": book.bytes_per_item,
            "compression_vs_f32": round(4 * vecs.shape[1] / n_subspaces, 1),
-           "build_seconds": round(build_s, 1), "rescored_curve": []}
+           "build_seconds": round(build_s, 1), "rescored_curve": [],
+           "_book": book}  # stripped before reporting; reused by ivfpq
     # candidate count actually rescored: nblk * ceil(oversample*k/nblk)
     block = min(262_144, vecs.shape[0])
     nblk = -(-vecs.shape[0] // block)
@@ -223,25 +225,21 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
     return out
 
 
-def ivfpq_curve(vecs, queries, truth10, truth100, n_clusters, iters,
-                nprobes, n_subspaces, pq_iters, oversample=64,
-                rotate=False, max_cell=None, batch: int = 32) -> dict:
+def ivfpq_curve(vecs, queries, truth10, truth100, index, book,
+                nprobes, oversample=64, batch: int = 32) -> dict:
     """IVF-PQ (retrieval/ivf.ivf_pq_topk): probe + ADC candidate scoring
     from S-byte codes + exact rescore, swept over nprobe at a fixed
-    rescore budget. Builds its own coarse index + codebook (same seeds as
-    the standalone sections, so structures are identical)."""
+    rescore budget. Reuses the coarse ``index`` and ``book`` the
+    standalone sections already built (hundreds of seconds each at MPD
+    scale — never rebuilt)."""
     import jax
     import jax.numpy as jnp
 
-    from esrecsys_tpu.retrieval.ivf import IVFIndex, ivf_pq_topk
-    from esrecsys_tpu.retrieval.pq import PQCodebook
+    from esrecsys_tpu.retrieval.ivf import ivf_pq_topk
 
     items = chunked_device_put(vecs)
-    t0 = time.perf_counter()
-    index = IVFIndex.build(items, n_clusters, iters=iters, max_cell=max_cell)
-    book = PQCodebook.build(items, n_subspaces, iters=pq_iters,
-                            rotate=rotate)
-    build_s = time.perf_counter() - t0
+    n_subspaces = book.n_subspaces
+    build_s = 0.0  # structures reused from ivf/pq sections
     cent = jnp.asarray(index.centroids)
     buckets = jnp.asarray(index.bucket_ids)
     pq_cent = jnp.asarray(book.centroids)
@@ -249,13 +247,12 @@ def ivfpq_curve(vecs, queries, truth10, truth100, n_clusters, iters,
     rot = (jnp.asarray(book.rotation)
            if book.rotation is not None else None)
     n, lmax = vecs.shape[0], index.bucket_ids.shape[1]
-    log.info("ivfpq built: C=%d Lmax=%d S=%d (%.1fs)", index.n_clusters,
-             lmax, n_subspaces, build_s)
+    log.info("ivfpq: reusing C=%d Lmax=%d S=%d", index.n_clusters, lmax,
+             n_subspaces)
     fn = jax.jit(ivf_pq_topk, static_argnames=("k", "nprobe", "oversample"))
     out = {"n_clusters": index.n_clusters, "lmax": lmax,
            "n_subspaces": n_subspaces, "oversample": oversample,
-           "rotated": rotate, "build_seconds": round(build_s, 1),
-           "curve": []}
+           "rotated": book.rotation is not None, "curve": []}
     for p in nprobes:
         found = []
         for st in range(0, queries.shape[0], batch):
@@ -288,6 +285,8 @@ def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
     truth100 = exact_topk(vecs, queries, 100)
     truth10 = truth100[:, :10]
     log.info("exact ground truth (%.1fs)", time.perf_counter() - t0)
+    if ivfpq and not pq_subspaces:
+        raise ValueError("--ivfpq needs --pq_subspaces")
     out = {
         "n_items": int(vecs.shape[0]), "dim": int(vecs.shape[1]),
         "n_queries": int(queries.shape[0]),
@@ -304,12 +303,12 @@ def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
                                pq_subspaces, iters=pq_iters,
                                oversamples=pq_oversamples, rotate=pq_rotate)
     if ivfpq:
-        if not pq_subspaces:
-            raise ValueError("--ivfpq needs --pq_subspaces")
         out["ivfpq"] = ivfpq_curve(
-            vecs, queries, truth10, truth100, n_clusters, iters, nprobes,
-            pq_subspaces, pq_iters, oversample=max(pq_oversamples),
-            rotate=pq_rotate, max_cell=max_cell)
+            vecs, queries, truth10, truth100, out["ivf"]["_index"],
+            out["pq"]["_book"], nprobes, oversample=max(pq_oversamples))
+    out["ivf"].pop("_index", None)
+    if pq_subspaces:
+        out["pq"].pop("_book", None)
     return out
 
 
@@ -352,6 +351,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     nprobes = [int(x) for x in args.nprobes.split(",")]
     pq_oversamples = [int(x) for x in args.pq_oversamples.split(",")]
+    if args.ivfpq and not args.pq_subspaces:
+        # fail BEFORE hours of ground truth / builds, not inside study()
+        p.error("--ivfpq needs --pq_subspaces")
     rng = np.random.default_rng(0)
     results = {}
     if args.artifact:

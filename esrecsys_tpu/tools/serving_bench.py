@@ -111,7 +111,7 @@ def bench_mode(mode: str, index, queries: np.ndarray, k: int, args,
     if mode.startswith("ivf"):
         out["ivf_imbalance"] = round(svc.ivf.imbalance, 2)
         out["ivf_lmax"] = int(svc.ivf.bucket_ids.shape[1])
-    if mode == "pq":
+    if svc.pq is not None:
         out["pq_bytes_per_item"] = svc.pq.bytes_per_item
     return out, ids
 
