@@ -29,6 +29,8 @@ a dependency-free HTTP service over the TPU retrieval path:
                                            "text": "..." |
                                            "image_key": "...", "k": 10}
                                     → {"ids": [...], "scores": [...]}
+                                    batch: {"vectors": [[...], ...]}
+                                    → {"ids": [[...], ...], "scores": ...}
       POST /admin/reload            → body {"index": "path.npz"} (optional;
                                       defaults to the serving index path) —
                                       zero-downtime hot swap to a freshly
@@ -520,6 +522,22 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(length) or b"{}")
             k = int(req.get("k", service.max_k))
+            # batch form: "vectors" = list of query vectors, answered in
+            # one service call (bulk/offline scoring; bypasses the
+            # single-query coalescer, which exists for the concurrent-
+            # singles pattern)
+            if "vectors" in req:
+                vecs = np.asarray(req["vectors"], np.float32)
+                if vecs.ndim != 2:
+                    self._send(400, {"error": "'vectors' must be a list "
+                                              "of equal-length vectors"})
+                    return
+                ids_b, scores_b = service.topk(vecs, k)
+                self._send(200, {
+                    "ids": [[str(x) for x in row] for row in ids_b],
+                    "scores": [[float(v) for v in row]
+                               for row in scores_b]})
+                return
             # resolve the query to ONE vector: raw, catalog id, or a raw
             # query embedded through a registered model encoder
             if "vector" in req:

@@ -481,3 +481,37 @@ def test_hot_reload_rebuilds_ivf_cache_with_carried_params(index, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+def test_batch_vectors_query(index):
+    """POST /v1/topk with "vectors" answers a whole batch in one request,
+    row-for-row equal to brute force."""
+    idx, path = index
+    httpd = serve(path, port=0, max_k=10, max_batch=4)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(17)
+        q = rng.normal(size=(5, 16)).astype(np.float32)  # > max_batch
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"vectors": q.tolist(), "k": 4}).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert len(out["ids"]) == 5 and len(out["scores"]) == 5
+        ref = q @ idx.vectors.T
+        for b in range(5):
+            want = np.argsort(-ref[b])[:4]
+            assert out["ids"][b] == [f"item{i}" for i in want]
+            np.testing.assert_allclose(out["scores"][b], ref[b][want],
+                                       rtol=1e-5)
+        # malformed batch: ragged/1-d input is a clean 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"vectors": [1.0] * 16}).encode())
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
