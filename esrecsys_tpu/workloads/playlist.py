@@ -410,6 +410,35 @@ def _settled_ctx_embed(state: TrainState, cfg: PlaylistConfig,
     return e.reshape(album_ctx.shape + (e.shape[-1],))
 
 
+def ranking_metrics(hit: jax.Array, denom: jax.Array, k: int,
+                    prefix: str) -> Dict[str, jax.Array]:
+    """Recall@k, MRR@k and NDCG@k from a rank-ordered (B, k) hit mask.
+
+    ``hit[b, i]`` says whether the rank-i retrieved item is relevant
+    (member of playlist b's next set); ``denom`` is the relevant-set size.
+    The reference reports recall@500 only (train_spotify.py:113-131);
+    MRR/NDCG come free from the SAME ordered mask the streaming top-k
+    already produces — no extra corpus work.
+    """
+    hit = hit.astype(jnp.float32)
+    ranks = jnp.arange(k, dtype=jnp.float32)
+    any_hit = jnp.max(hit, axis=-1)
+    first = jnp.argmax(hit, axis=-1).astype(jnp.float32)  # 0 when no hit
+    mrr = any_hit / (first + 1.0)
+    discounts = 1.0 / jnp.log2(ranks + 2.0)
+    dcg = jnp.sum(hit * discounts, axis=-1)
+    # ideal DCG: the first min(|relevant|, k) slots all hit
+    ideal_cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.cumsum(discounts)])
+    n_rel = jnp.clip(denom, 1.0, float(k)).astype(jnp.int32)
+    ndcg = dcg / ideal_cum[n_rel]
+    return {
+        f"{prefix}_recall": jnp.mean(jnp.sum(hit, axis=-1) / denom),
+        f"{prefix}_mrr": jnp.mean(mrr),
+        f"{prefix}_ndcg": jnp.mean(ndcg),
+    }
+
+
 def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, jax.Array]):
     """recall@k of next tracks/artists against the full corpus.
 
@@ -459,15 +488,17 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
 
         m = batch["next_mask"]
         denom = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
-        # membership of retrieved items in this playlist's next set
+        # membership of retrieved items in this playlist's next set;
+        # top_idx is rank-ordered, so MRR/NDCG fall out of the same mask
         hit_tracks = batched_isin(top_tracks, jnp.where(m > 0, batch["next_track"], -1))
         hit_artists = batched_isin(top_artists, jnp.where(m > 0, batch["next_artist"], -1))
-        track_recall = jnp.sum(hit_tracks, axis=-1) / denom
-        artist_recall = jnp.sum(hit_artists, axis=-1) / denom
-        return {
-            "track_recall": jnp.mean(track_recall),
-            "artist_recall": jnp.mean(artist_recall),
-        }
+        out = ranking_metrics(hit_tracks, denom, cfg.eval_k, "track")
+        # artist NDCG is ill-posed (one artist satisfies many slots);
+        # recall + MRR remain meaningful
+        art = ranking_metrics(hit_artists, denom, cfg.eval_k, "artist")
+        out["artist_recall"] = art["artist_recall"]
+        out["artist_mrr"] = art["artist_mrr"]
+        return out
 
     return eval_step
 
@@ -543,10 +574,11 @@ def make_sharded_eval_step(model: PlaylistModel, cfg: PlaylistConfig,
         denom = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
         hit_tracks = batched_isin(top_tracks, jnp.where(m > 0, batch["next_track"], -1))
         hit_artists = batched_isin(top_artists, jnp.where(m > 0, batch["next_artist"], -1))
-        return {
-            "track_recall": jnp.mean(jnp.sum(hit_tracks, axis=-1) / denom),
-            "artist_recall": jnp.mean(jnp.sum(hit_artists, axis=-1) / denom),
-        }
+        out = ranking_metrics(hit_tracks, denom, cfg.eval_k, "track")
+        art = ranking_metrics(hit_artists, denom, cfg.eval_k, "artist")
+        out["artist_recall"] = art["artist_recall"]
+        out["artist_mrr"] = art["artist_mrr"]
+        return out
 
     return eval_step
 

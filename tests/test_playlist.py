@@ -251,10 +251,11 @@ def test_sharded_eval_matches_unsharded(tiny_mpd):
 
     plain = jax.jit(pl.make_eval_step(model, cfg, corpus))(state, batch)
     sharded = jax.jit(pl.make_sharded_eval_step(model, cfg, corpus, mesh))(state, batch)
-    np.testing.assert_allclose(
-        float(plain["track_recall"]), float(sharded["track_recall"]), rtol=1e-5)
-    np.testing.assert_allclose(
-        float(plain["artist_recall"]), float(sharded["artist_recall"]), rtol=1e-5)
+    for metric in ("track_recall", "track_mrr", "track_ndcg",
+                   "artist_recall", "artist_mrr"):
+        np.testing.assert_allclose(
+            float(plain[metric]), float(sharded[metric]), rtol=1e-5,
+            err_msg=metric)
 
 
 def _rand_batch(rng, b, c, m, nalb=50, nart=40, ntrk=100):
@@ -508,3 +509,29 @@ def test_checkpoint_resume_with_lazy_momentum(tmp_path):
     s_live, ml = step(state, b)
     s_rest, mr = step(restored, b)
     np.testing.assert_allclose(float(ml["loss"]), float(mr["loss"]), rtol=1e-6)
+
+
+def test_ranking_metrics_closed_form():
+    """ranking_metrics against hand-computed MRR/NDCG on fixed masks."""
+    hit = jnp.asarray([
+        [0, 1, 0, 1, 0],   # hits at ranks 2 and 4 (1-based)
+        [1, 1, 1, 0, 0],   # perfect prefix of 3
+        [0, 0, 0, 0, 0],   # no hits
+    ], jnp.float32)
+    denom = jnp.asarray([2.0, 3.0, 4.0])
+    out = pl.ranking_metrics(hit, denom, k=5, prefix="t")
+    # recall: (2/2 + 3/3 + 0/4) / 3
+    np.testing.assert_allclose(float(out["t_recall"]), 2.0 / 3.0, rtol=1e-6)
+    # mrr: (1/2 + 1 + 0) / 3
+    np.testing.assert_allclose(float(out["t_mrr"]), (0.5 + 1.0) / 3, rtol=1e-6)
+    import math
+    d = [1.0 / math.log2(i + 2) for i in range(5)]
+    ndcg0 = (d[1] + d[3]) / (d[0] + d[1])          # ideal = 2 relevant
+    ndcg1 = (d[0] + d[1] + d[2]) / (d[0] + d[1] + d[2])
+    ndcg2 = 0.0
+    np.testing.assert_allclose(float(out["t_ndcg"]), (ndcg0 + ndcg1 + ndcg2) / 3,
+                               rtol=1e-6)
+    # ideal truncates at k when the relevant set exceeds it
+    hit_all = jnp.ones((1, 3), jnp.float32)
+    out2 = pl.ranking_metrics(hit_all, jnp.asarray([10.0]), k=3, prefix="t")
+    np.testing.assert_allclose(float(out2["t_ndcg"]), 1.0, rtol=1e-6)
