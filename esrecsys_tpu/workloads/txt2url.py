@@ -129,8 +129,14 @@ def make_eval_step(model: Txt2UrlModel, cfg: Txt2UrlConfig):
                 {"params": state.params}, batch["tokens"],
                 method=Txt2UrlModel.score_text_vs_all)  # (B, n_urls)
             _, top = jax.lax.top_k(scores, cfg.eval_recall_k)
-            hit = jnp.any(top == batch["url_near_text"][:, None], axis=-1)
-            metrics["recall_at_k"] = jnp.mean(hit.astype(jnp.float32))
+            hit = (top == batch["url_near_text"][:, None])  # rank-ordered
+            metrics["recall_at_k"] = jnp.mean(
+                jnp.any(hit, axis=-1).astype(jnp.float32))
+            # single relevant URL per sentence: MRR@k = 1/rank when found
+            hf = hit.astype(jnp.float32)
+            metrics["mrr_at_k"] = jnp.mean(
+                jnp.max(hf, axis=-1)
+                / (jnp.argmax(hf, axis=-1).astype(jnp.float32) + 1.0))
         return metrics
 
     return eval_step

@@ -166,3 +166,26 @@ def test_glove_transfer(corpus, tmp_path):
     )
     result = t2u.train(cfg)
     assert result.steps_run == 2
+
+
+def test_eval_mrr_bounds_and_relation_to_recall():
+    """MRR@k is in [0, recall@k]: reciprocal-rank can only discount hits."""
+    import jax
+
+    from esrecsys_tpu.workloads import txt2url as t2u
+
+    cfg = t2u.Txt2UrlConfig(word_dim=8, rnn_size=8, url_dim=8,
+                            sentence_length=6, batch_size=4,
+                            eval_recall_k=5)
+    model, state = t2u.init_state(cfg, word_vocab_size=32, url_vocab_size=16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "url_near_text": jnp.asarray(rng.integers(0, 16, 4), jnp.int32),
+        "tokens": jnp.asarray(rng.integers(0, 32, (4, 6)), jnp.int32),
+        "url1": jnp.asarray(rng.integers(0, 16, 4), jnp.int32),
+        "url2": jnp.asarray(rng.integers(0, 16, 4), jnp.int32),
+        "sqrt_dice": jnp.asarray(rng.random(4), jnp.float32),
+    }
+    m = jax.jit(t2u.make_eval_step(model, cfg))(state, batch)
+    mrr, rec = float(m["mrr_at_k"]), float(m["recall_at_k"])
+    assert 0.0 <= mrr <= rec + 1e-6, (mrr, rec)
