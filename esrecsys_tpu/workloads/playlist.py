@@ -410,33 +410,7 @@ def _settled_ctx_embed(state: TrainState, cfg: PlaylistConfig,
     return e.reshape(album_ctx.shape + (e.shape[-1],))
 
 
-def ranking_metrics(hit: jax.Array, denom: jax.Array, k: int,
-                    prefix: str) -> Dict[str, jax.Array]:
-    """Recall@k, MRR@k and NDCG@k from a rank-ordered (B, k) hit mask.
-
-    ``hit[b, i]`` says whether the rank-i retrieved item is relevant
-    (member of playlist b's next set); ``denom`` is the relevant-set size.
-    The reference reports recall@500 only (train_spotify.py:113-131);
-    MRR/NDCG come free from the SAME ordered mask the streaming top-k
-    already produces — no extra corpus work.
-    """
-    hit = hit.astype(jnp.float32)
-    ranks = jnp.arange(k, dtype=jnp.float32)
-    any_hit = jnp.max(hit, axis=-1)
-    first = jnp.argmax(hit, axis=-1).astype(jnp.float32)  # 0 when no hit
-    mrr = any_hit / (first + 1.0)
-    discounts = 1.0 / jnp.log2(ranks + 2.0)
-    dcg = jnp.sum(hit * discounts, axis=-1)
-    # ideal DCG: the first min(|relevant|, k) slots all hit
-    ideal_cum = jnp.concatenate(
-        [jnp.zeros((1,), jnp.float32), jnp.cumsum(discounts)])
-    n_rel = jnp.clip(denom, 1.0, float(k)).astype(jnp.int32)
-    ndcg = dcg / ideal_cum[n_rel]
-    return {
-        f"{prefix}_recall": jnp.mean(jnp.sum(hit, axis=-1) / denom),
-        f"{prefix}_mrr": jnp.mean(mrr),
-        f"{prefix}_ndcg": jnp.mean(ndcg),
-    }
+from esrecsys_tpu.ops.metrics import ranking_metrics  # shared with txt2url
 
 
 def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, jax.Array]):
@@ -478,29 +452,38 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
                     artists_p[cand], album_ctx, artist_ctx,
                     precision=jax.lax.Precision.HIGHEST)
 
-            _, top_idx = chunked_grouped_topk(
+            top_vals, top_idx = chunked_grouped_topk(
                 score_block, score_items, num_items, cfg.eval_k, block,
                 group=cfg.eval_group)
         else:
-            _, top_idx = chunked_topk(score_block, num_items, cfg.eval_k, block)
-        top_tracks = tracks[top_idx]    # (B, k)
-        top_artists = artists[top_idx]
-
-        m = batch["next_mask"]
-        denom = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
-        # membership of retrieved items in this playlist's next set;
-        # top_idx is rank-ordered, so MRR/NDCG fall out of the same mask
-        hit_tracks = batched_isin(top_tracks, jnp.where(m > 0, batch["next_track"], -1))
-        hit_artists = batched_isin(top_artists, jnp.where(m > 0, batch["next_artist"], -1))
-        out = ranking_metrics(hit_tracks, denom, cfg.eval_k, "track")
-        # artist NDCG is ill-posed (one artist satisfies many slots);
-        # recall + MRR remain meaningful
-        art = ranking_metrics(hit_artists, denom, cfg.eval_k, "artist")
-        out["artist_recall"] = art["artist_recall"]
-        out["artist_mrr"] = art["artist_mrr"]
-        return out
+            top_vals, top_idx = chunked_topk(score_block, num_items,
+                                             cfg.eval_k, block)
+        return _hit_metrics(batch, top_vals, top_idx, tracks, artists,
+                            cfg.eval_k)
 
     return eval_step
+
+
+def _hit_metrics(batch, top_vals, top_idx, tracks, artists, k):
+    """Shared metric tail of both eval paths: membership of the (rank-
+    ordered) retrieved items in the playlist's next set → recall/MRR/NDCG.
+
+    Padded top-k slots (k > num_items; index 0 at -inf score) are masked
+    out so item 0 can't phantom-hit at the fake tail ranks."""
+    top_tracks = tracks[top_idx]    # (B, k)
+    top_artists = artists[top_idx]
+    valid = jnp.isfinite(top_vals)
+    m = batch["next_mask"]
+    denom = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    hit_tracks = valid & batched_isin(
+        top_tracks, jnp.where(m > 0, batch["next_track"], -1))
+    hit_artists = valid & batched_isin(
+        top_artists, jnp.where(m > 0, batch["next_artist"], -1))
+    out = ranking_metrics(hit_tracks, denom, k, "track")
+    # artist NDCG is ill-posed (one artist satisfies many slots);
+    # recall + MRR remain meaningful
+    out.update(ranking_metrics(hit_artists, denom, k, "artist", ndcg=False))
+    return out
 
 
 def make_sharded_corpus_embed_setup(model: PlaylistModel, cfg: PlaylistConfig,
@@ -562,23 +545,14 @@ def make_sharded_eval_step(model: PlaylistModel, cfg: PlaylistConfig,
                                        batch["artist_context"])
         if corpus_embed is None:
             corpus_embed = setup(state)
-        _, top_idx = sharded_scored_topk(
+        top_vals, top_idx = sharded_scored_topk(
             (ctx_embed, batch["album_context"], batch["artist_context"]),
             (corpus_embed, albums_p, artists_p),
             score_fn, cfg.eval_k, mesh, block, valid_items=num_items,
             group=cfg.eval_group,
         )
-        top_tracks = tracks[top_idx]
-        top_artists = artists[top_idx]
-        m = batch["next_mask"]
-        denom = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
-        hit_tracks = batched_isin(top_tracks, jnp.where(m > 0, batch["next_track"], -1))
-        hit_artists = batched_isin(top_artists, jnp.where(m > 0, batch["next_artist"], -1))
-        out = ranking_metrics(hit_tracks, denom, cfg.eval_k, "track")
-        art = ranking_metrics(hit_artists, denom, cfg.eval_k, "artist")
-        out["artist_recall"] = art["artist_recall"]
-        out["artist_mrr"] = art["artist_mrr"]
-        return out
+        return _hit_metrics(batch, top_vals, top_idx, tracks, artists,
+                            cfg.eval_k)
 
     return eval_step
 

@@ -128,15 +128,16 @@ def make_eval_step(model: Txt2UrlModel, cfg: Txt2UrlConfig):
             scores = state.apply_fn(
                 {"params": state.params}, batch["tokens"],
                 method=Txt2UrlModel.score_text_vs_all)  # (B, n_urls)
+            from esrecsys_tpu.ops.metrics import ranking_metrics
+
             _, top = jax.lax.top_k(scores, cfg.eval_recall_k)
             hit = (top == batch["url_near_text"][:, None])  # rank-ordered
-            metrics["recall_at_k"] = jnp.mean(
-                jnp.any(hit, axis=-1).astype(jnp.float32))
-            # single relevant URL per sentence: MRR@k = 1/rank when found
-            hf = hit.astype(jnp.float32)
-            metrics["mrr_at_k"] = jnp.mean(
-                jnp.max(hf, axis=-1)
-                / (jnp.argmax(hf, axis=-1).astype(jnp.float32) + 1.0))
+            # one relevant URL per sentence → denom 1, NDCG degenerates
+            # to MRR-with-log-discount: skip it
+            rm = ranking_metrics(hit, jnp.ones(hit.shape[0], jnp.float32),
+                                 cfg.eval_recall_k, "url", ndcg=False)
+            metrics["recall_at_k"] = rm["url_recall"]
+            metrics["mrr_at_k"] = rm["url_mrr"]
         return metrics
 
     return eval_step
