@@ -127,7 +127,14 @@ def make_eval_step(cfg: STLConfig):
             {"params": state.params, "batch_stats": state.batch_stats},
             scene, pos, neg, False,
         )
-        return {"loss": losses.triplet_hinge_sum(pos_score, neg_score) / cfg.batch_size}
+        return {
+            "loss": losses.triplet_hinge_sum(pos_score, neg_score) / cfg.batch_size,
+            # fraction of triplets ranked correctly (pos over neg) — the
+            # standard triplet-tower quality number; the reference logs
+            # only the hinge loss (train_shop_the_look.py:113-116)
+            "triplet_accuracy": jnp.mean(
+                (pos_score > neg_score).astype(jnp.float32)),
+        }
 
     return eval_step
 
