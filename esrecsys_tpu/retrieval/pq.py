@@ -19,8 +19,8 @@ TPU-shaped:
     the same two-phase skeleton as the int8/approx scans
     (:func:`~esrecsys_tpu.retrieval.mips._streamed_candidate_topk`), so
     candidate selection is PQ-approximate and the returned ranking is an
-    exact rescore of the selected candidates whenever a full-precision (or
-    int8) catalog is available for phase 2.
+    exact rescore of the selected candidates whenever a full-precision
+    catalog is resident for phase 2.
 
 When even a rescore catalog cannot be resident, ``rescore_items=None``
 returns the raw ADC ranking — quality is then bounded by PQ distortion
