@@ -14,9 +14,42 @@ import numpy as np
 _UPLOAD_CHUNK_BYTES = 64 << 20
 
 
-def chunked_device_put(x: np.ndarray) -> jax.Array:
-    """Host→device transfer in ~64 MB row slices (no-op size for small x)."""
+def _axis0_shards(sharding) -> int:
+    """How many ways ``sharding`` splits axis 0 (1 when unsharded)."""
+    spec = getattr(sharding, "spec", ())
+    if not len(spec) or spec[0] is None:
+        return 1
+    names = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+    n = 1
+    for nm in names:
+        n *= sharding.mesh.shape[nm]
+    return n
+
+
+def chunked_device_put(x: np.ndarray, sharding=None) -> jax.Array:
+    """Host→device transfer in ~64 MB row slices (no-op size for small x).
+
+    With ``sharding`` (row count must divide by its axis-0 shard count,
+    e.g. a pre-padded catalog under the model-axis table sharding), each
+    slice is placed ALREADY SHARDED and a jitted concatenate assembles the
+    global array — large sharded catalogs never ride the tunnel as one
+    transfer either.
+    """
     rows_per_chunk = max(1, _UPLOAD_CHUNK_BYTES // max(x[0:1].nbytes, 1))
+    if sharding is not None:
+        n = _axis0_shards(sharding)
+        if x.shape[0] % n:
+            raise ValueError(
+                f"{x.shape[0]} rows not divisible by {n} axis-0 shards")
+        rows_per_chunk = max(n, rows_per_chunk // n * n)
+        if x.shape[0] <= rows_per_chunk:
+            return jax.device_put(x, sharding)
+        parts = [
+            jax.device_put(x[i : i + rows_per_chunk], sharding)
+            for i in range(0, x.shape[0], rows_per_chunk)
+        ]
+        return jax.jit(lambda *p: jnp.concatenate(p, axis=0),
+                       out_shardings=sharding)(*parts)
     if x.shape[0] <= rows_per_chunk:
         return jnp.asarray(x)
     parts = [

@@ -1,5 +1,5 @@
-"""Product quantization (PQ): 4-byte-per-item catalog codes for catalogs
-whose dense form outgrows HBM.
+"""Product quantization (PQ): few-bytes-per-item catalog codes (default
+8) for catalogs whose dense form outgrows HBM.
 
 The scan paths in :mod:`esrecsys_tpu.retrieval.mips` need the catalog
 resident as f32 (4·D bytes/item) or int8 (D bytes/item). PQ compresses to

@@ -58,6 +58,14 @@ from esrecsys_tpu.retrieval.mips import topk_over_matrix
 log = logging.getLogger(__name__)
 
 
+def _npz_path(path: Optional[str]) -> Optional[str]:
+    """np.savez* appends .npz to suffixless paths; normalize up front so
+    the exists()-check on restart finds what save() actually wrote."""
+    if path and not path.endswith(".npz"):
+        return path + ".npz"
+    return path
+
+
 class RetrievalService:
     """Device-resident brute-force MIPS over an embedding index.
 
@@ -135,6 +143,8 @@ class RetrievalService:
             raise ValueError(
                 "n_model_shards serves the exact sharded scan — it does not"
                 " compose with approx/quantized/ivf/pq")
+        ivf_index_path = _npz_path(ivf_index_path)
+        pq_index_path = _npz_path(pq_index_path)
         self.nprobe = nprobe
         self.pq_oversample = pq_oversample
         self.n_model_shards = n_model_shards
@@ -148,9 +158,10 @@ class RetrievalService:
             vecs = index.vectors
             if padded != self._valid_items:  # pad host-side, pre-upload
                 vecs = np.pad(vecs, ((0, padded - self._valid_items), (0, 0)))
-            # device_put with a row sharding ships per-shard pieces — each
-            # transfer is 1/N of the catalog, so no extra chunking needed
-            self._items = jax.device_put(
+            # chunked even when sharded: per-shard pieces of a catalog big
+            # enough to NEED sharding still exceed the ~100 MB single-
+            # transfer stall threshold (CLAUDE.md)
+            self._items = _chunked_device_put(
                 vecs, table_sharding(self._mesh, vecs.ndim))
         else:
             self._mesh = None
@@ -398,10 +409,18 @@ class QueryBatcher:
     concurrent requests this is one dispatch instead of B.
     """
 
+    class Closed(RuntimeError):
+        """Raised by submit() once close() has begun — callers holding a
+        stale batcher (a hot reload swapped in a new one) retry on the
+        current one instead of hanging on a queue nobody drains."""
+
     def __init__(self, service: RetrievalService, max_wait_ms: float = 2.0):
         self.service = service
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._inflight = 0
+        self._state_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -413,17 +432,46 @@ class QueryBatcher:
             # not poison the whole coalesced batch it would ride in
             raise ValueError(
                 f"query shape {vec.shape} != ({self.service.dim},)")
-        done = threading.Event()
-        slot: dict = {"k": k}
-        self._q.put((vec, done, slot))
-        done.wait()
+        with self._state_lock:
+            if self._closed:
+                raise QueryBatcher.Closed("batcher closed (hot reload)")
+            self._inflight += 1
+        try:
+            done = threading.Event()
+            slot: dict = {"k": k}
+            self._q.put((vec, done, slot))
+            done.wait()
+        finally:
+            with self._state_lock:
+                self._inflight -= 1
         if "err" in slot:
             raise slot["err"]
         return slot["ids"], slot["scores"]
 
+    def idle(self) -> bool:
+        with self._state_lock:
+            return self._inflight == 0 and self._q.empty()
+
     def close(self) -> None:
+        """Stop the dispatcher. submit() racing past the closed check can
+        still enqueue; the post-join drain fails those waiters with
+        :class:`Closed` instead of leaving them blocked forever."""
+        with self._state_lock:
+            if self._closed:
+                return
+            self._closed = True
         self._q.put(None)
         self._thread.join(timeout=5)
+        while True:  # fail any stragglers that slipped in
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            _, done, slot = item
+            slot["err"] = QueryBatcher.Closed("batcher closed (hot reload)")
+            done.set()
 
     def _loop(self) -> None:
         while True:
@@ -462,9 +510,12 @@ class QueryBatcher:
 
 
 class _Handler(BaseHTTPRequestHandler):
-    """Reads ``self.server.service``/``.batcher`` PER REQUEST (never cached
-    across requests) so a hot reload swaps them atomically under live
-    traffic — in-flight requests finish on the old service."""
+    """Reads the server's (service, batcher) pair ONCE per request — a
+    single attribute read, so a hot reload can never hand a handler the
+    new service with the old batcher (or vice versa). In-flight requests
+    finish on the pair they read; a request that raced a reload into a
+    just-closed batcher gets :class:`QueryBatcher.Closed` and retries on
+    the current pair."""
 
     def _send(self, code: int, payload: dict):
         body = json.dumps(payload).encode()
@@ -478,7 +529,7 @@ class _Handler(BaseHTTPRequestHandler):
         log.debug("serving: " + fmt, *args)
 
     def do_GET(self):
-        service = self.server.service
+        service, _ = self.server.serving
         if self.path == "/healthz":
             self._send(200, {"status": "ok", "items": len(service.index),
                              "dim": service.dim, "max_k": service.max_k,
@@ -500,6 +551,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
+        if self.path.startswith("/admin/"):
+            token = getattr(self.server, "admin_token", None)
+            if token and self.headers.get("X-Admin-Token") != token:
+                self._send(403, {"error": "bad or missing X-Admin-Token"})
+                return
         if self.path == "/admin/reload":
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -517,7 +573,7 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/v1/topk":
             self._send(404, {"error": f"unknown path {self.path}"})
             return
-        service, batcher = self.server.service, self.server.batcher
+        service, batcher = self.server.serving
         try:
             length = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(length) or b"{}")
@@ -553,7 +609,17 @@ class _Handler(BaseHTTPRequestHandler):
                                  "need 'vector', 'id', 'text' or 'image_key'"})
                 return
             if batcher is not None:
-                ids, scores = batcher.submit(vec, k)
+                try:
+                    ids, scores = batcher.submit(vec, k)
+                except QueryBatcher.Closed:
+                    # a reload retired the batcher between our pair-read
+                    # and the submit — retry once on the current pair
+                    service, batcher = self.server.serving
+                    if batcher is not None:
+                        ids, scores = batcher.submit(vec, k)
+                    else:
+                        ids2, scores2 = service.topk(vec[None, :], k)
+                        ids, scores = ids2[0], scores2[0]
             else:
                 ids2, scores2 = service.topk(vec[None, :], k)
                 ids, scores = ids2[0], scores2[0]
@@ -570,21 +636,45 @@ class RetrievalHTTPServer(ThreadingHTTPServer):
 
     ``reload_index(path)`` builds a complete NEW RetrievalService (device
     upload, aux index builds, one-time compile) while the old one keeps
-    answering, then swaps ``self.service``/``self.batcher`` — the
-    train→export→serve loop (tools/full_scale_run.py) can push a fresh
-    artifact into a live server with no restart and no failed queries.
-    Reloads are serialized; queries are never blocked by one.
+    answering, then swaps the ``(service, batcher)`` pair in ONE attribute
+    assignment — the train→export→serve loop (tools/full_scale_run.py) can
+    push a fresh artifact into a live server with no restart and no failed
+    queries. Reloads are serialized; queries are never blocked by one. The
+    retired batcher is closed by a background thread once its in-flight
+    requests drain; a submit that races the close gets
+    :class:`QueryBatcher.Closed` and the handler retries on the new pair.
 
     Aux structures (IVF inverted file, PQ codebook) are REBUILT for the new
     catalog; configured ``ivf_index_path``/``pq_index_path`` caches are
     overwritten, since they describe the catalog being served. Build
     parameters not restatable from config (a prebuilt-only IVF/PQ) are
     carried over from the running service.
+
+    Peak DEVICE memory during a reload is old + new catalog (plus build
+    workspaces): that double residency IS the zero-downtime mechanism.
+    For catalogs using more than ~half of HBM, reload via restart or use
+    ``n_model_shards`` so each chip holds 1/N.
     """
 
-    service: RetrievalService
-    batcher: Optional[QueryBatcher]
     index_path: str
+
+    # (service, batcher) — swapped as ONE attribute so handlers can never
+    # observe a mixed pair; properties below keep the old access paths
+    _serving: Tuple[RetrievalService, Optional[QueryBatcher]]
+
+    @property
+    def serving(self) -> Tuple[RetrievalService, Optional[QueryBatcher]]:
+        return self._serving
+
+    @property
+    def service(self) -> RetrievalService:
+        return self._serving[0]
+
+    @property
+    def batcher(self) -> Optional[QueryBatcher]:
+        return self._serving[1]
+
+    admin_token: Optional[str] = None  # set → /admin/* requires header
 
     def _configure(self, index_path: str, service_kwargs: dict,
                    coalesce: bool, max_wait_ms: float) -> None:
@@ -596,17 +686,28 @@ class RetrievalHTTPServer(ThreadingHTTPServer):
         self.started = time.time()
         self.reloads = 0
 
+    @staticmethod
+    def _retire_batcher(batcher: QueryBatcher, grace_s: float = 60.0):
+        """Close a replaced batcher AFTER its in-flight requests drain (so
+        none hang on an undrained queue), forcing the close at grace_s."""
+        def closer():
+            deadline = time.monotonic() + grace_s
+            while not batcher.idle() and time.monotonic() < deadline:
+                time.sleep(0.05)
+            batcher.close()
+        threading.Thread(target=closer, daemon=True).start()
+
     def reload_index(self, index_path: Optional[str] = None) -> None:
         with self._reload_lock:
             path = index_path or self.index_path
             index = EmbeddingIndex.load(path)
             kwargs = dict(self._service_kwargs)
-            old = self.service
+            old, old_batcher = self._serving
             # rebuild aux indexes for the NEW catalog (never load a cache
             # built for the old one); recover build params from the running
             # service when config only had a prebuilt path
-            ivf_path = kwargs.pop("ivf_index_path", None)
-            pq_path = kwargs.pop("pq_index_path", None)
+            ivf_path = _npz_path(kwargs.pop("ivf_index_path", None))
+            pq_path = _npz_path(kwargs.pop("pq_index_path", None))
             if ivf_path and not kwargs.get("ivf_clusters"):
                 # derive ONCE and persist: old.ivf.n_clusters is the
                 # POST-split count when ivf_max_cell is set, so re-deriving
@@ -627,16 +728,26 @@ class RetrievalHTTPServer(ThreadingHTTPServer):
                 service.ivf.save(ivf_path)
             if pq_path and service.pq is not None:
                 service.pq.save(pq_path)
+            # surface silently-changing aux geometry: params that a
+            # prebuilt cache overrode at startup take effect now
+            if (old.pq is not None and service.pq is not None
+                    and (old.pq.n_subspaces != service.pq.n_subspaces
+                         or old.pq.n_codes != service.pq.n_codes)):
+                log.warning("reload changed pq S=%d C=%d -> S=%d C=%d",
+                            old.pq.n_subspaces, old.pq.n_codes,
+                            service.pq.n_subspaces, service.pq.n_codes)
+            if (old.ivf is not None and service.ivf is not None
+                    and old.ivf.n_clusters != service.ivf.n_clusters):
+                log.warning("reload changed ivf C=%d -> C=%d",
+                            old.ivf.n_clusters, service.ivf.n_clusters)
             batcher = (QueryBatcher(service, max_wait_ms=self._max_wait_ms)
                        if self._coalesce else None)
-            old_batcher = self.batcher
-            # atomic swap: handlers read these per request
-            self.service = service
-            self.batcher = batcher
+            # ONE-attribute swap: handlers read the pair atomically
+            self._serving = (service, batcher)
             self.index_path = path
             self.reloads += 1
             if old_batcher is not None:
-                old_batcher.close()
+                self._retire_batcher(old_batcher)
             log.info("reloaded %s: %d items (dim %d)", path, len(index),
                      service.dim)
 
@@ -658,7 +769,8 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           pq_oversample: int = 64,
           pq_rotate: bool = False,
           pq_index_path: Optional[str] = None,
-          n_model_shards: Optional[int] = None) -> ThreadingHTTPServer:
+          n_model_shards: Optional[int] = None,
+          admin_token: Optional[str] = None) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
 
     Call ``.serve_forever()`` to block, or run it in a thread for tests.
@@ -695,8 +807,15 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
     batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
     httpd = RetrievalHTTPServer((host, port), _Handler)
     httpd._configure(index_path, service_kwargs, coalesce, max_wait_ms)
-    httpd.service = service  # exposed for tests/tools; swapped by reload
-    httpd.batcher = batcher
+    # the pair is one attribute (atomic reload swap); .service/.batcher
+    # read-only properties expose it for tests/tools
+    httpd._serving = (service, batcher)
+    # /admin/* auth: reload loads an arbitrary npz path and triggers
+    # device-heavy rebuilds — REQUIRED when binding beyond localhost
+    httpd.admin_token = admin_token
+    if host not in ("127.0.0.1", "localhost", "::1") and not admin_token:
+        log.warning("serving on %s without --admin_token: /admin/reload is "
+                    "open to any client that can reach this port", host)
     log.info("serving %d items (dim %d) on %s:%d", len(index), service.dim,
              host, port)
     return httpd
@@ -759,6 +878,11 @@ def main(argv=None):
                    help="path to a prebuilt PQ codebook (.npz): loaded if "
                         "present, else built from --pq_subspaces and saved "
                         "here so restarts skip codebook training")
+    p.add_argument("--admin_token", default="",
+                   help="require this X-Admin-Token header on /admin/* "
+                        "(reload loads arbitrary npz paths and triggers "
+                        "device-heavy rebuilds — set it whenever --host "
+                        "is not localhost)")
     p.add_argument("--n_model_shards", type=int, default=0,
                    help="shard the catalog's rows over this many devices "
                         "on the mesh's model axis (serve catalogs beyond "
@@ -795,7 +919,8 @@ def main(argv=None):
           pq_oversample=args.pq_oversample,
           pq_rotate=args.pq_rotate,
           pq_index_path=args.pq_index or None,
-          n_model_shards=args.n_model_shards or None).serve_forever()
+          n_model_shards=args.n_model_shards or None,
+          admin_token=args.admin_token or None).serve_forever()
 
 
 if __name__ == "__main__":

@@ -1,4 +1,5 @@
 import json
+import os
 import threading
 import urllib.error
 import urllib.request
@@ -515,3 +516,74 @@ def test_batch_vectors_query(index):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+def test_admin_token_gates_reload(index, tmp_path):
+    _, path = index
+    httpd = serve(path, port=0, max_k=5, max_batch=2, coalesce=False,
+                  admin_token="sekrit")
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload", data=b"{}")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 403
+        # /v1/topk stays open
+        ok = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "item3", "k": 2}).encode())
+        urllib.request.urlopen(ok, timeout=30).read()
+        # correct header passes
+        good = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload", data=b"{}",
+            headers={"X-Admin-Token": "sekrit"})
+        with urllib.request.urlopen(good, timeout=120) as r:
+            assert json.loads(r.read())["status"] == "ok"
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_pq_cache_path_without_npz_suffix_still_caches(index, tmp_path):
+    """np.savez appends .npz; the restart exists()-check must look for what
+    save() actually wrote (review finding: suffixless --pq_index retrained
+    every restart)."""
+    idx, _ = index
+    raw = str(tmp_path / "book")  # no .npz
+    svc = RetrievalService(idx, max_k=5, max_batch=2, pq_subspaces=4,
+                           pq_codes=16, pq_index_path=raw)
+    assert os.path.exists(raw + ".npz")
+    svc2 = RetrievalService(idx, max_k=5, max_batch=2, pq_index_path=raw)
+    np.testing.assert_array_equal(svc2.pq.codes, svc.pq.codes)
+
+
+def test_batcher_close_fails_stragglers_instead_of_hanging(index):
+    """submit() racing a close() must raise QueryBatcher.Closed (or finish
+    normally) — never block forever on an undrained queue."""
+    from esrecsys_tpu.serving.server import QueryBatcher
+
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=5, max_batch=4)
+    batcher = QueryBatcher(svc, max_wait_ms=1.0)
+    results = []
+
+    def worker():
+        try:
+            results.append(("ok", batcher.submit(idx.vector("item1"), 3)))
+        except QueryBatcher.Closed as e:
+            results.append(("closed", e))
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    batcher.close()
+    for t in threads:
+        t.join(timeout=30)
+        assert not t.is_alive(), "submit hung across close()"
+    assert len(results) == 6
+    assert batcher.idle()
+    # post-close submits raise immediately
+    with pytest.raises(QueryBatcher.Closed):
+        batcher.submit(idx.vector("item1"), 3)
