@@ -27,10 +27,16 @@ a dependency-free HTTP service over the TPU retrieval path:
                                        "uptime_s", ...} (observability)
       POST /v1/topk                 → body {"vector": [...] | "id": "..." |
                                            "text": "..." |
-                                           "image_key": "...", "k": 10}
+                                           "image_key": "...", "k": 10,
+                                           "exclude": ["id", ...]}  (opt.)
                                     → {"ids": [...], "scores": [...]}
                                     batch: {"vectors": [[...], ...]}
                                     → {"ids": [[...], ...], "scores": ...}
+                                    "exclude" drops already-seen catalog
+                                    items (the playlist's own tracks; the
+                                    query item on id queries) via a host
+                                    post-filter over an over-fetched
+                                    top-(k+E) — requires k+E <= max_k
       POST /admin/reload            → body {"index": "path.npz"} (optional;
                                       defaults to the serving index path) —
                                       zero-downtime hot swap to a freshly
@@ -45,7 +51,7 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -362,10 +368,42 @@ class RetrievalService:
             return "int8+approx" if self.approx else "int8"
         return "approx" if self.approx else "exact"
 
-    def topk(self, vectors: np.ndarray, k: Optional[int] = None
+    def exclusion_budget(self, k: int, exclude) -> int:
+        """Validate an exclusion list against the compiled top-k width.
+
+        Exclusion is a host-side post-filter over an over-fetched top-k
+        (the compiled query path stays fixed-shape at ``max_k``), so k
+        results can only be guaranteed when ``k + len(exclude)`` fits in
+        one device answer. Returns the over-fetch width to request."""
+        budget = k + len(set(exclude))
+        if budget > self.max_k:
+            raise ValueError(
+                f"k={k} + {len(set(exclude))} excluded ids exceeds "
+                f"max_k={self.max_k}: raise --max_k or shrink the "
+                "exclusion list")
+        return budget
+
+    @staticmethod
+    def _filter_excluded(ids_row, scores_row, exclude: frozenset, k: int):
+        """Drop excluded ids from one over-fetched result row, keep k."""
+        keep = [j for j, x in enumerate(ids_row) if x not in exclude][:k]
+        return ids_row[keep], scores_row[keep]
+
+    def topk(self, vectors: np.ndarray, k: Optional[int] = None,
+             exclude: Optional[Sequence[str]] = None
              ) -> Tuple[np.ndarray, np.ndarray]:
-        """(B, D) query vectors → (ids (B, k) of str, scores (B, k))."""
+        """(B, D) query vectors → (ids (B, k) of str, scores (B, k)).
+
+        ``exclude``: catalog ids to drop from every row (e.g. tracks
+        already in the playlist, the query item itself). Ids not in the
+        catalog count against the ``k + len(exclude) <= max_k`` budget but
+        otherwise no-op, so "recently seen" lists may safely contain
+        off-catalog items. Filtering happens on host over an over-fetched
+        top-(k+E): the compiled device query keeps its one static shape.
+        """
         k = self.max_k if k is None else min(k, self.max_k)
+        fetch = k if not exclude else self.exclusion_budget(k, exclude)
+        excl = frozenset(exclude) if exclude else frozenset()
         q = np.atleast_2d(np.asarray(vectors, np.float32))
         if q.shape[1] != self._dim:
             raise ValueError(f"query dim {q.shape[1]} != index dim {self._dim}")
@@ -379,16 +417,26 @@ class RetrievalService:
                 self.queries += chunk.shape[0]
                 vals, idxs = jax.device_get(
                     self._query(jnp.asarray(padded), self._items))
-            out_v.append(vals[: chunk.shape[0], :k])
-            out_i.append(idxs[: chunk.shape[0], :k])
+            out_v.append(vals[: chunk.shape[0], :fetch])
+            out_i.append(idxs[: chunk.shape[0], :fetch])
         vals = np.concatenate(out_v, axis=0)
         idxs = np.concatenate(out_i, axis=0)
         ids = np.asarray(self.index.ids, dtype=object)[idxs]
+        if excl:
+            rows = [self._filter_excluded(ids[b], vals[b], excl, k)
+                    for b in range(ids.shape[0])]
+            ids = np.stack([r[0] for r in rows])
+            vals = np.stack([r[1] for r in rows])
         return ids, vals
 
-    def topk_by_id(self, item_id: str, k: Optional[int] = None):
-        """Item-to-item: query with a catalog item's own vector."""
-        ids, vals = self.topk(self.index.vector(item_id)[None, :], k)
+    def topk_by_id(self, item_id: str, k: Optional[int] = None,
+                   exclude: Optional[Sequence[str]] = None):
+        """Item-to-item: query with a catalog item's own vector.
+
+        Pass ``exclude=[item_id]`` to drop the query item from its own
+        results (it otherwise ranks first by construction)."""
+        ids, vals = self.topk(self.index.vector(item_id)[None, :], k,
+                              exclude=exclude)
         return ids[0], vals[0]
 
     def encode(self, kind: str, payload) -> np.ndarray:
@@ -424,21 +472,30 @@ class QueryBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, vector: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Blocking: one (D,) query → (ids (k,), scores (k,))."""
+    def submit(self, vector: np.ndarray, k: int,
+               exclude: Optional[Sequence[str]] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking: one (D,) query → (ids (k,), scores (k,)).
+
+        ``exclude`` rides per-request through a coalesced batch: the
+        dispatcher over-fetches to the batch's largest k+E budget and
+        filters each slot on host."""
         vec = np.asarray(vector, np.float32)
         if vec.shape != (self.service.dim,):
             # validate BEFORE enqueueing: a malformed query must fail alone,
             # not poison the whole coalesced batch it would ride in
             raise ValueError(
                 f"query shape {vec.shape} != ({self.service.dim},)")
+        # budget check up front too, for the same poison-isolation reason
+        excl = frozenset(exclude) if exclude else frozenset()
+        fetch = self.service.exclusion_budget(k, excl) if excl else k
         with self._state_lock:
             if self._closed:
                 raise QueryBatcher.Closed("batcher closed (hot reload)")
             self._inflight += 1
         try:
             done = threading.Event()
-            slot: dict = {"k": k}
+            slot: dict = {"k": k, "exclude": excl, "fetch": fetch}
             self._q.put((vec, done, slot))
             done.wait()
         finally:
@@ -497,11 +554,13 @@ class QueryBatcher:
     def _finish(self, batch) -> None:
         try:
             vecs = np.stack([b[0] for b in batch])
-            kmax = max(b[2]["k"] for b in batch)
+            kmax = max(b[2]["fetch"] for b in batch)
             ids, scores = self.service.topk(vecs, kmax)
             for i, (_, done, slot) in enumerate(batch):
-                slot["ids"] = ids[i, : slot["k"]]
-                slot["scores"] = scores[i, : slot["k"]]
+                row_ids, row_scores = RetrievalService._filter_excluded(
+                    ids[i], scores[i], slot["exclude"], slot["k"])
+                slot["ids"] = row_ids
+                slot["scores"] = row_scores
                 done.set()
         except Exception as e:  # propagate to every waiter
             for _, done, slot in batch:
@@ -578,17 +637,27 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(length) or b"{}")
             k = int(req.get("k", service.max_k))
+            # "exclude": catalog ids dropped from the results (items the
+            # user already has — e.g. the playlist's own tracks, or the
+            # query item itself on id queries). k + len(exclude) must fit
+            # the compiled top-k width (max_k); off-catalog ids no-op.
+            exclude = req.get("exclude", [])
+            if not (isinstance(exclude, list)
+                    and all(isinstance(x, str) for x in exclude)):
+                self._send(400, {"error": "'exclude' must be a list of "
+                                          "catalog id strings"})
+                return
             # batch form: "vectors" = list of query vectors, answered in
             # one service call (bulk/offline scoring; bypasses the
             # single-query coalescer, which exists for the concurrent-
-            # singles pattern)
+            # singles pattern); "exclude" applies to every row
             if "vectors" in req:
                 vecs = np.asarray(req["vectors"], np.float32)
                 if vecs.ndim != 2:
                     self._send(400, {"error": "'vectors' must be a list "
                                               "of equal-length vectors"})
                     return
-                ids_b, scores_b = service.topk(vecs, k)
+                ids_b, scores_b = service.topk(vecs, k, exclude=exclude)
                 self._send(200, {
                     "ids": [[str(x) for x in row] for row in ids_b],
                     "scores": [[float(v) for v in row]
@@ -610,18 +679,20 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if batcher is not None:
                 try:
-                    ids, scores = batcher.submit(vec, k)
+                    ids, scores = batcher.submit(vec, k, exclude=exclude)
                 except QueryBatcher.Closed:
                     # a reload retired the batcher between our pair-read
                     # and the submit — retry once on the current pair
                     service, batcher = self.server.serving
                     if batcher is not None:
-                        ids, scores = batcher.submit(vec, k)
+                        ids, scores = batcher.submit(vec, k, exclude=exclude)
                     else:
-                        ids2, scores2 = service.topk(vec[None, :], k)
+                        ids2, scores2 = service.topk(vec[None, :], k,
+                                                     exclude=exclude)
                         ids, scores = ids2[0], scores2[0]
             else:
-                ids2, scores2 = service.topk(vec[None, :], k)
+                ids2, scores2 = service.topk(vec[None, :], k,
+                                             exclude=exclude)
                 ids, scores = ids2[0], scores2[0]
             self._send(200, {"ids": [str(x) for x in ids],
                              "scores": [float(s) for s in scores]})

@@ -587,3 +587,137 @@ def test_batcher_close_fails_stragglers_instead_of_hanging(index):
     # post-close submits raise immediately
     with pytest.raises(QueryBatcher.Closed):
         batcher.submit(idx.vector("item1"), 3)
+
+
+def test_exclude_filters_results_and_ignores_offcatalog_ids(index):
+    """exclude=[ids] drops those ids and returns the top-k of what remains
+    — equal to a brute-force top-k computed over the catalog minus the
+    excluded rows. Off-catalog ids in the list no-op (seen-lists may hold
+    items that never made the catalog)."""
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=20, max_batch=4)
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    # exclude each query's own top-2 so the filter provably bites
+    ref = q @ idx.vectors.T
+    top2 = {idx.ids[j] for b in range(3) for j in np.argsort(-ref[b])[:2]}
+    exclude = sorted(top2) + ["never-in-catalog"]
+    ids, scores = svc.topk(q, k=5, exclude=exclude)
+    assert ids.shape == (3, 5)
+    excl = set(exclude)
+    for b in range(3):
+        assert not (set(ids[b]) & excl)
+        want_rows = [j for j in np.argsort(-ref[b])
+                     if idx.ids[j] not in excl][:5]
+        assert [idx.ids.index(x) for x in ids[b]] == want_rows
+        np.testing.assert_allclose(scores[b], ref[b][want_rows], rtol=1e-5)
+
+
+def test_exclude_budget_enforced(index):
+    """k + len(exclude) beyond the compiled top-k width must fail loudly
+    (k results can no longer be guaranteed), not silently under-fill."""
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=6, max_batch=2)
+    with pytest.raises(ValueError, match="max_k"):
+        svc.topk(idx.vector("item0")[None], k=5,
+                 exclude=["item1", "item2"])  # 5 + 2 > 6
+    # duplicate ids count once
+    ids, _ = svc.topk(idx.vector("item0")[None], k=5,
+                      exclude=["item0", "item0"])
+    assert "item0" not in set(ids[0])
+
+
+def test_exclude_self_on_id_query_http(index):
+    """HTTP id-query excluding itself: the query item (always rank 1 by
+    construction) is dropped; the coalesced-batcher path applies the
+    per-request filter."""
+    _, path = index
+    httpd = serve(path, port=0, max_k=10, max_batch=4)  # coalesce on
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = {"id": "item3", "k": 4, "exclude": ["item3"]}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps(body).encode())
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert len(out["ids"]) == 4 and "item3" not in out["ids"]
+        # same query unexcluded ranks item3 first; the rest line up
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "item3", "k": 5}).encode())
+        with urllib.request.urlopen(req) as r:
+            raw = json.loads(r.read())
+        assert raw["ids"][0] == "item3" and raw["ids"][1:5] == out["ids"]
+
+        # batch form: one exclude list applies to every row
+        vecs = [httpd.service.index.vector(f"item{i}").tolist()
+                for i in (1, 2)]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"vectors": vecs, "k": 3,
+                             "exclude": ["item1", "item2"]}).encode())
+        with urllib.request.urlopen(req) as r:
+            out_b = json.loads(r.read())
+        for row in out_b["ids"]:
+            assert len(row) == 3
+            assert not ({"item1", "item2"} & set(row))
+
+        # malformed exclude -> 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "item3", "exclude": [1, 2]}).encode())
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # over-budget exclude -> 400 (k=max_k leaves no filter headroom)
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "item3", "k": 10,
+                             "exclude": ["item3"]}).encode())
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_batcher_mixed_exclusions_in_one_batch(index):
+    """Different per-request exclusion lists coalesced into ONE dispatch
+    each get their own correctly filtered top-k."""
+    from esrecsys_tpu.serving.server import QueryBatcher
+
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=12, max_batch=8)
+    batcher = QueryBatcher(svc, max_wait_ms=50.0)
+    rng = np.random.default_rng(11)
+    queries = rng.normal(size=(4, 16)).astype(np.float32)
+    ref = queries @ idx.vectors.T
+    # request i excludes its own top-i items (i=0 excludes nothing)
+    excludes = [[idx.ids[j] for j in np.argsort(-ref[i])[:i]]
+                for i in range(4)]
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = batcher.submit(queries[i], k=4, exclude=excludes[i])
+
+    before = svc.device_calls
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    batcher.close()
+    assert svc.device_calls - before < 4  # they did coalesce
+    for i, (ids, scores) in enumerate(results):
+        excl = set(excludes[i])
+        want = [j for j in np.argsort(-ref[i]) if idx.ids[j] not in excl][:4]
+        assert [idx.ids.index(x) for x in ids] == want
+        np.testing.assert_allclose(scores, ref[i][want], rtol=1e-5)
