@@ -221,3 +221,54 @@ def run_sweep(
             break
     log.info("sweep best: %s", best)
     return {"best": best, "runs": runs}
+
+
+_WORKLOADS = {
+    "glove": ("esrecsys_tpu.workloads.glove", "GloveConfig"),
+    "playlist": ("esrecsys_tpu.workloads.playlist", "PlaylistConfig"),
+    "stl": ("esrecsys_tpu.workloads.stl", "STLConfig"),
+    "txt2url": ("esrecsys_tpu.workloads.txt2url", "Txt2UrlConfig"),
+}
+
+
+def main(argv=None):
+    """CLI: run a sweep spec against a workload.
+
+    ::
+
+        python -m esrecsys_tpu.tools.sweep --spec sweep.yaml --workload stl \\
+            --out_dir /tmp/stl_sweep  [plus any workload flags as base config]
+
+    Replaces the reference's ``wandb sweep sweep.yaml`` + ``wandb agent``
+    pair (pinterest/README.md:91-98, pinterest/sweep.yaml:1-14): the spec
+    file is read unmodified (yaml or json), runs execute locally in
+    sequence, each run trains under ``out_dir/runNNN``, and the summary
+    (best config + all runs) lands in ``out_dir/sweep.json``.
+    """
+    import argparse
+    import importlib
+
+    logging.basicConfig(level=logging.INFO, force=True)
+    from esrecsys_tpu.axon_preflight import warn_cpu_fallback
+
+    warn_cpu_fallback(log)
+    p = argparse.ArgumentParser(description="local sweep runner")
+    p.add_argument("--spec", required=True,
+                   help="sweep spec path (.yaml/.yml/.json, wandb format)")
+    p.add_argument("--workload", required=True, choices=sorted(_WORKLOADS))
+    p.add_argument("--out_dir", default="",
+                   help="sweep output dir (default: <base work_dir>/sweep)")
+    ns, rest = p.parse_known_args(argv)
+
+    mod_name, cfg_name = _WORKLOADS[ns.workload]
+    mod = importlib.import_module(mod_name)
+    base_cfg = config_lib.from_cli(getattr(mod, cfg_name), rest)
+    spec = SweepSpec.load(ns.spec)
+    out_dir = ns.out_dir or os.path.join(getattr(base_cfg, "work_dir", "/tmp"), "sweep")
+    result = run_sweep(spec, base_cfg, mod.train, out_dir)
+    print(json.dumps(result["best"]))
+    return result
+
+
+if __name__ == "__main__":
+    main()

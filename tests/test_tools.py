@@ -263,3 +263,47 @@ def test_retrieval_quality_study_artifact_mode(tmp_path):
         d = json.load(f)["artifact"]
     assert d["n_items"] == 600
     assert d["ivf"]["curve"][0]["recall@10"] == 1.0  # nprobe == n_clusters
+
+
+def test_sweep_cli_end_to_end_glove(tmp_path):
+    """python -m esrecsys_tpu.tools.sweep drives a real workload train():
+    spec file + workload flags in, ranked sweep.json out."""
+    from esrecsys_tpu.data import recordio
+    from esrecsys_tpu.data.protos import CooccurrenceRow
+    from esrecsys_tpu.data.vocab import Vocabulary, VocabEntry
+
+    rng = np.random.default_rng(0)
+    shards = tmp_path / "cooc"
+    shards.mkdir()
+    rows = [CooccurrenceRow(index=int(rng.integers(1, 20)),
+                            other_index=[int(rng.integers(1, 20))],
+                            count=[float(rng.random() + 0.1)])
+            for _ in range(64)]
+    recordio.write_protos(str(shards / "part-00000.bz2"), rows)
+    Vocabulary([VocabEntry(token=f"t{i}", frequency=50 - i)
+                for i in range(20)]).save(str(tmp_path / "dict.json"))
+
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps({
+        "method": "grid",
+        "metric": {"name": "eval_loss", "goal": "minimize"},
+        "parameters": {"learning_rate": {"values": [1e-3, 1e-2]}},
+    }))
+    out_dir = tmp_path / "sweep_out"
+    result = sweep_lib.main([
+        "--spec", str(spec_path), "--workload", "glove",
+        "--out_dir", str(out_dir),
+        "--train_pattern", str(shards / "part-*.bz2"),
+        "--token_dictionary", str(tmp_path / "dict.json"),
+        "--work_dir", str(tmp_path / "base"),
+        "--feature_size", "4", "--batch_size", "8",
+        "--steps_per_epoch", "3", "--num_epochs", "1",
+        "--eval_steps", "1", "--shuffle_buffer_size", "0",
+        "--terms", "",
+    ])
+    saved = json.loads((out_dir / "sweep.json").read_text())
+    assert len(saved["runs"]) == 2
+    assert saved["best"]["eval_loss"] == min(r["eval_loss"] for r in saved["runs"])
+    assert result["best"]["overrides"]["learning_rate"] in (1e-3, 1e-2)
+    # each run trained in its own work_dir under out_dir
+    assert (out_dir / "run000" / "metrics.jsonl").exists()
