@@ -242,6 +242,7 @@ def ivf_topk(
     nprobe: int,
     q_items: Optional[jax.Array] = None,     # (M, D) int8: int8 probe scan
     item_scales: Optional[jax.Array] = None,  # (M,) f32
+    rescore_scales: Optional[jax.Array] = None,  # (M,): items is int8
 ) -> Tuple[jax.Array, jax.Array]:
     """Probe the ``nprobe`` best cells per query, exact top-k within them.
 
@@ -252,6 +253,11 @@ def ivf_topk(
     the final k are rescored from ``items`` — selection error is bounded by
     int8 rounding exactly as in
     :func:`~esrecsys_tpu.retrieval.mips.quantized_topk_over_matrix`.
+
+    With ``rescore_scales`` (requires ``q_items``), ``items`` is the int8
+    catalog itself (pass ``items=q_items``) and the final-k rescore
+    dequantizes — no f32 catalog resident; the unquantized query side
+    still sharpens phase-1 scores (see quantized_topk_over_matrix).
 
     Recall is governed by ``nprobe``: items whose cell the query does not
     probe are unreachable (that is the sublinear trade; measured curves in
@@ -281,7 +287,11 @@ def ivf_topk(
     idxs = jnp.take_along_axis(cand, sel, axis=-1)
     if q_items is not None:
         # exact rescore of the selected k only, then re-sort
-        rows = jnp.take(items, jnp.maximum(idxs, 0), axis=0)
+        safe_k = jnp.maximum(idxs, 0)
+        rows = jnp.take(items, safe_k, axis=0)
+        if rescore_scales is not None:
+            rows = rows.astype(jnp.float32) * jnp.take(
+                rescore_scales, safe_k, axis=0)[..., None]
         rv = jnp.einsum("bd,bnd->bn", qf, rows,
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
@@ -295,13 +305,14 @@ def ivf_pq_topk(
     queries: jax.Array,       # (B, D)
     centroids: jax.Array,     # (C, D) coarse probe centroids
     bucket_ids: jax.Array,    # (C, L) int32, pad -1
-    items: jax.Array,         # (M, D) full-precision rescore catalog
+    items: jax.Array,         # (M, D) full-precision OR int8 rescore catalog
     k: int,
     nprobe: int,
     pq_centroids: jax.Array,  # (S, Cc, Ds) f32 (retrieval/pq.py codebooks)
     pq_codes: jax.Array,      # (M, S) uint8
     oversample: int = 4,
     rotation: Optional[jax.Array] = None,
+    item_scales: Optional[jax.Array] = None,  # (M,) f32: items is int8
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF-PQ: sublinear probe + compressed candidate scoring + exact
     rescore — the standard big-catalog composition (inverted file over PQ
@@ -319,6 +330,11 @@ def ivf_pq_topk(
     oversample covering ``nprobe·L`` recovers the exact result (tested).
 
     ``rotation`` must be the codebook's pre-rotation when one was trained.
+    With ``item_scales``, ``items`` is the int8 catalog from
+    :func:`~esrecsys_tpu.retrieval.mips.quantize_rows` and the rescore
+    dequantizes the gathered candidates — the resident catalog then costs
+    S+D+4 bytes/item instead of S+4·D, with ≤ 0.4%-of-row-max int8
+    rounding in the returned scores (see pq.pq_topk ``rescore_scales``).
     """
     from esrecsys_tpu.retrieval.pq import adc_lut  # lazy: pq imports ivf
 
@@ -339,7 +355,11 @@ def ivf_pq_topk(
     n_cand = min(max(oversample * k, k), nprobe * l)
     adc_vals, sel = jax.lax.top_k(s, n_cand)
     idxs = jnp.take_along_axis(cand, sel, axis=-1)
-    rows = jnp.take(items, jnp.maximum(idxs, 0), axis=0)  # (B, n_cand, D)
+    safe_idx = jnp.maximum(idxs, 0)
+    rows = jnp.take(items, safe_idx, axis=0)  # (B, n_cand, D)
+    if item_scales is not None:
+        rows = rows.astype(jnp.float32) * jnp.take(
+            item_scales, safe_idx, axis=0)[..., None]
     rv = jnp.einsum("bd,bnd->bn", qf, rows,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)

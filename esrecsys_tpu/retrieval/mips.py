@@ -288,7 +288,7 @@ def approx_topk_over_matrix(
 def _streamed_candidate_topk(
     score_block_fn: Callable[[jax.Array], jax.Array],
     queries: jax.Array,        # (B, D)
-    rescore_items: jax.Array,  # (>=num_items, D) full-precision rows
+    rescore_items: jax.Array,  # (>=num_items, D) full-precision OR int8 rows
     num_items: int,
     k: int,
     block: int,
@@ -296,6 +296,7 @@ def _streamed_candidate_topk(
     kb: int,
     select: str,
     recall_target: float,
+    rescore_scales: Optional[jax.Array] = None,  # (>=num_items,) f32
 ) -> Tuple[jax.Array, jax.Array]:
     """Shared two-phase skeleton for the approx and quantized scans.
 
@@ -306,6 +307,12 @@ def _streamed_candidate_topk(
     all ``nblk*kb`` candidates from ``rescore_items`` at
     ``Precision.HIGHEST`` and returns the final top-k, so returned scores
     are exact for the returned indices whatever phase 1's precision.
+
+    With ``rescore_scales``, ``rescore_items`` holds int8 rows
+    (:func:`quantize_rows` output) and the gathered candidates are
+    dequantized before the rescore — the rescore catalog then costs D
+    bytes/item instead of 4·D, at the price of int8 rounding (≤ 0.4% of
+    the row max) in the returned scores/ranking.
 
     Indices at -inf slots (k exceeds the real candidates) are sanitized to
     0 so callers can always use them to index id arrays.
@@ -323,7 +330,11 @@ def _streamed_candidate_topk(
 
     _, cand = jax.lax.scan(body, (), jnp.arange(nblk))  # (nblk, B, kb)
     cand = jnp.moveaxis(cand, 0, -2).reshape(queries.shape[:-1] + (nblk * kb,))
-    rows = jnp.take(rescore_items, jnp.minimum(cand, num_items - 1), axis=0)
+    safe = jnp.minimum(cand, num_items - 1)
+    rows = jnp.take(rescore_items, safe, axis=0)
+    if rescore_scales is not None:
+        rows = rows.astype(jnp.float32) * jnp.take(
+            rescore_scales, safe, axis=0)[..., None]
     cs = jnp.einsum("bd,bnd->bn", queries.astype(jnp.float32), rows,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
@@ -349,8 +360,25 @@ def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     is 0.5/127 ≈ 0.4% of the row's largest component.
     """
     x = x.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-30) / 127.0
+    # explicit reciprocal multiply (not /127): XLA lowers division that way
+    # anyway, and spelling it out keeps quantize_rows_np bit-identical
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-30) * (1.0 / 127.0)
     q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_rows_np(x) -> Tuple["np.ndarray", "np.ndarray"]:
+    """Host-side twin of :func:`quantize_rows` — bit-identical output
+    (same scale clamp, same half-to-even rounding, same clip range),
+    pinned equal by tests/test_quantized_mips.py. For paths that must
+    quantize WITHOUT uploading the f32 matrix to the device first
+    (serving's ``rescore_int8`` cold start with prebuilt aux caches)."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    scale = (np.maximum(np.max(np.abs(x), axis=-1), np.float32(1e-30))
+             * np.float32(1.0 / 127.0))
+    q = np.clip(np.rint(x / scale[..., None]), -127, 127).astype(np.int8)
     return q, scale
 
 
@@ -358,13 +386,14 @@ def quantized_topk_over_matrix(
     queries: jax.Array,        # (B, D) float
     q_items: jax.Array,        # (M, D) int8 (quantize_rows output)
     item_scales: jax.Array,    # (M,) f32
-    rescore_items: jax.Array,  # (M, D) float — full-precision catalog
+    rescore_items: jax.Array,  # (M, D) float catalog — or int8, see below
     k: int,
     block_size: int = 262_144,
     per_block_k: Optional[int] = None,
     select: str = "exact",
     recall_target: float = 0.95,
     oversample: int = 4,
+    rescore_scales: Optional[jax.Array] = None,  # (M,): rescore_items is int8
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming top-k scoring the catalog in int8, exact rescore on top.
 
@@ -386,6 +415,12 @@ def quantized_topk_over_matrix(
     ``select="approx"`` uses hardware ``approx_max_k`` on the int8 scores
     (both levers compose: int8 cuts scan traffic, approx cuts selection
     cost — the serving knobs ``quantized`` and ``approx`` map here).
+
+    With ``rescore_scales``, pass ``rescore_items=q_items`` and no f32
+    catalog need be resident at all: the rescore dequantizes the gathered
+    candidates and scores them against the UNQUANTIZED query, which still
+    removes phase 1's query-side rounding (phase 1 quantizes both sides) —
+    only item-side int8 rounding remains in the returned scores.
 
     No reference counterpart (the reference scores full f32 matrices —
     pinterest/make_recommendations.py:49-65); this is a serving-path
@@ -417,7 +452,8 @@ def quantized_topk_over_matrix(
 
     return _streamed_candidate_topk(
         score_block, queries, rescore_items, num_items, k, block, nblk, kb,
-        select=select, recall_target=recall_target)
+        select=select, recall_target=recall_target,
+        rescore_scales=rescore_scales)
 
 
 def sharded_topk_over_matrix(

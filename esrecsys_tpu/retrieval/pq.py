@@ -167,6 +167,7 @@ def pq_topk(
     per_block_k: Optional[int] = None,
     oversample: int = 64,
     rotation: Optional[jax.Array] = None,
+    rescore_scales: Optional[jax.Array] = None,  # (M,): rescore_items is int8
 ) -> Tuple[jax.Array, jax.Array]:
     """ADC top-k over PQ codes, with an optional exact candidate rescore.
 
@@ -180,6 +181,14 @@ def pq_topk(
     was trained (codes live in rotated space; queries are rotated here;
     ``rescore_items`` stays in the ORIGINAL space — dots are
     rotation-invariant).
+
+    With ``rescore_scales``, ``rescore_items`` is the int8 catalog from
+    :func:`~esrecsys_tpu.retrieval.mips.quantize_rows` — the resident
+    rescore catalog then costs D bytes/item instead of 4·D (S+D+4
+    bytes/item total with the codes), trading ≤ 0.4%-of-row-max int8
+    rounding in the rescore. The middle ground between the exact f32
+    rescore and no rescore at all, for catalogs whose f32 form outgrows
+    HBM but whose int8 form does not.
     """
     s_sub, c, ds = centroids.shape
     b_shape, d = queries.shape[:-1], queries.shape[-1]
@@ -210,7 +219,8 @@ def pq_topk(
     if rescore_items is not None:
         return _streamed_candidate_topk(
             lambda b: score_from(b * block), qf, rescore_items, num_items, k,
-            block, nblk, kb, select="exact", recall_target=0.95)
+            block, nblk, kb, select="exact", recall_target=0.95,
+            rescore_scales=rescore_scales)
 
     # no rescore catalog: the shared streaming top-k over the raw ADC scores
     # (tail masking, -inf padding to k, descending order — mips.chunked_topk)

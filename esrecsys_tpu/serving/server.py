@@ -84,6 +84,7 @@ class RetrievalService:
                  encoders: Optional[Dict[str, Callable]] = None,
                  approx: bool = False, recall_target: float = 0.95,
                  quantized: bool = False,
+                 rescore_int8: bool = False,
                  ivf_clusters: Optional[int] = None, nprobe: int = 8,
                  ivf_iters: int = 20,
                  ivf_max_cell: Optional[int] = None,
@@ -136,6 +137,17 @@ class RetrievalService:
         if (pq_subspaces or pq_index_path) and (approx or quantized):
             raise ValueError("pq is an alternative catalog scan — it does "
                              "not compose with approx/quantized")
+        # rescore_int8=True: the f32 catalog is NOT kept device-resident —
+        # the candidate rescore dequantizes gathered int8 rows instead
+        # (D bytes/item, ≤0.4%-of-row-max rounding in returned scores).
+        # Residency drops to S+D+4 bytes/item (pq modes) or D+4 (int8
+        # modes) vs 4·D+ — the knob that serves catalogs whose f32 form
+        # outgrows HBM. Requires a scan that doesn't read f32 rows itself.
+        if rescore_int8 and not (quantized or pq_subspaces or pq_index_path):
+            raise ValueError(
+                "rescore_int8 drops the resident f32 catalog, so the scan "
+                "must not need it: enable quantized or a pq mode")
+        self.rescore_int8 = rescore_int8
         # n_model_shards=N: catalog rows sharded over the mesh's `model`
         # axis — serving scales past one chip's HBM. Each device scans its
         # local rows (exact), local top-k candidates ride ICI
@@ -149,8 +161,15 @@ class RetrievalService:
             raise ValueError(
                 "n_model_shards serves the exact sharded scan — it does not"
                 " compose with approx/quantized/ivf/pq")
+        import os
+
         ivf_index_path = _npz_path(ivf_index_path)
         pq_index_path = _npz_path(pq_index_path)
+        # One build-vs-load decision per aux structure, shared by the f32
+        # upload gate below and the build branches further down — they must
+        # agree or a skipped upload would feed build(None, ...).
+        ivf_prebuilt = bool(ivf_index_path and os.path.exists(ivf_index_path))
+        pq_prebuilt = bool(pq_index_path and os.path.exists(pq_index_path))
         self.nprobe = nprobe
         self.pq_oversample = pq_oversample
         self.n_model_shards = n_model_shards
@@ -172,20 +191,36 @@ class RetrievalService:
         else:
             self._mesh = None
             self._valid_items = None
-            self._items = _chunked_device_put(index.vectors)  # (N, D) resident
-        self._dim = int(self._items.shape[1])
-        if quantized:
+            # With rescore_int8 and every requested aux structure prebuilt
+            # on disk, the f32 matrix is never uploaded AT ALL (cold start
+            # ships int8 + codes only — catalogs beyond f32-in-HBM scale).
+            # When a build needs it, it is uploaded here and dropped after.
+            f32_needed = (not rescore_int8
+                          or ((ivf_clusters or ivf_index_path)
+                              and not ivf_prebuilt)
+                          or ((pq_subspaces or pq_index_path)
+                              and not pq_prebuilt))
+            self._items = (_chunked_device_put(index.vectors)
+                           if f32_needed else None)  # (N, D) resident
+        self._dim = int(index.vectors.shape[1])
+        if quantized or rescore_int8:
             from esrecsys_tpu.retrieval.mips import quantize_rows
 
-            self._q_items, self._scales = jax.jit(quantize_rows)(self._items)
+            if self._items is not None:
+                self._q_items, self._scales = jax.jit(quantize_rows)(
+                    self._items)
+            else:  # f32 skipped: quantize host-side, upload int8 only
+                from esrecsys_tpu.retrieval.mips import quantize_rows_np
+
+                q8, sc = quantize_rows_np(index.vectors)
+                self._q_items = _chunked_device_put(q8)
+                self._scales = jnp.asarray(sc)
         else:
             self._q_items = self._scales = None
         if ivf_clusters or ivf_index_path:
-            import os
-
             from esrecsys_tpu.retrieval.ivf import IVFIndex
 
-            if ivf_index_path and os.path.exists(ivf_index_path):
+            if ivf_prebuilt:
                 # prebuilt inverted file: restarts skip the k-means build
                 # (the dominant startup cost at flagship scale)
                 self.ivf = IVFIndex.load(ivf_index_path)
@@ -222,11 +257,9 @@ class RetrievalService:
             self.ivf = None
             self._centroids = self._bucket_ids = None
         if pq_subspaces or pq_index_path:
-            import os
-
             from esrecsys_tpu.retrieval.pq import PQCodebook
 
-            if pq_index_path and os.path.exists(pq_index_path):
+            if pq_prebuilt:
                 # prebuilt codebook: restarts skip the S k-means trainings
                 self.pq = PQCodebook.load(pq_index_path)
                 if (self.pq.n_items != len(index)
@@ -267,6 +300,10 @@ class RetrievalService:
         else:
             self.pq = None
             self._pq_centroids = self._pq_codes = self._pq_rot = None
+        if rescore_int8:
+            # builds are done: free the f32 matrix (if it was ever up).
+            # From here the int8 catalog + aux codes are the residency.
+            self._items = None
 
         # The catalog is an ARGUMENT of the jitted query, never a closure:
         # closed-over arrays become compile-time constants, which tunneled
@@ -286,17 +323,22 @@ class RetrievalService:
                     q, items, self.max_k, mesh=self._mesh,
                     block_size=block_size,
                     valid_items=self._valid_items)
+            # rescore_int8: no f32 catalog exists — rescore gathers int8
+            # rows and dequantizes (items arg is None in that case)
+            r8 = self.rescore_int8
             if self.pq is not None and self.ivf is not None:
                 from esrecsys_tpu.retrieval.ivf import ivf_pq_topk
 
                 # IVF-PQ: sublinear probe + S-bytes-per-candidate ADC +
                 # exact rescore of ~oversample*k candidates
-                return ivf_pq_topk(q, centroids, bucket_ids, items,
+                return ivf_pq_topk(q, centroids, bucket_ids,
+                                   q_items if r8 else items,
                                    self.max_k, nprobe=self.nprobe,
                                    pq_centroids=pq_centroids,
                                    pq_codes=pq_codes,
                                    oversample=self.pq_oversample,
-                                   rotation=pq_rot)
+                                   rotation=pq_rot,
+                                   item_scales=scales if r8 else None)
             if self.pq is not None:
                 from esrecsys_tpu.retrieval.pq import pq_topk
 
@@ -306,25 +348,29 @@ class RetrievalService:
                 # ~6k-row rescore); 256 is exact there (BENCHMARKS.md
                 # "PQ quality at MPD scale")
                 return pq_topk(q, pq_centroids, pq_codes, self.max_k,
-                               rescore_items=items,
+                               rescore_items=q_items if r8 else items,
                                block_size=max(block_size, 262_144),
                                oversample=self.pq_oversample,
-                               rotation=pq_rot)
+                               rotation=pq_rot,
+                               rescore_scales=scales if r8 else None)
             if self.ivf is not None:
                 from esrecsys_tpu.retrieval.ivf import ivf_topk
 
-                return ivf_topk(q, centroids, bucket_ids, items, self.max_k,
+                return ivf_topk(q, centroids, bucket_ids,
+                                q_items if r8 else items, self.max_k,
                                 nprobe=self.nprobe, q_items=q_items,
-                                item_scales=scales)
+                                item_scales=scales,
+                                rescore_scales=scales if r8 else None)
             if self.quantized:
                 from esrecsys_tpu.retrieval.mips import (
                     quantized_topk_over_matrix)
 
                 return quantized_topk_over_matrix(
-                    q, q_items, scales, items, self.max_k,
+                    q, q_items, scales, q_items if r8 else items, self.max_k,
                     block_size=max(block_size, 262_144),
                     select="approx" if self.approx else "exact",
-                    recall_target=self.recall_target)
+                    recall_target=self.recall_target,
+                    rescore_scales=scales if r8 else None)
             if self.approx:
                 from esrecsys_tpu.retrieval.mips import approx_topk_over_matrix
 
@@ -349,23 +395,42 @@ class RetrievalService:
         return self._dim
 
     @property
+    def resident_bytes_per_item(self) -> int:
+        """Device bytes held per catalog item by the scan+rescore path
+        (f32 matrix, int8 matrix + scales, IVF slot, PQ codes; excludes
+        catalog-size-independent structures like centroids). Summed over
+        the mesh when sharded. This is the number rescore_int8 shrinks:
+        e.g. D=64 pq S=8 goes 264 → 76."""
+        b = 0
+        if self._items is not None:
+            b += 4 * self._dim
+        if self._q_items is not None:
+            b += self._dim + 4  # int8 row + f32 scale
+        if self.ivf is not None:
+            b += 4  # one int32 bucket slot per item (pre-padding)
+        if self.pq is not None:
+            b += self.pq.bytes_per_item
+        return b
+
+    @property
     def mode(self) -> str:
         """Human-readable name of the active catalog-scan mode."""
+        r8 = "+r8" if self.rescore_int8 else ""  # int8 rescore, f32-free
         if self.n_model_shards:
             return f"sharded:{self.n_model_shards}"
         if self.pq is not None:
             rot = "+rotated" if self.pq.rotation is not None else ""
             pq_part = (f"pq:S={self.pq.n_subspaces}{rot}"
-                       f":oversample={self.pq_oversample}")
+                       f":oversample={self.pq_oversample}{r8}")
             if self.ivf is not None:
                 return (f"ivf:{self.ivf.n_clusters}:nprobe={self.nprobe}"
                         f"+{pq_part}")
             return pq_part
         if self.ivf is not None:
             q8 = "+int8" if self.quantized else ""
-            return f"ivf:{self.ivf.n_clusters}:nprobe={self.nprobe}{q8}"
+            return f"ivf:{self.ivf.n_clusters}:nprobe={self.nprobe}{q8}{r8}"
         if self.quantized:
-            return "int8+approx" if self.approx else "int8"
+            return ("int8+approx" if self.approx else "int8") + r8
         return "approx" if self.approx else "exact"
 
     def exclusion_budget(self, k: int, exclude) -> int:
@@ -598,6 +663,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, {
                 "mode": service.mode,
                 "items": len(service.index),
+                "resident_bytes_per_item": service.resident_bytes_per_item,
                 "index": self.server.index_path,
                 "queries": q,
                 "device_calls": d,
@@ -831,6 +897,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           approx: bool = False,
           recall_target: float = 0.95,
           quantized: bool = False,
+          rescore_int8: bool = False,
           ivf_clusters: Optional[int] = None,
           nprobe: int = 8,
           ivf_max_cell: Optional[int] = None,
@@ -866,6 +933,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                           encoders=encoders, approx=approx,
                           recall_target=recall_target,
                           quantized=quantized,
+                          rescore_int8=rescore_int8,
                           ivf_clusters=ivf_clusters, nprobe=nprobe,
                           ivf_max_cell=ivf_max_cell,
                           ivf_index_path=ivf_index_path,
@@ -913,6 +981,15 @@ def main(argv=None):
     p.add_argument("--quantized", action="store_true",
                    help="int8 catalog scan + exact full-precision rescore "
                         "(4x less HBM traffic; composes with --approx)")
+    p.add_argument("--rescore_int8", action="store_true",
+                   help="drop the resident f32 catalog: the candidate "
+                        "rescore dequantizes int8 rows instead (requires "
+                        "--quantized or a pq mode). Residency falls to "
+                        "S+D+4 bytes/item (pq) or D+4 (int8) vs 4*D+ — "
+                        "serves catalogs whose f32 form outgrows HBM; "
+                        "returned scores carry <=0.4%-of-row-max int8 "
+                        "rounding. With prebuilt --ivf_index/--pq_index "
+                        "caches the f32 matrix is never uploaded at all")
     p.add_argument("--ivf_clusters", type=int, default=0,
                    help="build a k-means inverted file with this many cells "
                         "at startup; probe --nprobe cells per query "
@@ -981,6 +1058,7 @@ def main(argv=None):
           approx=args.approx,
           recall_target=args.recall_target,
           quantized=args.quantized,
+          rescore_int8=args.rescore_int8,
           ivf_clusters=args.ivf_clusters or None,
           nprobe=args.nprobe,
           ivf_max_cell=args.ivf_max_cell or None,

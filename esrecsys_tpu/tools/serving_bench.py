@@ -14,6 +14,9 @@ across the mode lattice:
   pq               product-quantization ADC scan + exact rescore
                    (``--pq_subspaces/--pq_oversample/--pq_rotate``)
   ivf_pq           ivf probe + PQ ADC candidate scoring + exact rescore
+  quantized_r8     int8 scan + int8 rescore — NO resident f32 catalog
+  pq_r8            PQ ADC scan + int8 rescore (S+D+4 bytes/item residency)
+  ivf_pq_r8        ivf probe + PQ ADC + int8 rescore (f32-free sublinear)
 
 reporting, per mode: queries/s (wall, steady-state over ``--queries``
 queries in ``--batch`` chunks), mean overlap@k vs the exact mode on a
@@ -41,7 +44,8 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 MODES = ("exact", "approx", "quantized", "quantized_approx",
-         "ivf", "ivf_quantized", "pq", "ivf_pq")
+         "ivf", "ivf_quantized", "pq", "ivf_pq",
+         "quantized_r8", "pq_r8", "ivf_pq_r8")
 
 
 def make_catalog(n: int, dim: int, structured: bool, seed: int = 0):
@@ -82,6 +86,18 @@ def service_for(mode: str, index, k: int, batch: int, args):
                   pq_subspaces=args.pq_subspaces,
                   pq_oversample=args.pq_oversample,
                   pq_rotate=args.pq_rotate)
+    elif mode == "quantized_r8":
+        kw.update(quantized=True, rescore_int8=True)
+    elif mode == "pq_r8":
+        kw.update(pq_subspaces=args.pq_subspaces,
+                  pq_oversample=args.pq_oversample,
+                  pq_rotate=args.pq_rotate, rescore_int8=True)
+    elif mode == "ivf_pq_r8":
+        kw.update(ivf_clusters=args.ivf_clusters, nprobe=args.nprobe,
+                  ivf_iters=args.ivf_iters,
+                  pq_subspaces=args.pq_subspaces,
+                  pq_oversample=args.pq_oversample,
+                  pq_rotate=args.pq_rotate, rescore_int8=True)
     if mode.startswith("ivf") and args.ivf_max_cell:
         kw.update(ivf_max_cell=args.ivf_max_cell)
     return RetrievalService(index, **kw)
@@ -107,7 +123,8 @@ def bench_mode(mode: str, index, queries: np.ndarray, k: int, args,
         overlap = float(np.mean([
             len(set(ids[b]) & set(exact_ids[b])) / k for b in range(sub)]))
     out = {"mode": mode, "queries_per_s": round(qps, 1),
-           "overlap_vs_exact": overlap, "setup_s": round(setup_s, 2)}
+           "overlap_vs_exact": overlap, "setup_s": round(setup_s, 2),
+           "resident_bytes_per_item": svc.resident_bytes_per_item}
     if mode.startswith("ivf"):
         out["ivf_imbalance"] = round(svc.ivf.imbalance, 2)
         out["ivf_lmax"] = int(svc.ivf.bucket_ids.shape[1])

@@ -404,3 +404,65 @@ def test_ivf_pq_with_rotation_matches_unrotated_quality_shape():
     bvals, bidx = _brute(q, x, 5)
     np.testing.assert_array_equal(np.asarray(idxs), bidx)
     np.testing.assert_allclose(np.asarray(vals), bvals, rtol=1e-5)
+
+
+def test_ivf_pq_int8_rescore_matches_dequantized_brute_force():
+    """item_scales: full probe + covering oversample with an int8 rescore
+    catalog must equal brute force over the DEQUANTIZED catalog — the
+    f32-free residency variant of the factoring invariant."""
+    import jax
+
+    from esrecsys_tpu.retrieval.mips import quantize_rows
+    from esrecsys_tpu.retrieval.pq import PQCodebook
+
+    rng = np.random.default_rng(31)
+    x, _ = _mixture(rng, n_comp=8, per=60, d=16)
+    index = ivf.IVFIndex.build(x, n_clusters=8, iters=8)
+    book = PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8)
+    q8, sc = jax.jit(quantize_rows)(jnp.asarray(x))
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    k = 10
+    pl = index.n_clusters * index.bucket_ids.shape[1]
+    vals, idxs = ivf.ivf_pq_topk(
+        jnp.asarray(q), jnp.asarray(index.centroids),
+        jnp.asarray(index.bucket_ids), q8, k,
+        nprobe=index.n_clusters,
+        pq_centroids=jnp.asarray(book.centroids),
+        pq_codes=jnp.asarray(book.codes),
+        oversample=-(-pl // k),
+        item_scales=sc)
+    deq = np.asarray(q8, np.float32) * np.asarray(sc)[:, None]
+    bvals, bidx = _brute(q, deq, k)
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+    np.testing.assert_allclose(np.asarray(vals), bvals, rtol=1e-4)
+
+
+def test_ivf_topk_int8_rescore_without_f32_catalog():
+    """q_items + rescore_scales with items=q_items: plain-IVF residency
+    drops to int8. Selection is phase-1's (both sides int8), so the test
+    asserts the rescore identity — each returned score is the exact f32
+    dot of the query with the DEQUANTIZED row — plus high overlap with
+    dequantized brute force (only the k-th boundary can wobble)."""
+    import jax
+
+    from esrecsys_tpu.retrieval.mips import quantize_rows
+
+    rng = np.random.default_rng(32)
+    x, _ = _mixture(rng, n_comp=8, per=50, d=16)
+    index = ivf.IVFIndex.build(x, n_clusters=8, iters=8)
+    q8, sc = jax.jit(quantize_rows)(jnp.asarray(x))
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    k = 10
+    vals, idxs = ivf.ivf_topk(
+        jnp.asarray(q), jnp.asarray(index.centroids),
+        jnp.asarray(index.bucket_ids), q8, k,
+        nprobe=index.n_clusters, q_items=q8, item_scales=sc,
+        rescore_scales=sc)
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+    deq = np.asarray(q8, np.float32) * np.asarray(sc)[:, None]
+    for b in range(3):
+        np.testing.assert_allclose(vals[b], q[b] @ deq[idxs[b]].T, rtol=1e-4)
+        assert np.all(np.diff(vals[b]) <= 1e-6)  # descending after re-sort
+    _, bidx = _brute(q, deq, k)
+    ov = np.mean([len(set(idxs[b]) & set(bidx[b])) / k for b in range(3)])
+    assert ov >= 0.9, ov

@@ -186,3 +186,32 @@ def test_rotation_save_load_and_serving_reachable(tmp_path):
     want = np.argsort(-(x @ x[7]))[:5]
     assert list(ids[0]) == [f"r{i}" for i in want]
     np.testing.assert_allclose(scores[0], (x @ x[7])[want], rtol=1e-4)
+
+
+def test_pq_topk_int8_rescore_matches_dequantized_brute_force():
+    """rescore_scales: full-candidate selection + int8 rescore must equal
+    brute force over the DEQUANTIZED catalog (the int8-rescore identity),
+    and stay close to the true f32 ranking (int8 rounding only)."""
+    import jax
+
+    from esrecsys_tpu.retrieval.mips import quantize_rows
+
+    rng = np.random.default_rng(7)
+    x, _ = _mixture(rng, n_comp=8, per=60, d=16)
+    book = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    q8, sc = jax.jit(quantize_rows)(jnp.asarray(x))
+    k = 10
+    vals, idxs = pq.pq_topk(jnp.asarray(q), jnp.asarray(book.centroids),
+                            jnp.asarray(book.codes), k,
+                            rescore_items=q8, rescore_scales=sc,
+                            block_size=128, per_block_k=128)
+    deq = np.asarray(q8, np.float32) * np.asarray(sc)[:, None]
+    bvals, bidx = _brute(q, deq, k)
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+    np.testing.assert_allclose(np.asarray(vals), bvals, rtol=1e-4)
+    # int8 rounding barely moves the ranking vs the true f32 top-k
+    _, fidx = _brute(q, x, k)
+    ov = np.mean([len(set(np.asarray(idxs)[b]) & set(fidx[b])) / k
+                  for b in range(4)])
+    assert ov >= 0.9, ov

@@ -141,3 +141,39 @@ def test_serve_quantized_flag_end_to_end(index):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_quantized_topk_int8_rescore_without_f32_catalog():
+    """rescore_items=q_items + rescore_scales: end-to-end int8 residency.
+    Full-candidate selection must equal brute force over the dequantized
+    catalog — and the scores must be SHARPER than phase 1 (f32 query side),
+    i.e. exact dots of query x dequantized rows."""
+    rng = np.random.default_rng(11)
+    items = rng.normal(size=(300, 16)).astype(np.float32)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    q8, sc = jax.jit(mips.quantize_rows)(jnp.asarray(items))
+    k = 8
+    vals, idxs = mips.quantized_topk_over_matrix(
+        jnp.asarray(q), q8, sc, q8, k, block_size=128, per_block_k=128,
+        rescore_scales=sc)
+    deq = np.asarray(q8, np.float32) * np.asarray(sc)[:, None]
+    bvals, bidx = _brute(q, deq, k)
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+    np.testing.assert_allclose(np.asarray(vals), bvals, rtol=1e-4)
+
+
+def test_quantize_rows_np_bit_identical_to_jax():
+    """The host-side twin must be bit-identical to the device quantizer —
+    the same catalog must serve the same scores whether or not the f32
+    matrix was ever uploaded (serving's rescore_int8 cold start)."""
+    rng = np.random.default_rng(5)
+    x = np.concatenate([
+        rng.normal(size=(50, 16)).astype(np.float32),
+        np.zeros((2, 16), np.float32),                    # all-zero rows
+        (rng.normal(size=(8, 16)) * 1e-20).astype(np.float32),  # tiny rows
+        np.full((1, 16), 63.5, np.float32),               # exact .5 ties
+    ])
+    qj, sj = jax.jit(mips.quantize_rows)(jnp.asarray(x))
+    qn, sn = mips.quantize_rows_np(x)
+    np.testing.assert_array_equal(np.asarray(qj), qn)
+    np.testing.assert_array_equal(np.asarray(sj), sn)

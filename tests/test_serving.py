@@ -721,3 +721,95 @@ def test_batcher_mixed_exclusions_in_one_batch(index):
         want = [j for j in np.argsort(-ref[i]) if idx.ids[j] not in excl][:4]
         assert [idx.ids.index(x) for x in ids] == want
         np.testing.assert_allclose(scores, ref[i][want], rtol=1e-5)
+
+
+def test_rescore_int8_pq_mode_drops_f32_and_overlaps_exact(index):
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=10, max_batch=4, pq_subspaces=4,
+                           pq_codes=64, rescore_int8=True)
+    assert svc._items is None          # f32 catalog freed after the build
+    assert svc.mode.endswith("+r8")
+    exact = RetrievalService(idx, max_k=10, max_batch=4)
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    ids8, scores8 = svc.topk(q, k=10)
+    idse, _ = exact.topk(q, k=10)
+    ov = np.mean([len(set(ids8[b]) & set(idse[b])) / 10 for b in range(4)])
+    assert ov >= 0.8, ov
+    # by-id queries still work (the id vector comes from the host index)
+    ids, _ = svc.topk_by_id("item7")
+    assert len(ids) == 10
+
+
+def test_rescore_int8_requires_int8_or_pq_scan(index):
+    idx, _ = index
+    with pytest.raises(ValueError, match="rescore_int8"):
+        RetrievalService(idx, rescore_int8=True)
+    with pytest.raises(ValueError, match="rescore_int8"):
+        RetrievalService(idx, approx=True, rescore_int8=True)
+
+
+def test_rescore_int8_quantized_mode_full_int8_residency(index):
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=10, max_batch=4, quantized=True,
+                           rescore_int8=True)
+    assert svc._items is None
+    assert svc.mode == "int8+r8"
+    exact = RetrievalService(idx, max_k=10, max_batch=4)
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    ids8, scores8 = svc.topk(q, k=10)
+    idse, scorese = exact.topk(q, k=10)
+    ov = np.mean([len(set(ids8[b]) & set(idse[b])) / 10 for b in range(2)])
+    assert ov >= 0.9, ov  # int8 is near-lossless on Gaussian catalogs
+    # scores differ from exact only by item-side int8 rounding
+    np.testing.assert_allclose(scores8[0], scorese[0], rtol=0.05, atol=0.05)
+
+
+def test_rescore_int8_prebuilt_cold_start_never_uploads_f32(
+        index, tmp_path, monkeypatch):
+    """With the pq codebook prebuilt on disk, a rescore_int8 start must
+    ship ONLY int8 to the device — the true beyond-HBM cold-start path."""
+    import esrecsys_tpu.serving.server as server_mod
+
+    idx, _ = index
+    pq_path = str(tmp_path / "book.npz")
+    # first start builds + saves the codebook (uploads f32, then drops it)
+    RetrievalService(idx, max_k=5, pq_subspaces=4, pq_codes=64,
+                     pq_index_path=pq_path, rescore_int8=True)
+    uploads = []
+    real = server_mod._chunked_device_put
+
+    def spy(arr, *a, **kw):
+        uploads.append(np.asarray(arr).dtype)
+        return real(arr, *a, **kw)
+
+    monkeypatch.setattr(server_mod, "_chunked_device_put", spy)
+    svc = RetrievalService(idx, max_k=5, pq_subspaces=4, pq_codes=64,
+                           pq_index_path=pq_path, rescore_int8=True)
+    assert uploads and all(d == np.int8 for d in uploads), uploads
+    assert svc._items is None and svc.pq is not None
+    ids, _ = svc.topk(idx.vectors[3][None], k=5)
+    assert ids.shape == (1, 5)
+
+
+def test_rescore_int8_survives_hot_reload(index, tmp_path):
+    import urllib.request
+
+    _, path = index
+    httpd = serve(path, port=0, max_k=10, max_batch=2, quantized=True,
+                  rescore_int8=True)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        assert httpd.service.mode == "int8+r8"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        assert httpd.service.mode == "int8+r8"     # flag carried
+        assert httpd.service._items is None        # still f32-free
+    finally:
+        httpd.shutdown()
