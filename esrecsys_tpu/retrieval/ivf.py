@@ -42,52 +42,81 @@ from esrecsys_tpu.core.mesh import pad_to_multiple
 from esrecsys_tpu.retrieval.mips import NEG_INF
 
 
+def kmeans_assign(items: jax.Array, centroids: jax.Array,
+                  block_size: int = 65_536) -> jax.Array:
+    """Blocked nearest-centroid assignment: (M, D) × (C, D) → (M,) int32.
+
+    L2 argmin dropping the ``|x|²`` term (constant per row). Streamed in
+    fixed blocks so the (block, C) distance tile — not an (M, C) matrix —
+    is the working set, the same discipline as the MIPS scans.
+    """
+    items = items.astype(jnp.float32)
+    m = items.shape[0]
+    block = min(block_size, pad_to_multiple(m, 128))
+    mp = pad_to_multiple(m, block)
+    items_p = jnp.pad(items, ((0, mp - m), (0, 0)))
+    cn = jnp.sum(centroids * centroids, axis=-1)  # (C,)
+
+    def blk(start):
+        x = jax.lax.dynamic_slice_in_dim(items_p, start, block, axis=0)
+        s = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
+        return jnp.argmin(cn[None, :] - 2.0 * s, axis=-1).astype(jnp.int32)
+
+    nblk = mp // block
+    out = jax.lax.map(blk, jnp.arange(nblk, dtype=jnp.int32) * block)
+    return out.reshape(-1)[:m]
+
+
 def kmeans(items: jax.Array, n_clusters: int, iters: int = 20, seed: int = 0,
-           block_size: int = 65_536) -> Tuple[jax.Array, jax.Array]:
+           block_size: int = 65_536,
+           train_sample: Optional[int] = None,
+           ) -> Tuple[jax.Array, jax.Array]:
     """Blocked L2 k-means on device.
 
     Returns ``(centroids (C, D) f32, assignments (M,) int32)``. Empty
     clusters keep their previous centroid (deterministic; they stay
     candidates for reassignment next iteration). Distances drop the
     ``|x|²`` term (constant per row for the argmin).
+
+    ``train_sample=N`` (N < M) trains the centroids on a seeded uniform
+    N-row subsample, then assigns the FULL catalog once — the standard
+    big-catalog k-means recipe (centroid quality saturates long before
+    M rows; Lloyd cost is O(M·C·D·iters), so sampling converts the
+    dominant build cost into one O(M·C·D) encode pass). Measured at MPD
+    scale in BENCHMARKS.md ("Sample-trained index builds").
     """
     items = items.astype(jnp.float32)
     m, d = items.shape
     if n_clusters > m:
         raise ValueError(f"n_clusters {n_clusters} > items {m}")
-    block = min(block_size, pad_to_multiple(m, 128))
-    mp = pad_to_multiple(m, block)
-    items_p = jnp.pad(items, ((0, mp - m), (0, 0)))
-    nblk = mp // block
-
-    def assign(cent):  # (C, D) -> (M,) int32
-        cn = jnp.sum(cent * cent, axis=-1)  # (C,)
-
-        def blk(start):
-            x = jax.lax.dynamic_slice_in_dim(items_p, start, block, axis=0)
-            s = jnp.dot(x, cent.T, preferred_element_type=jnp.float32)
-            return jnp.argmin(cn[None, :] - 2.0 * s, axis=-1).astype(jnp.int32)
-
-        out = jax.lax.map(blk, jnp.arange(nblk, dtype=jnp.int32) * block)
-        return out.reshape(-1)[:m]
 
     key = jax.random.PRNGKey(seed)
+    train = items
+    if train_sample is not None and train_sample < m:
+        if train_sample < n_clusters:
+            raise ValueError(
+                f"train_sample {train_sample} < n_clusters {n_clusters}")
+        key, sk = jax.random.split(key)
+        rows = jax.random.choice(sk, m, (train_sample,), replace=False)
+        train = jnp.take(items, rows, axis=0)
+    mt = train.shape[0]
+
     # distinct random rows as init (k-means++ is sequential — hostile to a
     # single compiled program; random init + iters is standard for IVF)
-    init_rows = jax.random.choice(key, m, (n_clusters,), replace=False)
-    cent0 = jnp.take(items, init_rows, axis=0)
+    init_rows = jax.random.choice(key, mt, (n_clusters,), replace=False)
+    cent0 = jnp.take(train, init_rows, axis=0)
 
     def step(cent, _):
-        a = assign(cent)
-        sums = jax.ops.segment_sum(items, a, num_segments=n_clusters)
-        counts = jax.ops.segment_sum(jnp.ones((m,), jnp.float32), a,
+        a = kmeans_assign(train, cent, block_size)
+        sums = jax.ops.segment_sum(train, a, num_segments=n_clusters)
+        counts = jax.ops.segment_sum(jnp.ones((mt,), jnp.float32), a,
                                      num_segments=n_clusters)
         new = jnp.where(counts[:, None] > 0,
                         sums / jnp.maximum(counts, 1.0)[:, None], cent)
         return new, None
 
     cent, _ = jax.lax.scan(step, cent0, None, length=iters)
-    return cent, assign(cent)
+    return cent, kmeans_assign(items, cent, block_size)
 
 
 def _split_to_cap(ids: np.ndarray, x: np.ndarray, cap: int,
@@ -139,7 +168,8 @@ class IVFIndex(NamedTuple):
 
     @classmethod
     def build(cls, vectors, n_clusters: int, iters: int = 20,
-              seed: int = 0, max_cell: Optional[int] = None) -> "IVFIndex":
+              seed: int = 0, max_cell: Optional[int] = None,
+              train_sample: Optional[int] = None) -> "IVFIndex":
         """k-means on device, cell table assembled host-side (one-time).
 
         ``vectors`` may be a host np.ndarray or an ALREADY-resident device
@@ -156,9 +186,16 @@ class IVFIndex(NamedTuple):
         grows C a little and shrinks Lmax a lot. Only the oversized cells'
         rows are pulled to host. A natural cap is
         ``2 * n_items / n_clusters`` (2× the mean cell).
+
+        ``train_sample=N`` trains the k-means centroids on an N-row
+        subsample and pays only one full-catalog assign pass — cuts the
+        dominant build cost ~iters× at big M (see :func:`kmeans`).
         """
-        cent, assign = jax.jit(kmeans, static_argnums=(1, 2, 3))(
-            jnp.asarray(vectors, jnp.float32), n_clusters, iters, seed)
+        cent, assign = jax.jit(
+            kmeans, static_argnums=(1, 2, 3),
+            static_argnames=("train_sample",))(
+            jnp.asarray(vectors, jnp.float32), n_clusters, iters, seed,
+            train_sample=train_sample)
         cent = np.asarray(jax.device_get(cent))
         a = np.asarray(jax.device_get(assign))
         order = np.argsort(a, kind="stable")

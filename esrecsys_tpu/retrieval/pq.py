@@ -77,7 +77,8 @@ class PQCodebook(NamedTuple):
     @classmethod
     def build(cls, vectors, n_subspaces: int = 8, n_codes: int = 256,
               iters: int = 15, seed: int = 0,
-              rotate: bool = False) -> "PQCodebook":
+              rotate: bool = False,
+              train_sample: Optional[int] = None) -> "PQCodebook":
         """Train per-subspace k-means codebooks and encode the catalog.
 
         ``vectors`` may be host or already-device-resident (the device copy
@@ -87,6 +88,13 @@ class PQCodebook(NamedTuple):
         the subspace split (OPQ-lite): it spreads anisotropic variance
         evenly over subspaces, which tightens codes exactly where catalogs
         hurt PQ most (clustered/correlated dimensions).
+
+        ``train_sample=N`` trains each subspace codebook on an N-row
+        subsample and pays only one full-catalog encode pass per subspace
+        (see :func:`~esrecsys_tpu.retrieval.ivf.kmeans`) — 256 codes
+        saturate long before millions of training rows, so this cuts the
+        dominant build cost ~iters× (measured: BENCHMARKS.md
+        "Sample-trained index builds").
         """
         m, d = vectors.shape
         if d % n_subspaces:
@@ -110,12 +118,13 @@ class PQCodebook(NamedTuple):
             dev = dev @ jnp.asarray(rotation)  # train/encode in rotated space
         # seed stays TRACED (PRNGKey accepts tracers): one k-means compile
         # shared by all S subspaces, not one per distinct seed
-        fit = jax.jit(kmeans, static_argnums=(1, 2))
+        fit = jax.jit(kmeans, static_argnums=(1, 2),
+                      static_argnames=("train_sample",))
         cents, codes = [], []
         for s in range(n_subspaces):
             cent, assign = fit(
                 jax.lax.slice_in_dim(dev, s * ds, (s + 1) * ds, axis=1),
-                n_codes, iters, seed + s)
+                n_codes, iters, seed + s, train_sample=train_sample)
             cents.append(np.asarray(jax.device_get(cent)))
             codes.append(np.asarray(jax.device_get(assign)))
         return cls(np.stack(cents),

@@ -87,6 +87,7 @@ class RetrievalService:
                  rescore_int8: bool = False,
                  ivf_clusters: Optional[int] = None, nprobe: int = 8,
                  ivf_iters: int = 20,
+                 build_train_sample: Optional[int] = None,
                  ivf_max_cell: Optional[int] = None,
                  ivf_index_path: Optional[str] = None,
                  pq_subspaces: Optional[int] = None, pq_codes: int = 256,
@@ -246,9 +247,10 @@ class RetrievalService:
                 # k-means over the ALREADY-resident catalog (jnp.asarray is
                 # a no-op on a device array) — never a second upload of the
                 # full matrix, which stalls on tunneled links (CLAUDE.md)
-                self.ivf = IVFIndex.build(self._items, ivf_clusters,
-                                          iters=ivf_iters,
-                                          max_cell=ivf_max_cell)
+                self.ivf = IVFIndex.build(
+                    self._items, ivf_clusters, iters=ivf_iters,
+                    max_cell=ivf_max_cell,
+                    train_sample=build_train_sample)
                 if ivf_index_path:
                     self.ivf.save(ivf_index_path)
             self._centroids = jnp.asarray(self.ivf.centroids)
@@ -288,9 +290,10 @@ class RetrievalService:
                         "and no pq_subspaces given to build one")
                 # trains on the ALREADY-resident catalog (sliced per
                 # subspace on device — never a second full upload)
-                self.pq = PQCodebook.build(self._items, pq_subspaces,
-                                           n_codes=pq_codes, iters=pq_iters,
-                                           rotate=pq_rotate)
+                self.pq = PQCodebook.build(
+                    self._items, pq_subspaces, n_codes=pq_codes,
+                    iters=pq_iters, rotate=pq_rotate,
+                    train_sample=build_train_sample)
                 if pq_index_path:
                     self.pq.save(pq_index_path)
             self._pq_centroids = jnp.asarray(self.pq.centroids)
@@ -901,6 +904,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           ivf_clusters: Optional[int] = None,
           nprobe: int = 8,
           ivf_max_cell: Optional[int] = None,
+          build_train_sample: Optional[int] = None,
           ivf_index_path: Optional[str] = None,
           pq_subspaces: Optional[int] = None,
           pq_codes: int = 256,
@@ -936,6 +940,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                           rescore_int8=rescore_int8,
                           ivf_clusters=ivf_clusters, nprobe=nprobe,
                           ivf_max_cell=ivf_max_cell,
+                          build_train_sample=build_train_sample,
                           ivf_index_path=ivf_index_path,
                           pq_subspaces=pq_subspaces, pq_codes=pq_codes,
                           pq_oversample=pq_oversample,
@@ -995,6 +1000,13 @@ def main(argv=None):
                         "at startup; probe --nprobe cells per query "
                         "(sublinear; composes with --quantized)")
     p.add_argument("--nprobe", type=int, default=8)
+    p.add_argument("--build_train_sample", type=int, default=0,
+                   help="train startup IVF/PQ k-means on this many sampled "
+                        "rows instead of the full catalog (one full encode "
+                        "pass still runs) — ~iters-fold cheaper builds at "
+                        "big M, negligible recall cost (BENCHMARKS.md "
+                        "'Sample-trained index builds'); 262144 is a solid "
+                        "default for C<=4096 cells / 256 codes")
     p.add_argument("--ivf_max_cell", type=int, default=0,
                    help="cap IVF cell size: oversized cells are split "
                         "(balanced median cuts), shrinking the padded "
@@ -1062,6 +1074,7 @@ def main(argv=None):
           ivf_clusters=args.ivf_clusters or None,
           nprobe=args.nprobe,
           ivf_max_cell=args.ivf_max_cell or None,
+          build_train_sample=args.build_train_sample or None,
           ivf_index_path=args.ivf_index or None,
           pq_subspaces=args.pq_subspaces or None,
           pq_codes=args.pq_codes,

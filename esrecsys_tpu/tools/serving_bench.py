@@ -100,6 +100,8 @@ def service_for(mode: str, index, k: int, batch: int, args):
                   pq_rotate=args.pq_rotate, rescore_int8=True)
     if mode.startswith("ivf") and args.ivf_max_cell:
         kw.update(ivf_max_cell=args.ivf_max_cell)
+    if args.build_train_sample and ("ivf" in mode or "pq" in mode):
+        kw.update(build_train_sample=args.build_train_sample)
     return RetrievalService(index, **kw)
 
 
@@ -152,6 +154,9 @@ def main(argv=None):
     p.add_argument("--ivf_clusters", type=int, default=4096)
     p.add_argument("--nprobe", type=int, default=64)
     p.add_argument("--ivf_iters", type=int, default=10)
+    p.add_argument("--build_train_sample", type=int, default=0,
+                   help="train IVF/PQ k-means on this many sampled rows "
+                        "(setup_s then measures the sample-trained build)")
     p.add_argument("--ivf_max_cell", type=int, default=0,
                    help="cap IVF cell size (0 = off; retrieval/ivf.py)")
     p.add_argument("--pq_subspaces", type=int, default=8)

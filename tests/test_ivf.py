@@ -466,3 +466,45 @@ def test_ivf_topk_int8_rescore_without_f32_catalog():
     _, bidx = _brute(q, deq, k)
     ov = np.mean([len(set(idxs[b]) & set(bidx[b])) / k for b in range(3)])
     assert ov >= 0.9, ov
+
+
+def test_kmeans_train_sample_matches_full_training_quality():
+    """Sample-trained centroids must cluster a separable mixture as well
+    as full training: same downstream IVF recall at full probe coverage,
+    and near-identical assignment purity at modest nprobe."""
+    rng = np.random.default_rng(40)
+    x, _ = _mixture(rng, n_comp=8, per=200, d=16)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    k = 10
+
+    def recall(index, nprobe):
+        _, idxs = ivf.ivf_topk(
+            jnp.asarray(q), jnp.asarray(index.centroids),
+            jnp.asarray(index.bucket_ids), jnp.asarray(x), k, nprobe=nprobe)
+        _, bidx = _brute(q, x, k)
+        return np.mean([len(set(np.asarray(idxs)[b]) & set(bidx[b])) / k
+                        for b in range(len(q))])
+
+    full = ivf.IVFIndex.build(x, n_clusters=8, iters=10, seed=1)
+    samp = ivf.IVFIndex.build(x, n_clusters=8, iters=10, seed=1,
+                              train_sample=256)
+    assert samp.centroids.shape == full.centroids.shape
+    assert samp.n_items == full.n_items
+    # on 8 well-separated components, a 256-row sample finds the same
+    # structure: both reach full recall when every cell is probed, and
+    # sampling costs at most a point or two at nprobe=4
+    assert recall(samp, nprobe=8) == 1.0
+    assert recall(samp, nprobe=4) >= recall(full, nprobe=4) - 0.1
+
+
+def test_kmeans_train_sample_validation_and_noop():
+    rng = np.random.default_rng(41)
+    x = rng.normal(size=(100, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="train_sample"):
+        ivf.kmeans(jnp.asarray(x), 16, iters=2, train_sample=8)
+    # sample >= M degenerates to full training (identical trajectories)
+    c1, a1 = ivf.kmeans(jnp.asarray(x), 4, iters=3, seed=2)
+    c2, a2 = ivf.kmeans(jnp.asarray(x), 4, iters=3, seed=2,
+                        train_sample=100)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6)

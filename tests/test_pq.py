@@ -215,3 +215,28 @@ def test_pq_topk_int8_rescore_matches_dequantized_brute_force():
     ov = np.mean([len(set(np.asarray(idxs)[b]) & set(fidx[b])) / k
                   for b in range(4)])
     assert ov >= 0.9, ov
+
+
+def test_pq_build_train_sample_quality_matches_full_training():
+    """Codebooks trained on a row subsample must encode the catalog
+    about as well as full training: near-equal top-k overlap vs the
+    exact scan at the default rescore budget."""
+    rng = np.random.default_rng(50)
+    x, _ = _mixture(rng, n_comp=8, per=150, d=16)
+    q = rng.normal(size=(6, 16)).astype(np.float32)
+    k = 10
+    _, bidx = _brute(q, x, k)
+
+    def overlap(book):
+        _, idxs = pq.pq_topk(jnp.asarray(q), jnp.asarray(book.centroids),
+                             jnp.asarray(book.codes), k,
+                             rescore_items=jnp.asarray(x),
+                             block_size=256, oversample=16)
+        return np.mean([len(set(np.asarray(idxs)[b]) & set(bidx[b])) / k
+                        for b in range(len(q))])
+
+    full = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8, seed=3)
+    samp = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8, seed=3,
+                               train_sample=300)
+    assert samp.codes.shape == full.codes.shape
+    assert overlap(samp) >= overlap(full) - 0.05

@@ -813,3 +813,16 @@ def test_rescore_int8_survives_hot_reload(index, tmp_path):
         assert httpd.service._items is None        # still f32-free
     finally:
         httpd.shutdown()
+
+
+def test_serving_build_train_sample_builds_and_answers(index):
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=10, max_batch=4, ivf_clusters=4,
+                           nprobe=4, ivf_iters=4, build_train_sample=64)
+    rng = np.random.default_rng(9)
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    ids, scores = svc.topk(q, k=10)
+    exact = RetrievalService(idx, max_k=10, max_batch=4)
+    idse, _ = exact.topk(q, k=10)
+    ov = np.mean([len(set(ids[b]) & set(idse[b])) / 10 for b in range(2)])
+    assert ov == 1.0, ov  # nprobe == n_clusters: full coverage, exact
