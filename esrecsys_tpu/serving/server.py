@@ -45,6 +45,7 @@ a dependency-free HTTP service over the TPU retrieval path:
 
 from __future__ import annotations
 
+import collections
 import json
 import logging
 import queue
@@ -392,10 +393,25 @@ class RetrievalService:
         jax.device_get(jax.tree_util.tree_leaves(
             self._query(warm, self._items))[0][:1])
         self._lock = threading.Lock()
+        # per-dispatch device latency ring (seconds); bounded so a
+        # long-lived server never grows it — /statsz reports percentiles
+        self._lat = collections.deque(maxlen=2048)
 
     @property
     def dim(self) -> int:
         return self._dim
+
+    @property
+    def latency_ms(self) -> Optional[Dict[str, float]]:
+        """Per-dispatch device latency percentiles over the last <=2048
+        compiled query dispatches (pad-to-max_batch + device round-trip;
+        HTTP framing excluded). None until the first real query."""
+        lat = list(self._lat)
+        if not lat:
+            return None
+        p50, p90, p99 = np.percentile(np.asarray(lat) * 1e3, [50, 90, 99])
+        return {"p50": round(float(p50), 2), "p90": round(float(p90), 2),
+                "p99": round(float(p99), 2), "n": len(lat)}
 
     @property
     def resident_bytes_per_item(self) -> int:
@@ -483,8 +499,10 @@ class RetrievalService:
             with self._lock:
                 self.device_calls += 1
                 self.queries += chunk.shape[0]
+                t0 = time.perf_counter()
                 vals, idxs = jax.device_get(
                     self._query(jnp.asarray(padded), self._items))
+                self._lat.append(time.perf_counter() - t0)
             out_v.append(vals[: chunk.shape[0], :fetch])
             out_i.append(idxs[: chunk.shape[0], :fetch])
         vals = np.concatenate(out_v, axis=0)
@@ -674,6 +692,8 @@ class _Handler(BaseHTTPRequestHandler):
                 # compiled dispatch); counters reset on hot reload
                 "queries_per_dispatch": round(q / d, 2) if d else None,
                 "reloads": self.server.reloads,
+                # device dispatch latency percentiles (last <=2048 calls)
+                "latency_ms": service.latency_ms,
                 "uptime_s": round(time.time() - self.server.started, 1)})
         else:
             self._send(404, {"error": f"unknown path {self.path}"})

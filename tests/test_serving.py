@@ -826,3 +826,30 @@ def test_serving_build_train_sample_builds_and_answers(index):
     idse, _ = exact.topk(q, k=10)
     ov = np.mean([len(set(ids[b]) & set(idse[b])) / 10 for b in range(2)])
     assert ov == 1.0, ov  # nprobe == n_clusters: full coverage, exact
+
+
+def test_statsz_reports_dispatch_latency_percentiles(index):
+    import urllib.request
+
+    _, path = index
+    httpd = serve(path, port=0, max_k=10, max_batch=2)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(6)
+        for _ in range(5):
+            body = json.dumps(
+                {"vector": rng.normal(size=16).tolist(), "k": 5}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/topk", data=body,
+                headers={"Content-Type": "application/json"})
+            urllib.request.urlopen(req).read()
+        s = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/statsz").read())
+        lat = s["latency_ms"]
+        assert lat["n"] >= 5
+        assert 0 < lat["p50"] <= lat["p90"] <= lat["p99"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
