@@ -155,14 +155,17 @@ class RetrievalService:
         # local rows (exact), local top-k candidates ride ICI
         # (O(B*k*shards), catalog-size independent — mips.py
         # sharded_topk_over_matrix, the same path the sharded trainers
-        # evaluate with). Exact scan only: the single-chip approx modes
-        # don't compose with it yet.
-        if n_model_shards and (approx or quantized or ivf_clusters
+        # evaluate with). Composes with quantized (per-shard int8 scan +
+        # local rescore + the same ICI candidate exchange —
+        # mips.sharded_quantized_topk_over_matrix) and with rescore_int8
+        # on top (no f32 rows on ANY chip); approx/ivf/pq stay
+        # single-chip modes.
+        if n_model_shards and (approx or ivf_clusters
                                or ivf_index_path or pq_subspaces
                                or pq_index_path):  # (incl. ivf+pq)
             raise ValueError(
-                "n_model_shards serves the exact sharded scan — it does not"
-                " compose with approx/quantized/ivf/pq")
+                "n_model_shards serves the sharded scan (exact or "
+                "quantized) — it does not compose with approx/ivf/pq")
         import os
 
         ivf_index_path = _npz_path(ivf_index_path)
@@ -188,8 +191,21 @@ class RetrievalService:
             # chunked even when sharded: per-shard pieces of a catalog big
             # enough to NEED sharding still exceed the ~100 MB single-
             # transfer stall threshold (CLAUDE.md)
-            self._items = _chunked_device_put(
-                vecs, table_sharding(self._mesh, vecs.ndim))
+            self._items = (None if rescore_int8 else _chunked_device_put(
+                vecs, table_sharding(self._mesh, vecs.ndim)))
+            if quantized or rescore_int8:
+                # quantize host-side on the PADDED rows so int8/scales
+                # shard identically to the f32 table (the scan masks
+                # padding via valid_items); never a full f32 upload in r8
+                from esrecsys_tpu.retrieval.mips import quantize_rows_np
+
+                q8, sc = quantize_rows_np(vecs)
+                self._q_items = _chunked_device_put(
+                    q8, table_sharding(self._mesh, 2))
+                self._scales = _chunked_device_put(
+                    sc, table_sharding(self._mesh, 1))
+            else:
+                self._q_items = self._scales = None
         else:
             self._mesh = None
             self._valid_items = None
@@ -205,7 +221,9 @@ class RetrievalService:
             self._items = (_chunked_device_put(index.vectors)
                            if f32_needed else None)  # (N, D) resident
         self._dim = int(index.vectors.shape[1])
-        if quantized or rescore_int8:
+        if n_model_shards:
+            pass  # int8 handled in the mesh branch above (sharded uploads)
+        elif quantized or rescore_int8:
             from esrecsys_tpu.retrieval.mips import quantize_rows
 
             if self._items is not None:
@@ -320,6 +338,18 @@ class RetrievalService:
             # at 262144; the exact path's small-block default would explode
             # nblk*per_block_k rescore work
             if self._mesh is not None:
+                if self.quantized:
+                    from esrecsys_tpu.retrieval.mips import (
+                        sharded_quantized_topk_over_matrix)
+
+                    # per-shard int8 scan + LOCAL rescore (f32 rows when
+                    # resident, dequantized int8 under rescore_int8) +
+                    # the same ICI candidate exchange as the exact path
+                    return sharded_quantized_topk_over_matrix(
+                        q, q_items, scales, self.max_k, mesh=self._mesh,
+                        rescore_items=items,  # None under rescore_int8
+                        block_size=max(block_size, 262_144),
+                        valid_items=self._valid_items)
                 from esrecsys_tpu.retrieval.mips import (
                     sharded_topk_over_matrix)
 
@@ -436,7 +466,8 @@ class RetrievalService:
         """Human-readable name of the active catalog-scan mode."""
         r8 = "+r8" if self.rescore_int8 else ""  # int8 rescore, f32-free
         if self.n_model_shards:
-            return f"sharded:{self.n_model_shards}"
+            q8 = "+int8" if self.quantized else ""
+            return f"sharded:{self.n_model_shards}{q8}{r8}"
         if self.pq is not None:
             rot = "+rotated" if self.pq.rotation is not None else ""
             pq_part = (f"pq:S={self.pq.n_subspaces}{rot}"

@@ -177,3 +177,80 @@ def test_quantize_rows_np_bit_identical_to_jax():
     qn, sn = mips.quantize_rows_np(x)
     np.testing.assert_array_equal(np.asarray(qj), qn)
     np.testing.assert_array_equal(np.asarray(sj), sn)
+
+
+def _sharded_fixture(valid=1003, shards=4, d=32, seed=0):
+    from esrecsys_tpu.core.mesh import make_mesh, pad_to_multiple, table_sharding
+
+    mesh = make_mesh(n_model=shards)
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(valid, d)).astype(np.float32)
+    m = pad_to_multiple(valid, shards)
+    xp = np.pad(x, ((0, m - valid), (0, 0)))
+    q8, sc = mips.quantize_rows_np(xp)
+    return (mesh, x,
+            jax.device_put(jnp.asarray(q8), table_sharding(mesh, 2)),
+            jax.device_put(jnp.asarray(sc), table_sharding(mesh, 1)),
+            jax.device_put(jnp.asarray(xp), table_sharding(mesh, 2)),
+            rng)
+
+
+def test_sharded_quantized_full_coverage_matches_bruteforce():
+    """Covering per_block_k + exact f32 rescore: the sharded int8 scan
+    must equal brute force over the f32 catalog exactly (padding rows —
+    row count not divisible by the shard count — never returned)."""
+    mesh, x, d_q8, d_sc, d_f32, rng = _sharded_fixture()
+    q = rng.normal(size=(5, 32)).astype(np.float32)
+    k = 10
+    vals, idxs = mips.sharded_quantized_topk_over_matrix(
+        jnp.asarray(q), d_q8, d_sc, k, mesh, rescore_items=d_f32,
+        block_size=128, per_block_k=128, valid_items=x.shape[0])
+    bs = q.astype(np.float64) @ x.T
+    bidx = np.argsort(-bs, axis=-1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(bs, bidx, -1), rtol=1e-5)
+    assert np.all(np.asarray(idxs) < x.shape[0])
+
+
+def test_sharded_quantized_r8_matches_dequantized_bruteforce():
+    """rescore_items=None: no f32 rows on any shard — results equal brute
+    force over the DEQUANTIZED catalog (the int8-rescore identity)."""
+    mesh, x, d_q8, d_sc, _, rng = _sharded_fixture(seed=1)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    k = 10
+    vals, idxs = mips.sharded_quantized_topk_over_matrix(
+        jnp.asarray(q), d_q8, d_sc, k, mesh, rescore_items=None,
+        block_size=128, per_block_k=128, valid_items=x.shape[0])
+    q8h = np.asarray(jax.device_get(d_q8), np.float32)
+    sch = np.asarray(jax.device_get(d_sc))
+    deq = (q8h * sch[:, None])[: x.shape[0]]
+    bs = q.astype(np.float64) @ deq.T
+    bidx = np.argsort(-bs, axis=-1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(bs, bidx, -1), rtol=1e-4)
+
+
+def test_sharded_quantized_padding_never_wins_on_negative_scores():
+    """All-negative true scores: zero-valued padding rows (dot = 0) would
+    beat every real row if the rescore re-admitted them — they must stay
+    masked after the rescore, not just in phase 1."""
+    from esrecsys_tpu.core.mesh import make_mesh, pad_to_multiple, table_sharding
+
+    mesh = make_mesh(n_model=4)
+    rng = np.random.default_rng(2)
+    valid = 99  # pads to 100: the last shard holds a padding tail
+    x = np.abs(rng.normal(size=(valid, 16))).astype(np.float32)
+    m = pad_to_multiple(valid, 4)
+    xp = np.pad(x, ((0, m - valid), (0, 0)))
+    q8, sc = mips.quantize_rows_np(xp)
+    q = -np.abs(rng.normal(size=(3, 16))).astype(np.float32)
+    vals, idxs = mips.sharded_quantized_topk_over_matrix(
+        jnp.asarray(q),
+        jax.device_put(jnp.asarray(q8), table_sharding(mesh, 2)),
+        jax.device_put(jnp.asarray(sc), table_sharding(mesh, 1)),
+        8, mesh, rescore_items=None, block_size=128, per_block_k=64,
+        valid_items=valid)
+    assert np.all(np.asarray(idxs) < valid), np.asarray(idxs).max()
+    assert np.all(np.asarray(vals) < 0)

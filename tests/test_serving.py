@@ -359,7 +359,7 @@ def test_sharded_service_matches_bruteforce_including_padding(index):
 def test_sharded_service_reachable_from_serve_and_exclusive(index, tmp_path):
     idx, path = index
     with pytest.raises(ValueError, match="does not\n? ?compose"):
-        RetrievalService(idx, n_model_shards=2, quantized=True)
+        RetrievalService(idx, n_model_shards=2, approx=True)
     with pytest.raises(ValueError, match="does not\n? ?compose"):
         RetrievalService(idx, n_model_shards=2, pq_subspaces=4)
     httpd = serve(path, port=0, max_k=5, max_batch=2, coalesce=False,
@@ -853,3 +853,46 @@ def test_statsz_reports_dispatch_latency_percentiles(index):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_sharded_quantized_service_matches_bruteforce_with_padding():
+    """n_model_shards + quantized: per-shard int8 scan, local exact
+    rescore, ICI candidate exchange — exact results (int8 is lossless on
+    this catalog at k=10), padded rows never returned."""
+    rng = np.random.default_rng(12)
+    vecs = rng.normal(size=(203, 16)).astype(np.float32)  # 203 % 4 != 0
+    idx = EmbeddingIndex([f"s{i}" for i in range(203)], vecs)
+    svc = RetrievalService(idx, max_k=10, max_batch=4, n_model_shards=4,
+                           quantized=True)
+    assert svc.mode == "sharded:4+int8"
+    q = rng.normal(size=(6, 16)).astype(np.float32)
+    ids, scores = svc.topk(q, k=10)
+    ref = q @ vecs.T
+    for b in range(6):
+        want = np.argsort(-ref[b])[:10]
+        assert [idx.ids.index(i) for i in ids[b]] == list(want)
+        np.testing.assert_allclose(scores[b], ref[b][want], rtol=1e-5)
+
+
+def test_sharded_quantized_r8_no_f32_on_any_shard():
+    """n_model_shards + quantized + rescore_int8: no f32 rows resident on
+    ANY chip (D+4 bytes/item across the mesh); results match brute force
+    over the dequantized catalog."""
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(160, 16)).astype(np.float32)
+    idx = EmbeddingIndex([f"s{i}" for i in range(160)], vecs)
+    svc = RetrievalService(idx, max_k=10, max_batch=4, n_model_shards=4,
+                           quantized=True, rescore_int8=True)
+    assert svc._items is None
+    assert svc.mode == "sharded:4+int8+r8"
+    assert svc.resident_bytes_per_item == 16 + 4  # int8 rows + scales only
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    ids, scores = svc.topk(q, k=10)
+    from esrecsys_tpu.retrieval.mips import quantize_rows_np
+    q8, sc = quantize_rows_np(vecs)
+    deq = q8.astype(np.float32) * sc[:, None]
+    ref = q @ deq.T
+    for b in range(4):
+        want = np.argsort(-ref[b])[:10]
+        assert [idx.ids.index(i) for i in ids[b]] == list(want)
+        np.testing.assert_allclose(scores[b], ref[b][want], rtol=1e-4)
