@@ -574,33 +574,34 @@ def sharded_quantized_topk_over_matrix(
             lq = jnp.pad(lq, ((0, padded - rps), (0, 0)))
             lsc = jnp.pad(lsc, (0, padded - rps))
 
-        def body(_, b):
+        def score_block(b):
             blk = jax.lax.dynamic_slice_in_dim(lq, b * block, block, axis=0)
             sc = jax.lax.dynamic_slice_in_dim(lsc, b * block, block)
             s = jax.lax.dot_general(
                 qi, blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32
             ).astype(jnp.float32) * sc[None, :]
+            # GLOBAL-validity mask (the catalog's padding tail, last
+            # shard); the LOCAL block-padding mask — which also covers
+            # non-last shards, whose block padding has in-range global
+            # indices — is _streamed_candidate_topk's own
+            # `b*block + loc < num_items` discipline
             local = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
-            s = jnp.where(base + b * block + local < valid, s, NEG_INF)
-            _, i = jax.lax.top_k(s, kb)
-            return (), i + b * block
+            return jnp.where(base + b * block + local < valid, s, NEG_INF)
 
-        _, cand = jax.lax.scan(body, (), jnp.arange(nblk))  # (nblk, B, kb)
-        cand = jnp.moveaxis(cand, 0, -2).reshape(
-            qf.shape[:-1] + (nblk * kb,))
-        safe = jnp.minimum(cand, rps - 1)
-        rows = jnp.take(lres, safe, axis=0)          # LOCAL gather
-        if r8:
-            rows = rows.astype(jnp.float32) * jnp.take(
-                lsc, safe, axis=0)[..., None]
-        cs = jnp.einsum("bd,bnd->bn", qf.astype(jnp.float32), rows,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        ok = (cand < rps) & (base + cand < valid)
-        cs = jnp.where(ok, cs, NEG_INF)
-        v, sel = jax.lax.top_k(cs, k_local)
-        gi = base + jnp.take_along_axis(jnp.where(ok, cand, 0), sel, axis=-1)
+        # the same two-phase skeleton as the single-chip quantized scan,
+        # run per shard: per-block top-kb candidates, LOCAL rescore
+        # (gathers never cross shards), local top-k_local
+        v, li = _streamed_candidate_topk(
+            score_block, qf, lres, rps, k_local, block, nblk, kb,
+            select="exact", recall_target=0.95,
+            rescore_scales=lsc[:rps] if r8 else None)
+        # re-kill globally-invalid rows the rescore may have re-admitted
+        # (the skeleton's phase-2 mask knows only the LOCAL bound): the
+        # catalog's zero padding tail rescores to dot 0, which would beat
+        # real negative scores
+        v = jnp.where(base + li < valid, v, NEG_INF)
+        gi = jnp.where(jnp.isfinite(v), base + li, 0)
         v_g = jax.lax.all_gather(v, MODEL_AXIS, axis=-1, tiled=True)
         i_g = jax.lax.all_gather(gi, MODEL_AXIS, axis=-1, tiled=True)
         fv, sel2 = jax.lax.top_k(v_g, k)

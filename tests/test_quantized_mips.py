@@ -254,3 +254,14 @@ def test_sharded_quantized_padding_never_wins_on_negative_scores():
         valid_items=valid)
     assert np.all(np.asarray(idxs) < valid), np.asarray(idxs).max()
     assert np.all(np.asarray(vals) < 0)
+    # and the answer must BE the brute-force top-k over the dequantized
+    # catalog — on this fixture (25 rows/shard padded to a 128 block,
+    # kb=64) intra-shard padding once consumed every candidate slot of
+    # the non-last shards, making their rows unreachable: idx<valid and
+    # vals<0 both still held, so only this equality catches it
+    deq = (q8.astype(np.float32) * sc[:, None])[:valid]
+    bs = q.astype(np.float64) @ deq.T
+    bidx = np.argsort(-bs, axis=-1)[:, :8]
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(bs, bidx, -1), rtol=1e-4)
