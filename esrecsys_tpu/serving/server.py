@@ -954,6 +954,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           rescore_int8: bool = False,
           ivf_clusters: Optional[int] = None,
           nprobe: int = 8,
+          ivf_iters: int = 20,
           ivf_max_cell: Optional[int] = None,
           build_train_sample: Optional[int] = None,
           ivf_index_path: Optional[str] = None,
@@ -990,7 +991,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                           quantized=quantized,
                           rescore_int8=rescore_int8,
                           ivf_clusters=ivf_clusters, nprobe=nprobe,
-                          ivf_max_cell=ivf_max_cell,
+                          ivf_iters=ivf_iters, ivf_max_cell=ivf_max_cell,
                           build_train_sample=build_train_sample,
                           ivf_index_path=ivf_index_path,
                           pq_subspaces=pq_subspaces, pq_codes=pq_codes,
@@ -1051,6 +1052,8 @@ def main(argv=None):
                         "at startup; probe --nprobe cells per query "
                         "(sublinear; composes with --quantized)")
     p.add_argument("--nprobe", type=int, default=8)
+    p.add_argument("--ivf_iters", type=int, default=20,
+                   help="k-means iterations for a fresh IVF build")
     p.add_argument("--build_train_sample", type=int, default=0,
                    help="train startup IVF/PQ k-means on this many sampled "
                         "rows instead of the full catalog (one full encode "
@@ -1124,6 +1127,7 @@ def main(argv=None):
           rescore_int8=args.rescore_int8,
           ivf_clusters=args.ivf_clusters or None,
           nprobe=args.nprobe,
+          ivf_iters=args.ivf_iters,
           ivf_max_cell=args.ivf_max_cell or None,
           build_train_sample=args.build_train_sample or None,
           ivf_index_path=args.ivf_index or None,

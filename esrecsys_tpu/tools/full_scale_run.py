@@ -43,6 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from esrecsys_tpu.tools import serving_bench
+
 log = logging.getLogger(__name__)
 
 NUM_TRACKS = 2_262_292          # MPD catalog (BASELINE.md)
@@ -300,6 +302,12 @@ def deploy_loop(args, cfg, corpus_np, state, continue_fn) -> dict:
     a query answers from the new index. Reported per cycle: retrain wall,
     embed+save wall, reload wall (upload + aux rebuilds + recompile), and
     the total artifact-to-live latency.
+
+    ``--deploy_serve_mode`` runs the live server in any retrieval mode
+    from tools/serving_bench.MODES; for IVF/PQ modes ``reload_s`` then
+    includes the per-reload aux rebuild (k-means / codebooks), which
+    ``--build_train_sample`` shrinks — the knob this loop exists to
+    measure against a production-shaped deployment.
     """
     import threading
     import urllib.request
@@ -315,8 +323,13 @@ def deploy_loop(args, cfg, corpus_np, state, continue_fn) -> dict:
                        vectors).save(path)
         return path, time.time() - t0
 
+    mode = args.deploy_serve_mode
+    mode_kw = serving_bench.mode_kwargs(mode, args)
     path0, _ = build_index("v0")
-    httpd = serve(path0, port=0, max_k=500, max_batch=8, coalesce=False)
+    t_up = time.time()
+    httpd = serve(path0, port=0, max_k=500, max_batch=8, coalesce=False,
+                  **mode_kw)
+    startup_s = time.time() - t_up
     port = httpd.server_address[1]
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
@@ -337,24 +350,30 @@ def deploy_loop(args, cfg, corpus_np, state, continue_fn) -> dict:
                 rep = json.loads(r.read())
             assert rep["status"] == "ok" and rep["index"] == pathi, rep
             reload_s = time.time() - t_reload
-            # the new index answers queries (self-retrieval on item 17)
+            # the new index answers queries (self-retrieval on item 17);
+            # guaranteed only for full-scan modes — IVF probing / PQ codes
+            # may legitimately miss, so there it is recorded, not asserted
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}/v1/topk",
                 data=json.dumps({"id": "17", "k": 10}).encode())
-            with urllib.request.urlopen(req, timeout=120) as r:
-                assert "17" in json.loads(r.read())["ids"]
+            with urllib.request.urlopen(req, timeout=600) as r:
+                probe_hit = "17" in json.loads(r.read())["ids"]
+            if mode in ("exact", "quantized", "quantized_r8"):
+                assert probe_hit, f"self-retrieval missed in {mode} mode"
             cycles.append({
                 "cycle": i + 1, "steps": args.cycle_steps,
                 "retrain_s": round(t_train, 1),
                 "embed_and_save_s": round(embed_s, 1),
                 "reload_s": round(reload_s, 1),
-                "artifact_to_live_s": round(embed_s + reload_s, 1)})
+                "artifact_to_live_s": round(embed_s + reload_s, 1),
+                "probe_hit": probe_hit})
             log.info("deploy cycle %d: retrain %.1fs embed %.1fs reload "
                      "%.1fs", i + 1, t_train, embed_s, reload_s)
     finally:
         httpd.shutdown()
         httpd.server_close()
-    return {"deploy_cycles": cycles}
+    return {"deploy_cycles": cycles, "deploy_serve_mode": mode,
+            "deploy_server_startup_s": round(startup_s, 1)}
 
 
 def main(argv=None):
@@ -380,6 +399,23 @@ def main(argv=None):
                    help="after training, run N retrain->export->hot-reload "
                         "cycles against a LIVE server (device feed only)")
     p.add_argument("--cycle_steps", type=int, default=500)
+    p.add_argument("--deploy_serve_mode", default="exact",
+                   choices=serving_bench.MODES,
+                   help="retrieval mode the deploy-cycle server runs in; "
+                        "non-exact modes measure artifact-to-live latency "
+                        "INCLUDING the aux rebuild (IVF k-means, PQ "
+                        "codebooks) each hot reload performs")
+    p.add_argument("--recall_target", type=float, default=0.95)
+    p.add_argument("--ivf_clusters", type=int, default=4096)
+    p.add_argument("--nprobe", type=int, default=64)
+    p.add_argument("--ivf_iters", type=int, default=10)
+    p.add_argument("--ivf_max_cell", type=int, default=0)
+    p.add_argument("--pq_subspaces", type=int, default=8)
+    p.add_argument("--pq_oversample", type=int, default=64)
+    p.add_argument("--pq_rotate", action="store_true")
+    p.add_argument("--build_train_sample", type=int, default=0,
+                   help="train deploy-mode IVF/PQ k-means on a row sample "
+                        "(cuts the aux-rebuild share of reload_s)")
     p.add_argument("--out_dir", default="/tmp/full_scale")
     # scale overrides (tests / CPU smoke; defaults are the real MPD scale)
     p.add_argument("--corpus_size", type=int, default=NUM_TRACKS)

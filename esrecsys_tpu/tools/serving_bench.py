@@ -59,10 +59,18 @@ def make_catalog(n: int, dim: int, structured: bool, seed: int = 0):
     return rng.normal(size=(n, dim)).astype(np.float32)
 
 
-def service_for(mode: str, index, k: int, batch: int, args):
-    from esrecsys_tpu.serving.server import RetrievalService
+def mode_kwargs(mode: str, args) -> dict:
+    """Serving kwargs for a named retrieval mode.
 
-    kw = dict(max_k=k, max_batch=batch)
+    ``args`` is any object carrying the build knobs (argparse namespaces
+    from this bench and tools/full_scale_run both work): ``recall_target``,
+    ``ivf_clusters``, ``nprobe``, ``ivf_iters``, ``pq_subspaces``,
+    ``pq_oversample``, ``pq_rotate``, ``ivf_max_cell``,
+    ``build_train_sample``. The returned dict feeds either
+    ``RetrievalService(index, **kw)`` or ``serving.server.serve(path, **kw)``
+    (their mode-selection keywords are identical).
+    """
+    kw = {}
     if mode == "approx":
         kw.update(approx=True, recall_target=args.recall_target)
     elif mode == "quantized":
@@ -98,11 +106,19 @@ def service_for(mode: str, index, k: int, batch: int, args):
                   pq_subspaces=args.pq_subspaces,
                   pq_oversample=args.pq_oversample,
                   pq_rotate=args.pq_rotate, rescore_int8=True)
-    if mode.startswith("ivf") and args.ivf_max_cell:
+    if mode.startswith("ivf") and getattr(args, "ivf_max_cell", 0):
         kw.update(ivf_max_cell=args.ivf_max_cell)
-    if args.build_train_sample and ("ivf" in mode or "pq" in mode):
+    if getattr(args, "build_train_sample", 0) and (
+            "ivf" in mode or "pq" in mode):
         kw.update(build_train_sample=args.build_train_sample)
-    return RetrievalService(index, **kw)
+    return kw
+
+
+def service_for(mode: str, index, k: int, batch: int, args):
+    from esrecsys_tpu.serving.server import RetrievalService
+
+    return RetrievalService(index, max_k=k, max_batch=batch,
+                            **mode_kwargs(mode, args))
 
 
 def bench_mode(mode: str, index, queries: np.ndarray, k: int, args,

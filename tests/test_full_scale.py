@@ -70,3 +70,25 @@ def test_deploy_cycles_hot_reload_live_server(tmp_path):
     assert sum(f.startswith("playlist-") for f in arts) >= 3, arts
     for tag in ("v0", "v1", "v2"):
         assert os.path.exists(tmp_path / "device" / f"index_{tag}.npz")
+
+
+def test_deploy_cycles_serve_mode_ivf_pq(tmp_path):
+    """--deploy_serve_mode ivf_pq: the live deploy-cycle server runs IVF-PQ,
+    every hot reload rebuilds the inverted file + codebooks for the NEW
+    catalog (sample-trained via --build_train_sample), and the probe-query
+    outcome is recorded per cycle."""
+    from esrecsys_tpu.tools import full_scale_run as fsr
+
+    fsr.main(_args(tmp_path, "device",
+                   ["--skip_serving", "--deploy_cycles", "1",
+                    "--cycle_steps", "16",
+                    "--deploy_serve_mode", "ivf_pq",
+                    "--ivf_clusters", "8", "--nprobe", "4",
+                    "--pq_subspaces", "4", "--pq_oversample", "64",
+                    "--build_train_sample", "1024"]))
+    out = json.load(open(tmp_path / "device" / "full_scale_run.json"))
+    assert out["deploy_serve_mode"] == "ivf_pq"
+    assert out["deploy_server_startup_s"] >= 0
+    (cycle,) = out["deploy_cycles"]
+    assert cycle["artifact_to_live_s"] > 0
+    assert isinstance(cycle["probe_hit"], bool)
