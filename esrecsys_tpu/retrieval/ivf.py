@@ -149,6 +149,46 @@ def _split_to_cap(ids: np.ndarray, x: np.ndarray, cap: int,
             + _split_to_cap(ids[hi], x[hi], cap, power_iters))
 
 
+def _assemble_cells(cents: list, assign: np.ndarray, vectors,
+                    max_cell: Optional[int]) -> "IVFIndex":
+    """Host-side tail shared by build/reassign: assignment → cell lists →
+    optional balanced splitting of over-cap cells → dense padded table."""
+    n_clusters = len(cents)
+    order = np.argsort(assign, kind="stable")
+    counts = np.bincount(assign, minlength=n_clusters)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    cells = [order[starts[c]: starts[c] + counts[c]].astype(np.int64)
+             for c in range(n_clusters)]
+    if max_cell is not None:
+        if max_cell < 1:
+            raise ValueError(f"max_cell must be >= 1, got {max_cell}")
+        # host catalogs index in numpy; device catalogs gather on
+        # device and pull ONLY the oversized cell's rows (never
+        # jnp.asarray(host_array) per cell — that re-uploads the whole
+        # catalog each iteration on tunneled links)
+        host_vecs = vectors if isinstance(vectors, np.ndarray) else None
+        for slot in [i for i, g in enumerate(cells)
+                     if g.size > max_cell]:
+            g = cells[slot]
+            if host_vecs is not None:
+                x = host_vecs[g].astype(np.float64)
+            else:
+                x = np.asarray(jax.device_get(jnp.take(
+                    vectors, jnp.asarray(g), axis=0)), np.float64)
+            parts = _split_to_cap(g, x, max_cell)
+            (cells[slot], cents[slot]) = parts[0]
+            for ids_p, cent_p in parts[1:]:
+                cells.append(ids_p)
+                cents.append(cent_p)
+    counts = np.array([g.size for g in cells])
+    lmax = max(int(counts.max()), 1)
+    table = np.full((len(cells), lmax), -1, np.int32)
+    for c, g in enumerate(cells):
+        table[c, : g.size] = g
+    return IVFIndex(np.stack(cents).astype(np.float32), table,
+                    vectors.shape[0])
+
+
 class IVFIndex(NamedTuple):
     """Built IVF layout: centroids + dense padded cell id table."""
 
@@ -198,40 +238,34 @@ class IVFIndex(NamedTuple):
             train_sample=train_sample)
         cent = np.asarray(jax.device_get(cent))
         a = np.asarray(jax.device_get(assign))
-        order = np.argsort(a, kind="stable")
-        counts = np.bincount(a, minlength=n_clusters)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        cells = [order[starts[c]: starts[c] + counts[c]].astype(np.int64)
-                 for c in range(n_clusters)]
-        cents = list(cent)
-        if max_cell is not None:
-            if max_cell < 1:
-                raise ValueError(f"max_cell must be >= 1, got {max_cell}")
-            # host catalogs index in numpy; device catalogs gather on
-            # device and pull ONLY the oversized cell's rows (never
-            # jnp.asarray(host_array) per cell — that re-uploads the whole
-            # catalog each iteration on tunneled links)
-            host_vecs = vectors if isinstance(vectors, np.ndarray) else None
-            for slot in [i for i, g in enumerate(cells)
-                         if g.size > max_cell]:
-                g = cells[slot]
-                if host_vecs is not None:
-                    x = host_vecs[g].astype(np.float64)
-                else:
-                    x = np.asarray(jax.device_get(jnp.take(
-                        vectors, jnp.asarray(g), axis=0)), np.float64)
-                parts = _split_to_cap(g, x, max_cell)
-                (cells[slot], cents[slot]) = parts[0]
-                for ids_p, cent_p in parts[1:]:
-                    cells.append(ids_p)
-                    cents.append(cent_p)
-        counts = np.array([g.size for g in cells])
-        lmax = max(int(counts.max()), 1)
-        table = np.full((len(cells), lmax), -1, np.int32)
-        for c, g in enumerate(cells):
-            table[c, : g.size] = g
-        return cls(np.stack(cents).astype(np.float32), table,
-                   vectors.shape[0])
+        return _assemble_cells(list(cent), a, vectors, max_cell)
+
+    def reassign(self, vectors, max_cell: Optional[int] = None) -> "IVFIndex":
+        """Warm-start layout for a NEW catalog: keep these trained
+        centroids verbatim, pay ONE blocked assign pass + host table
+        assembly — no k-means at all.
+
+        The continuous-deployment move (serving/server.py /admin/reload
+        ``aux: "reuse"``): successive retrain cycles shift embeddings
+        little, so yesterday's centroids still partition today's catalog
+        well, and assignment is the ~iters×-cheaper tail of a build (the
+        same pass :func:`kmeans` ``train_sample`` reduces a build TO).
+        Drift accumulates across many reuse cycles — schedule a periodic
+        full rebuild.
+
+        ``max_cell`` re-applies the balanced-split cap (the new catalog
+        may overfill a cell the cap had kept small); splitting grows
+        ``n_clusters``, so carrying it across many reuse cycles grows C
+        monotonically — another reason to rebuild periodically.
+        """
+        if vectors.shape[1] != self.centroids.shape[1]:
+            raise ValueError(
+                f"catalog dim {vectors.shape[1]} != ivf centroid dim "
+                f"{self.centroids.shape[1]}")
+        a = np.asarray(jax.device_get(jax.jit(kmeans_assign)(
+            jnp.asarray(vectors, jnp.float32),
+            jnp.asarray(self.centroids))))
+        return _assemble_cells(list(self.centroids), a, vectors, max_cell)
 
     def save(self, path: str) -> None:
         np.savez_compressed(path, centroids=self.centroids,

@@ -42,7 +42,7 @@ import numpy as np
 
 from esrecsys_tpu.core.mesh import pad_to_multiple
 from esrecsys_tpu.core.transfer import chunked_device_put
-from esrecsys_tpu.retrieval.ivf import kmeans
+from esrecsys_tpu.retrieval.ivf import kmeans, kmeans_assign
 from esrecsys_tpu.retrieval.mips import (_streamed_candidate_topk,
                                          chunked_topk)
 
@@ -129,6 +129,39 @@ class PQCodebook(NamedTuple):
             codes.append(np.asarray(jax.device_get(assign)))
         return cls(np.stack(cents),
                    np.stack(codes, axis=1).astype(np.uint8), m, rotation)
+
+    def encode(self, vectors) -> "PQCodebook":
+        """Re-encode a NEW catalog against these trained codebooks: keep
+        centroids + rotation verbatim, pay one blocked nearest-centroid
+        pass per subspace — no k-means at all.
+
+        The continuous-deployment move (serving/server.py /admin/reload
+        ``aux: "reuse"``): 256 codes trained on yesterday's embedding
+        geometry still quantize today's lightly-retrained catalog well,
+        and encoding is the ~iters×-cheaper tail of a build. Drift
+        accumulates across many reuse cycles — schedule a periodic full
+        rebuild.
+        """
+        m, d = vectors.shape
+        if d != self.n_subspaces * self.centroids.shape[2]:
+            raise ValueError(
+                f"catalog dim {d} != codebook dim "
+                f"{self.n_subspaces * self.centroids.shape[2]}")
+        ds = self.centroids.shape[2]
+        if isinstance(vectors, jax.Array):
+            dev = vectors.astype(jnp.float32)
+        else:
+            dev = chunked_device_put(np.asarray(vectors, np.float32))
+        if self.rotation is not None:
+            dev = dev @ jnp.asarray(self.rotation)
+        assign = jax.jit(kmeans_assign)
+        cents_dev = jnp.asarray(self.centroids)
+        codes = [np.asarray(jax.device_get(assign(
+            jax.lax.slice_in_dim(dev, s * ds, (s + 1) * ds, axis=1),
+            cents_dev[s]))) for s in range(self.n_subspaces)]
+        return PQCodebook(self.centroids,
+                          np.stack(codes, axis=1).astype(np.uint8),
+                          m, self.rotation)
 
     def save(self, path: str) -> None:
         extra = ({"rotation": self.rotation}

@@ -40,7 +40,11 @@ a dependency-free HTTP service over the TPU retrieval path:
       POST /admin/reload            → body {"index": "path.npz"} (optional;
                                       defaults to the serving index path) —
                                       zero-downtime hot swap to a freshly
-                                      exported artifact (RetrievalHTTPServer)
+                                      exported artifact (RetrievalHTTPServer).
+                                      "aux": "rebuild" (default) retrains
+                                      IVF/PQ for the new catalog; "reuse"
+                                      keeps the running centroids/codebooks
+                                      and pays only the assign/encode pass
 """
 
 from __future__ import annotations
@@ -96,7 +100,13 @@ class RetrievalService:
                  pq_oversample: int = 64,
                  pq_rotate: bool = False,
                  pq_index_path: Optional[str] = None,
-                 n_model_shards: Optional[int] = None):
+                 n_model_shards: Optional[int] = None,
+                 ivf_warm_from=None, pq_warm_from=None):
+        # ivf_warm_from / pq_warm_from: trained structures from a PREVIOUS
+        # catalog generation (hot reload aux="reuse") — this catalog's aux
+        # is derived from them assignment/encode-only, skipping k-means
+        # (IVFIndex.reassign / PQCodebook.encode). They take precedence
+        # over prebuilt-path loads AND fresh builds.
         self.index = index
         self.max_k = min(max_k, len(index))
         self.max_batch = max_batch
@@ -237,10 +247,17 @@ class RetrievalService:
                 self._scales = jnp.asarray(sc)
         else:
             self._q_items = self._scales = None
-        if ivf_clusters or ivf_index_path:
+        if ivf_clusters or ivf_index_path or ivf_warm_from is not None:
             from esrecsys_tpu.retrieval.ivf import IVFIndex
 
-            if ivf_prebuilt:
+            if ivf_warm_from is not None:
+                # assignment-only warm start from the previous generation's
+                # centroids; re-save so a prebuilt-path cache stays current
+                self.ivf = ivf_warm_from.reassign(
+                    self._items, max_cell=ivf_max_cell)
+                if ivf_index_path:
+                    self.ivf.save(ivf_index_path)
+            elif ivf_prebuilt:
                 # prebuilt inverted file: restarts skip the k-means build
                 # (the dominant startup cost at flagship scale)
                 self.ivf = IVFIndex.load(ivf_index_path)
@@ -277,10 +294,16 @@ class RetrievalService:
         else:
             self.ivf = None
             self._centroids = self._bucket_ids = None
-        if pq_subspaces or pq_index_path:
+        if pq_subspaces or pq_index_path or pq_warm_from is not None:
             from esrecsys_tpu.retrieval.pq import PQCodebook
 
-            if pq_prebuilt:
+            if pq_warm_from is not None:
+                # encode-only warm start against the previous generation's
+                # codebooks (+rotation); re-save keeps a path cache current
+                self.pq = pq_warm_from.encode(self._items)
+                if pq_index_path:
+                    self.pq.save(pq_index_path)
+            elif pq_prebuilt:
                 # prebuilt codebook: restarts skip the S k-means trainings
                 self.pq = PQCodebook.load(pq_index_path)
                 if (self.pq.n_items != len(index)
@@ -739,12 +762,14 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                aux = req.get("aux", "rebuild")
                 t0 = time.perf_counter()
-                self.server.reload_index(req.get("index"))
+                self.server.reload_index(req.get("index"), aux=aux)
                 self._send(200, {
                     "status": "ok",
                     "items": len(self.server.service.index),
                     "index": self.server.index_path,
+                    "aux": aux,
                     "reload_seconds": round(time.perf_counter() - t0, 3)})
             except Exception as e:  # missing file, dim mismatch, ...
                 self._send(400, {"error": str(e)})
@@ -888,12 +913,31 @@ class RetrievalHTTPServer(ThreadingHTTPServer):
             batcher.close()
         threading.Thread(target=closer, daemon=True).start()
 
-    def reload_index(self, index_path: Optional[str] = None) -> None:
+    def reload_index(self, index_path: Optional[str] = None,
+                     aux: str = "rebuild") -> None:
+        """Swap in a new catalog with zero downtime.
+
+        ``aux`` picks how IVF/PQ structures follow the catalog:
+        ``"rebuild"`` (default) retrains them from scratch for the new
+        vectors; ``"reuse"`` keeps the RUNNING service's trained
+        centroids/codebooks and pays only the assignment/encode pass
+        (IVFIndex.reassign / PQCodebook.encode) — the cheap path for
+        frequent retrain→deploy cycles, with a periodic full rebuild to
+        shed drift. ``"reuse"`` on a service with no aux structures is a
+        no-op equal to ``"rebuild"``.
+        """
+        if aux not in ("rebuild", "reuse"):
+            raise ValueError(f"aux must be 'rebuild' or 'reuse', got {aux!r}")
         with self._reload_lock:
             path = index_path or self.index_path
             index = EmbeddingIndex.load(path)
             kwargs = dict(self._service_kwargs)
             old, old_batcher = self._serving
+            if aux == "reuse":
+                if old.ivf is not None:
+                    kwargs["ivf_warm_from"] = old.ivf
+                if old.pq is not None:
+                    kwargs["pq_warm_from"] = old.pq
             # rebuild aux indexes for the NEW catalog (never load a cache
             # built for the old one); recover build params from the running
             # service when config only had a prebuilt path

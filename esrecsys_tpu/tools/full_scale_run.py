@@ -345,7 +345,8 @@ def deploy_loop(args, cfg, corpus_np, state, continue_fn) -> dict:
             t_reload = time.time()
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}/admin/reload",
-                data=json.dumps({"index": pathi}).encode())
+                data=json.dumps({"index": pathi,
+                                 "aux": args.deploy_reload_aux}).encode())
             with urllib.request.urlopen(req, timeout=600) as r:
                 rep = json.loads(r.read())
             assert rep["status"] == "ok" and rep["index"] == pathi, rep
@@ -373,6 +374,7 @@ def deploy_loop(args, cfg, corpus_np, state, continue_fn) -> dict:
         httpd.shutdown()
         httpd.server_close()
     return {"deploy_cycles": cycles, "deploy_serve_mode": mode,
+            "deploy_reload_aux": args.deploy_reload_aux,
             "deploy_server_startup_s": round(startup_s, 1)}
 
 
@@ -416,6 +418,11 @@ def main(argv=None):
     p.add_argument("--build_train_sample", type=int, default=0,
                    help="train deploy-mode IVF/PQ k-means on a row sample "
                         "(cuts the aux-rebuild share of reload_s)")
+    p.add_argument("--deploy_reload_aux", default="rebuild",
+                   choices=["rebuild", "reuse"],
+                   help="per-reload aux policy: rebuild retrains IVF/PQ "
+                        "each cycle; reuse keeps the live centroids/"
+                        "codebooks and pays only assign/encode")
     p.add_argument("--out_dir", default="/tmp/full_scale")
     # scale overrides (tests / CPU smoke; defaults are the real MPD scale)
     p.add_argument("--corpus_size", type=int, default=NUM_TRACKS)

@@ -508,3 +508,62 @@ def test_kmeans_train_sample_validation_and_noop():
                         train_sample=100)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6)
+
+
+def test_reassign_same_catalog_is_identity():
+    """reassign() with the catalog it was built on reproduces the exact
+    cell table: same centroids -> same nearest-centroid assignment."""
+    rng = np.random.default_rng(3)
+    x, _ = _mixture(rng)
+    idx = ivf.IVFIndex.build(x, 16, iters=5)
+    re = idx.reassign(x)
+    np.testing.assert_array_equal(idx.centroids, re.centroids)
+    np.testing.assert_array_equal(idx.bucket_ids, re.bucket_ids)
+    assert re.n_items == idx.n_items
+
+
+def test_reassign_drifted_catalog_keeps_probe_recall():
+    """Warm-start layout for a lightly-drifted catalog (the deploy-cycle
+    case): no k-means, yet probe recall stays at the rebuilt index's
+    level because the old centroids still partition the new geometry."""
+    rng = np.random.default_rng(4)
+    x, _ = _mixture(rng)
+    idx = ivf.IVFIndex.build(x, 16, iters=8)
+    x2 = x + rng.normal(size=x.shape).astype(np.float32) * 0.03
+    warm = idx.reassign(x2)
+    assert warm.n_clusters == idx.n_clusters  # no splitting without cap
+    q = x2[rng.integers(0, len(x2), 32)] + rng.normal(
+        size=(32, x.shape[1])).astype(np.float32) * 0.01
+    _, exact = _brute(q, x2, 10)
+    _, got = ivf.ivf_topk(jnp.asarray(q), jnp.asarray(warm.centroids),
+                          jnp.asarray(warm.bucket_ids), jnp.asarray(x2),
+                          k=10, nprobe=4)
+    got = np.asarray(got)
+    overlap = np.mean([len(set(got[i]) & set(exact[i])) / 10
+                       for i in range(len(q))])
+    assert overlap >= 0.9, overlap
+
+
+def test_reassign_reapplies_cell_cap():
+    """max_cell carries over: a cell the new catalog overfills is split
+    again, growing C — the documented reuse-cycle ratchet."""
+    rng = np.random.default_rng(5)
+    x, _ = _mixture(rng, n_comp=4, per=100)
+    cap = 60
+    idx = ivf.IVFIndex.build(x, 4, iters=8, max_cell=cap)
+    assert idx.bucket_ids.shape[1] <= cap
+    # pile most new rows into one component to overfill its cell
+    x2 = np.concatenate([x, x[:50] + 0.01]).astype(np.float32)
+    warm = idx.reassign(x2, max_cell=cap)
+    assert warm.bucket_ids.shape[1] <= cap
+    assert warm.n_items == len(x2)
+    got = np.sort(warm.bucket_ids[warm.bucket_ids >= 0])
+    np.testing.assert_array_equal(got, np.arange(len(x2)))  # a partition
+
+
+def test_reassign_dim_mismatch_raises():
+    rng = np.random.default_rng(6)
+    x, _ = _mixture(rng)
+    idx = ivf.IVFIndex.build(x, 8, iters=3)
+    with pytest.raises(ValueError, match="dim"):
+        idx.reassign(x[:, :8])

@@ -240,3 +240,38 @@ def test_pq_build_train_sample_quality_matches_full_training():
                                train_sample=300)
     assert samp.codes.shape == full.codes.shape
     assert overlap(samp) >= overlap(full) - 0.05
+
+
+def test_encode_same_catalog_is_identity():
+    """encode() with the catalog the codebooks were trained on reproduces
+    the exact codes (and carries the rotation unchanged)."""
+    rng = np.random.default_rng(11)
+    x, _ = _mixture(rng)
+    book = pq.PQCodebook.build(x, n_subspaces=4, iters=5, rotate=True)
+    enc = book.encode(x)
+    np.testing.assert_array_equal(book.codes, enc.codes)
+    np.testing.assert_array_equal(book.centroids, enc.centroids)
+    np.testing.assert_array_equal(book.rotation, enc.rotation)
+
+
+def test_encode_drifted_catalog_distortion_stays_close():
+    """Warm-start codes for a lightly-drifted catalog: distortion within
+    a few percent of fully retrained codebooks (the deploy-cycle case)."""
+    rng = np.random.default_rng(12)
+    x, _ = _mixture(rng)
+    book = pq.PQCodebook.build(x, n_subspaces=4, iters=8)
+    x2 = x + rng.normal(size=x.shape).astype(np.float32) * 0.03
+    warm = book.encode(x2)
+    fresh = pq.PQCodebook.build(x2, n_subspaces=4, iters=8)
+    d_warm = float(np.linalg.norm(warm.decode() - x2))
+    d_fresh = float(np.linalg.norm(fresh.decode() - x2))
+    assert warm.n_items == len(x2)
+    assert d_warm <= 1.25 * d_fresh, (d_warm, d_fresh)
+
+
+def test_encode_dim_mismatch_raises():
+    rng = np.random.default_rng(13)
+    x, _ = _mixture(rng)
+    book = pq.PQCodebook.build(x, n_subspaces=4, iters=3)
+    with pytest.raises(ValueError, match="dim"):
+        book.encode(x[:, :8])

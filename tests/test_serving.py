@@ -896,3 +896,67 @@ def test_sharded_quantized_r8_no_f32_on_any_shard():
         want = np.argsort(-ref[b])[:10]
         assert [idx.ids.index(i) for i in ids[b]] == list(want)
         np.testing.assert_allclose(scores[b], ref[b][want], rtol=1e-4)
+
+
+def test_hot_reload_aux_reuse_keeps_trained_structures(index, tmp_path):
+    """/admin/reload with aux="reuse": the new catalog goes live with the
+    RUNNING service's IVF centroids and PQ codebooks carried verbatim
+    (assign/encode-only — no k-means), and queries answer from it. A bad
+    aux value is a clean 400."""
+    idx, path = index
+    rng = np.random.default_rng(8)
+    # lightly-drifted new generation of the same catalog (deploy cycle)
+    new_vecs = (np.stack([idx.vector(f"item{i}") for i in range(200)])
+                + rng.normal(size=(200, 16)).astype(np.float32) * 0.02)
+    new_idx = EmbeddingIndex([f"g2_{i}" for i in range(200)], new_vecs)
+    new_path = str(tmp_path / "gen2.npz")
+    new_idx.save(new_path)
+
+    httpd = serve(path, port=0, max_k=10, max_batch=4, coalesce=False,
+                  ivf_clusters=8, nprobe=8, ivf_iters=5,
+                  pq_subspaces=4, pq_codes=32, pq_oversample=200)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        old_svc = httpd.service
+        old_cents = old_svc.ivf.centroids.copy()
+        old_books = old_svc.pq.centroids.copy()
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload",
+            data=json.dumps({"index": new_path, "aux": "reuse"}).encode())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["status"] == "ok" and out["aux"] == "reuse"
+        assert out["items"] == 200
+
+        svc = httpd.service
+        assert svc is not old_svc
+        # trained structures carried verbatim; layout follows the NEW rows
+        np.testing.assert_array_equal(svc.ivf.centroids, old_cents)
+        np.testing.assert_array_equal(svc.pq.centroids, old_books)
+        assert svc.ivf.n_items == 200 and svc.pq.n_items == 200
+        got = np.sort(svc.ivf.bucket_ids[svc.ivf.bucket_ids >= 0])
+        np.testing.assert_array_equal(got, np.arange(200))
+
+        # nprobe=C probes every cell, so self-retrieval must succeed
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "g2_5", "k": 5}).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert "g2_5" in json.loads(r.read())["ids"]
+
+        # unknown aux is rejected without touching the service
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload",
+            data=json.dumps({"index": new_path, "aux": "wat"}).encode())
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert httpd.service is svc
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
