@@ -28,6 +28,10 @@ class FitResult:
     last_train_metrics: Dict[str, float]
     last_eval_metrics: Dict[str, float]
     steps_run: int
+    # the run was stopped by a termination signal (train/preemption.py):
+    # state WAS checkpointed at this step; callers should skip final
+    # export/eval and exit promptly so the grace window is not overrun
+    preempted: bool = False
 
 
 def fit(
@@ -57,6 +61,7 @@ def fit(
     mesh: Optional[Any] = None,
     profile_dir: Optional[str] = None,
     profile_steps: int = 20,
+    preemption: Any = None,
 ) -> FitResult:
     """Run the training loop.
 
@@ -90,6 +95,12 @@ def fit(
       profile_dir: capture a TensorBoard-viewable device trace of the first
         ``profile_steps`` post-compile steps (the reference has no profiling
         at all, SURVEY.md §5).
+      preemption: ``True`` installs a SIGTERM guard for the duration of the
+        loop; or pass a managed ``train.preemption.PreemptionGuard``. On a
+        signal the loop stops at the next dispatch boundary — agreed
+        across processes so every host checkpoints the SAME step — saves,
+        and returns ``preempted=True`` (the reference loses everything
+        since the last cadenced save, SURVEY.md §5 failure detection).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -184,6 +195,12 @@ def fit(
         width = width or spc
         return cadence > 0 and (step // cadence) > ((step - width) // cadence)
 
+    from esrecsys_tpu.train import preemption as _preemption
+
+    guard = _preemption.resolve(preemption)
+    own_guard = preemption is True  # fit installs/restores the handlers
+    preempted = False
+
     steps_run = 0
     step = init_step
     profiling = False
@@ -234,73 +251,89 @@ def fit(
 
         return jax.tree_util.tree_map(put, batch)
 
-    while step < num_steps:
-        if profile_dir and steps_run == spc and not profiling:
-            # start after the first (compile) call so the trace is steady-state
-            jax.profiler.start_trace(profile_dir)
-            profiling = True
-        cur = min(spc, num_steps - step)  # final call may be the tail chunk
-        batch = next(feed)
-        if _throws:
-            err, (state, metrics) = jit_train(state, place(batch))
-            err.throw()
-        else:
-            state, metrics = jit_train(state, place(batch))
-        step += cur
-        steps_run += cur
-        for k, v in metrics.items():
-            window.setdefault(k, []).append(v)
+    if own_guard:
+        guard.__enter__()
+    try:
+        while step < num_steps:
+            if profile_dir and steps_run == spc and not profiling:
+                # start after the first (compile) call so the trace is steady-state
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            cur = min(spc, num_steps - step)  # final call may be the tail chunk
+            batch = next(feed)
+            if _throws:
+                err, (state, metrics) = jit_train(state, place(batch))
+                err.throw()
+            else:
+                state, metrics = jit_train(state, place(batch))
+            step += cur
+            steps_run += cur
+            for k, v in metrics.items():
+                window.setdefault(k, []).append(v)
 
-        if crossed(step, log_every, cur):
-            # One device_get for the whole window (keeps the loop async).
-            # Concatenate raveled per-call arrays before the mean: the tail
-            # call's metrics have scan length `remaining % spc`, so the
-            # window can be ragged and np.mean on the list would raise.
-            vals = jax.device_get(window)
-            last_train = {
-                f"train_{k}": float(np.mean(np.concatenate(
-                    [np.ravel(a) for a in v])))
-                for k, v in vals.items()
-            }
-            if timer is not None:
-                t = timer.tick(examples_per_step * cur, force=True)
-                if t:
-                    last_train.update(t)
-            tracker.log(last_train, step)
-            window = {}
-        elif timer is not None:
-            timer.tick(examples_per_step * cur)
+            if crossed(step, log_every, cur):
+                # One device_get for the whole window (keeps the loop async).
+                # Concatenate raveled per-call arrays before the mean: the tail
+                # call's metrics have scan length `remaining % spc`, so the
+                # window can be ragged and np.mean on the list would raise.
+                vals = jax.device_get(window)
+                last_train = {
+                    f"train_{k}": float(np.mean(np.concatenate(
+                        [np.ravel(a) for a in v])))
+                    for k, v in vals.items()
+                }
+                if timer is not None:
+                    t = timer.tick(examples_per_step * cur, force=True)
+                    if t:
+                        last_train.update(t)
+                tracker.log(last_train, step)
+                window = {}
+            elif timer is not None:
+                timer.tick(examples_per_step * cur)
 
-        if jit_eval is not None and crossed(step, eval_every, cur):
-            acc: Dict[str, list] = {}
-            it = eval_iter_fn() if eval_iter_fn is not None else None
-            aux = (jit_eval_setup(state),) if jit_eval_setup is not None else ()
-            for _ in range(eval_steps):
-                ebatch = next(it if it is not None else train_iter)
-                if multiproc:
-                    # eval batches are also per-host slices; assemble them
-                    # (single-process keeps the established un-placed path)
-                    ebatch = place(ebatch, lead=0)
-                em = jax.device_get(jit_eval(state, ebatch, *aux))
-                for k, v in em.items():
-                    acc.setdefault(k, []).append(v)
-            last_eval = {f"eval_{k}": float(np.mean(v)) for k, v in acc.items()}
-            tracker.log(last_eval, step)
+            if jit_eval is not None and crossed(step, eval_every, cur):
+                acc: Dict[str, list] = {}
+                it = eval_iter_fn() if eval_iter_fn is not None else None
+                aux = (jit_eval_setup(state),) if jit_eval_setup is not None else ()
+                for _ in range(eval_steps):
+                    ebatch = next(it if it is not None else train_iter)
+                    if multiproc:
+                        # eval batches are also per-host slices; assemble them
+                        # (single-process keeps the established un-placed path)
+                        ebatch = place(ebatch, lead=0)
+                    em = jax.device_get(jit_eval(state, ebatch, *aux))
+                    for k, v in em.items():
+                        acc.setdefault(k, []).append(v)
+                last_eval = {f"eval_{k}": float(np.mean(v)) for k, v in acc.items()}
+                tracker.log(last_eval, step)
 
-        if hooks and crossed(step, hook_every, cur):
-            for hook in hooks:
-                hook(state, step)
+            if hooks and crossed(step, hook_every, cur):
+                for hook in hooks:
+                    hook(state, step)
 
-        if profiling and steps_run >= spc + profile_steps:
-            jax.block_until_ready(jax.tree_util.tree_leaves(metrics))
-            jax.profiler.stop_trace()
-            profiling = False
+            if profiling and steps_run >= spc + profile_steps:
+                jax.block_until_ready(jax.tree_util.tree_leaves(metrics))
+                jax.profiler.stop_trace()
+                profiling = False
 
-        if checkpointer is not None and crossed(step, checkpoint_every, cur):
-            checkpointer.save(step, state)
+            if checkpointer is not None and crossed(step, checkpoint_every, cur):
+                checkpointer.save(step, state)
+
+            # preemption: polled once per dispatch, AGREED across processes
+            # (any host signalled => all stop here), so the tail save below
+            # writes one consistent step from every process
+            if guard is not None and guard.should_stop():
+                log.warning(
+                    "termination signal: stopping cleanly at step %d "
+                    "(checkpoint follows; resume re-launches from it)", step)
+                preempted = True
+                break
+    finally:
+        if own_guard:
+            guard.__exit__(None, None, None)
 
     if profiling:
         jax.profiler.stop_trace()
     if checkpointer is not None and steps_run:
         checkpointer.save(int(jax.device_get(state.step)), state)
-    return FitResult(state, last_train, last_eval, steps_run)
+    return FitResult(state, last_train, last_eval, steps_run, preempted)

@@ -66,6 +66,8 @@ class GloveConfig:
     steps_per_call: int = 8  # multi-step device loop (amortizes dispatch;
     # also enables the packed lazy-adam layout, see use_packed_tables)
     resume: bool = False
+    # SIGTERM => coordinated stop + checkpoint + clean exit (train/preemption.py)
+    graceful_shutdown: bool = True
 
 
 def make_train_step(model: Glove):
@@ -356,9 +358,15 @@ def train(cfg: GloveConfig, tracker=None, vocab: Optional[Vocabulary] = None):
         examples_per_step=cfg.batch_size,
         steps_per_call=cfg.steps_per_call,
         mesh=mesh,
+        preemption=cfg.graceful_shutdown,
         **(dict(zip(("state_pack", "state_unpack"), packed_state_transforms(cfg)))
            if use_packed_tables(cfg) else {}),
     )
+    if result.preempted:
+        log.warning("preempted at step %d: checkpoint saved, export "
+                    "skipped; relaunch with resume=True",
+                    int(jax.device_get(result.state.step)))
+        return result
     # settled final model as a deployable artifact + artifacts.jsonl entry
     # (train_cooccurence.py:188-192 parity — the reference registers its
     # trained model with the tracker)

@@ -92,6 +92,11 @@ class PlaylistConfig:
     # tunneled backend. fit clamps to the remaining steps, so small runs
     # are unaffected.
     resume: bool = False
+    # SIGTERM (pod eviction / spot reclaim) => coordinated stop at the next
+    # dispatch boundary + checkpoint + clean exit; resume with resume=True
+    # (train/preemption.py). Off => the process dies mid-step, losing
+    # everything since the last cadenced save (the reference's only mode)
+    graceful_shutdown: bool = True
 
 
 # ------------------------------------------------------------------ loss
@@ -672,7 +677,15 @@ def train(cfg: PlaylistConfig, tracker=None, corpus_np=None):
         examples_per_step=cfg.batch_size,
         steps_per_call=cfg.steps_per_call,
         mesh=mesh,
+        preemption=cfg.graceful_shutdown,
     )
+    if result.preempted:
+        # checkpointed by fit; skip the export so the grace window isn't
+        # spent embedding/serializing — the resumed run exports at the end
+        log.warning("preempted at step %d: checkpoint saved, export "
+                    "skipped; relaunch with resume=True",
+                    int(jax.device_get(result.state.step)))
+        return result
     # settled final model (lazy-momentum catch-up applied) as a deployable
     # artifact (train_spotify.py:290-299 parity)
     from esrecsys_tpu.train import export_model

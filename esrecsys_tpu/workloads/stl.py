@@ -65,6 +65,8 @@ class STLConfig:
     use_bf16: bool = True          # bfloat16 conv stack (params stay f32)
     seed: int = 0
     resume: bool = False
+    # SIGTERM => coordinated stop + checkpoint + clean exit (train/preemption.py)
+    graceful_shutdown: bool = True
     # index/recommend mode:
     index_out: str = ""            # defaults to work_dir/{scene,product}_index.npz
     top_k: int = 10
@@ -215,7 +217,13 @@ def train(cfg: STLConfig, tracker=None):
         checkpoint_every=cfg.checkpoint_every_steps,
         examples_per_step=cfg.batch_size,
         mesh=mesh,
+        preemption=cfg.graceful_shutdown,
     )
+    if result.preempted:
+        log.warning("preempted at step %d: checkpoint saved, export "
+                    "skipped; relaunch with resume=True",
+                    int(jax.device_get(result.state.step)))
+        return result
     # final CNN towers (+BatchNorm running stats) as a deployable artifact;
     # index mode loads it (train_shop_the_look.py:223-232 parity)
     from esrecsys_tpu.train import export_model

@@ -71,6 +71,8 @@ class Txt2UrlConfig:
     # debug_callbacks.py:57-104); 0 disables the retrieval part
     seed: int = 0
     resume: bool = False
+    # SIGTERM => coordinated stop + checkpoint + clean exit (train/preemption.py)
+    graceful_shutdown: bool = True
     probe_words: str = ""
     probe_sentences: str = ""
 
@@ -333,7 +335,13 @@ def train(cfg: Txt2UrlConfig, tracker=None):
         hook_every=cfg.steps_per_epoch,
         examples_per_step=cfg.batch_size,
         mesh=mesh,
+        preemption=cfg.graceful_shutdown,
     )
+    if result.preempted:
+        log.warning("preempted at step %d: checkpoint saved, export "
+                    "skipped; relaunch with resume=True",
+                    int(jax.device_get(result.state.step)))
+        return result
     # final two-tower model as a deployable artifact (train_txt2url.py's
     # saved keras model equivalent)
     from esrecsys_tpu.train import export_model
