@@ -262,9 +262,14 @@ class IVFIndex(NamedTuple):
             raise ValueError(
                 f"catalog dim {vectors.shape[1]} != ivf centroid dim "
                 f"{self.centroids.shape[1]}")
+        if isinstance(vectors, jax.Array):
+            dev = vectors.astype(jnp.float32)
+        else:  # host catalog: chunked upload (tunneled links stall >100 MB)
+            from esrecsys_tpu.core.transfer import chunked_device_put
+
+            dev = chunked_device_put(np.asarray(vectors, np.float32))
         a = np.asarray(jax.device_get(jax.jit(kmeans_assign)(
-            jnp.asarray(vectors, jnp.float32),
-            jnp.asarray(self.centroids))))
+            dev, jnp.asarray(self.centroids))))
         return _assemble_cells(list(self.centroids), a, vectors, max_cell)
 
     def save(self, path: str) -> None:

@@ -297,6 +297,7 @@ def _streamed_candidate_topk(
     select: str,
     recall_target: float,
     rescore_scales: Optional[jax.Array] = None,  # (>=num_items,) f32
+    valid_bound: Optional[jax.Array] = None,     # scalar (may be traced)
 ) -> Tuple[jax.Array, jax.Array]:
     """Shared two-phase skeleton for the approx and quantized scans.
 
@@ -316,12 +317,21 @@ def _streamed_candidate_topk(
 
     Indices at -inf slots (k exceeds the real candidates) are sanitized to
     0 so callers can always use them to index id arrays.
+
+    ``valid_bound`` (exclusive, may be a traced scalar) tightens the valid
+    row range below ``num_items`` in BOTH phases — the sharded scan passes
+    ``global_valid - shard_base`` so a catalog's zero-padding tail can
+    neither win a phase-1 slot nor re-enter via its rescored dot (0 beats
+    real negative scores). It must be applied before each top_k, not
+    after: masking winners post-selection forfeits the slots they stole.
     """
+    bound = num_items if valid_bound is None else jnp.minimum(
+        valid_bound, num_items)
 
     def body(_, b):
         s = score_block_fn(b)
         loc = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
-        s = jnp.where(b * block + loc < num_items, s, NEG_INF)
+        s = jnp.where(b * block + loc < bound, s, NEG_INF)
         if select == "approx":
             _, i = jax.lax.approx_max_k(s, kb, recall_target=recall_target)
         else:
@@ -338,7 +348,7 @@ def _streamed_candidate_topk(
     cs = jnp.einsum("bd,bnd->bn", queries.astype(jnp.float32), rows,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-    cs = jnp.where(cand < num_items, cs, NEG_INF)
+    cs = jnp.where(cand < bound, cs, NEG_INF)
     k_eff = min(k, nblk * kb)
     vals, sel = jax.lax.top_k(cs, k_eff)
     idxs = jnp.take_along_axis(cand, sel, axis=-1)
@@ -577,30 +587,24 @@ def sharded_quantized_topk_over_matrix(
         def score_block(b):
             blk = jax.lax.dynamic_slice_in_dim(lq, b * block, block, axis=0)
             sc = jax.lax.dynamic_slice_in_dim(lsc, b * block, block)
-            s = jax.lax.dot_general(
+            return jax.lax.dot_general(
                 qi, blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32
             ).astype(jnp.float32) * sc[None, :]
-            # GLOBAL-validity mask (the catalog's padding tail, last
-            # shard); the LOCAL block-padding mask — which also covers
-            # non-last shards, whose block padding has in-range global
-            # indices — is _streamed_candidate_topk's own
-            # `b*block + loc < num_items` discipline
-            local = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
-            return jnp.where(base + b * block + local < valid, s, NEG_INF)
 
         # the same two-phase skeleton as the single-chip quantized scan,
         # run per shard: per-block top-kb candidates, LOCAL rescore
-        # (gathers never cross shards), local top-k_local
+        # (gathers never cross shards), local top-k_local. The skeleton's
+        # valid_bound (= global validity in this shard's frame) masks BOTH
+        # the catalog's zero-padding tail (last shard; would rescore to
+        # dot 0 and beat real negative scores) and intra-shard block
+        # padding (non-last shards) before each top_k — post-selection
+        # masking would forfeit the slots padding stole
         v, li = _streamed_candidate_topk(
             score_block, qf, lres, rps, k_local, block, nblk, kb,
             select="exact", recall_target=0.95,
-            rescore_scales=lsc[:rps] if r8 else None)
-        # re-kill globally-invalid rows the rescore may have re-admitted
-        # (the skeleton's phase-2 mask knows only the LOCAL bound): the
-        # catalog's zero padding tail rescores to dot 0, which would beat
-        # real negative scores
-        v = jnp.where(base + li < valid, v, NEG_INF)
+            rescore_scales=lsc[:rps] if r8 else None,
+            valid_bound=valid - base)
         gi = jnp.where(jnp.isfinite(v), base + li, 0)
         v_g = jax.lax.all_gather(v, MODEL_AXIS, axis=-1, tiled=True)
         i_g = jax.lax.all_gather(gi, MODEL_AXIS, axis=-1, tiled=True)

@@ -223,7 +223,12 @@ class RetrievalService:
             # on disk, the f32 matrix is never uploaded AT ALL (cold start
             # ships int8 + codes only — catalogs beyond f32-in-HBM scale).
             # When a build needs it, it is uploaded here and dropped after.
+            # warm_from derivations consume self._items too (reassign /
+            # encode run on the resident catalog), so they force the
+            # upload even when a prebuilt path exists (warm wins over it)
             f32_needed = (not rescore_int8
+                          or ivf_warm_from is not None
+                          or pq_warm_from is not None
                           or ((ivf_clusters or ivf_index_path)
                               and not ivf_prebuilt)
                           or ((pq_subspaces or pq_index_path)

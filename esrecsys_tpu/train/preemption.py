@@ -102,6 +102,21 @@ class PreemptionGuard:
         return bool(np.asarray(flags).any())
 
 
+def log_if_preempted(result, logger) -> bool:
+    """Workload-tail contract after ``fit``: when the run was preempted,
+    warn (checkpoint exists; export is skipped so the grace window isn't
+    spent serializing) and return True so the caller returns early."""
+    if not result.preempted:
+        return False
+    import jax
+
+    logger.warning(
+        "preempted at step %d: checkpoint saved, export skipped; "
+        "relaunch with resume=True",
+        int(jax.device_get(result.state.step)))
+    return True
+
+
 def resolve(preemption) -> Optional[PreemptionGuard]:
     """fit()'s argument coercion: False/None → None, True → fresh guard,
     a guard → itself."""

@@ -362,10 +362,9 @@ def train(cfg: GloveConfig, tracker=None, vocab: Optional[Vocabulary] = None):
         **(dict(zip(("state_pack", "state_unpack"), packed_state_transforms(cfg)))
            if use_packed_tables(cfg) else {}),
     )
-    if result.preempted:
-        log.warning("preempted at step %d: checkpoint saved, export "
-                    "skipped; relaunch with resume=True",
-                    int(jax.device_get(result.state.step)))
+    from esrecsys_tpu.train.preemption import log_if_preempted
+
+    if log_if_preempted(result, log):
         return result
     # settled final model as a deployable artifact + artifacts.jsonl entry
     # (train_cooccurence.py:188-192 parity — the reference registers its

@@ -679,12 +679,9 @@ def train(cfg: PlaylistConfig, tracker=None, corpus_np=None):
         mesh=mesh,
         preemption=cfg.graceful_shutdown,
     )
-    if result.preempted:
-        # checkpointed by fit; skip the export so the grace window isn't
-        # spent embedding/serializing — the resumed run exports at the end
-        log.warning("preempted at step %d: checkpoint saved, export "
-                    "skipped; relaunch with resume=True",
-                    int(jax.device_get(result.state.step)))
+    from esrecsys_tpu.train.preemption import log_if_preempted
+
+    if log_if_preempted(result, log):
         return result
     # settled final model (lazy-momentum catch-up applied) as a deployable
     # artifact (train_spotify.py:290-299 parity)

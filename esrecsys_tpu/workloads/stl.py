@@ -219,10 +219,9 @@ def train(cfg: STLConfig, tracker=None):
         mesh=mesh,
         preemption=cfg.graceful_shutdown,
     )
-    if result.preempted:
-        log.warning("preempted at step %d: checkpoint saved, export "
-                    "skipped; relaunch with resume=True",
-                    int(jax.device_get(result.state.step)))
+    from esrecsys_tpu.train.preemption import log_if_preempted
+
+    if log_if_preempted(result, log):
         return result
     # final CNN towers (+BatchNorm running stats) as a deployable artifact;
     # index mode loads it (train_shop_the_look.py:223-232 parity)

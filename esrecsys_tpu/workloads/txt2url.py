@@ -337,10 +337,9 @@ def train(cfg: Txt2UrlConfig, tracker=None):
         mesh=mesh,
         preemption=cfg.graceful_shutdown,
     )
-    if result.preempted:
-        log.warning("preempted at step %d: checkpoint saved, export "
-                    "skipped; relaunch with resume=True",
-                    int(jax.device_get(result.state.step)))
+    from esrecsys_tpu.train.preemption import log_if_preempted
+
+    if log_if_preempted(result, log):
         return result
     # final two-tower model as a deployable artifact (train_txt2url.py's
     # saved keras model equivalent)

@@ -265,3 +265,35 @@ def test_sharded_quantized_padding_never_wins_on_negative_scores():
     np.testing.assert_array_equal(np.asarray(idxs), bidx)
     np.testing.assert_allclose(
         np.asarray(vals), np.take_along_axis(bs, bidx, -1), rtol=1e-4)
+
+
+def test_sharded_quantized_last_shard_padding_cannot_starve_slots():
+    """True top-k concentrated in the LAST shard (the one holding the
+    catalog's zero-padding tail): the padding row's rescored dot (0, above
+    every real negative score) must not consume a local candidate slot —
+    masking winners AFTER top_k would return k-1 true results plus a
+    stowaway from another shard (found by review of commit 88df7ba)."""
+    from esrecsys_tpu.core.mesh import make_mesh, pad_to_multiple, table_sharding
+
+    mesh = make_mesh(n_model=4)
+    rng = np.random.default_rng(5)
+    valid = 99  # rps=25: last shard = rows 75..98 + one zero padding row
+    x = np.abs(rng.normal(size=(valid, 16))).astype(np.float32) + 1.0
+    x[75:] *= 0.01  # last-shard dots closest to 0 => the ENTIRE true top-8
+    m = pad_to_multiple(valid, 4)
+    xp = np.pad(x, ((0, m - valid), (0, 0)))
+    q8, sc = mips.quantize_rows_np(xp)
+    q = -np.abs(rng.normal(size=(3, 16))).astype(np.float32) - 0.5
+    vals, idxs = mips.sharded_quantized_topk_over_matrix(
+        jnp.asarray(q),
+        jax.device_put(jnp.asarray(q8), table_sharding(mesh, 2)),
+        jax.device_put(jnp.asarray(sc), table_sharding(mesh, 1)),
+        8, mesh, rescore_items=None, block_size=128, per_block_k=64,
+        valid_items=valid)
+    deq = (q8.astype(np.float32) * sc[:, None])[:valid]
+    bs = q.astype(np.float64) @ deq.T
+    bidx = np.argsort(-bs, axis=-1)[:, :8]
+    assert np.all(bidx >= 75), "fixture broken: top-8 not in last shard"
+    np.testing.assert_array_equal(np.asarray(idxs), bidx)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(bs, bidx, -1), rtol=1e-4)

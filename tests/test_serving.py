@@ -960,3 +960,28 @@ def test_hot_reload_aux_reuse_keeps_trained_structures(index, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_warm_start_with_prebuilt_cache_and_int8_residency(index, tmp_path):
+    """ivf_warm_from must win over an existing prebuilt cache AND force
+    the f32 upload it needs even under rescore_int8 (whose prebuilt-cache
+    fast path otherwise skips the catalog upload entirely)."""
+    idx, _ = index
+    cache = str(tmp_path / "ivf_cache.npz")
+    base = RetrievalService(idx, max_k=10, max_batch=4, quantized=True,
+                            rescore_int8=True, ivf_clusters=8, nprobe=8,
+                            ivf_iters=5, ivf_index_path=cache)
+    assert os.path.exists(cache)
+    warmed = RetrievalService(idx, max_k=10, max_batch=4, quantized=True,
+                              rescore_int8=True, ivf_clusters=8, nprobe=8,
+                              ivf_iters=5, ivf_index_path=cache,
+                              ivf_warm_from=base.ivf)
+    np.testing.assert_array_equal(warmed.ivf.centroids, base.ivf.centroids)
+    assert warmed.ivf.n_items == len(idx)
+    # warm derivation re-saved the cache and the f32 matrix was dropped
+    # again after the build (int8-only residency)
+    assert warmed._items is None
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    ids, scores = warmed.topk(q, k=5)
+    assert ids.shape == (2, 5) and np.isfinite(np.asarray(scores)).all()
