@@ -321,11 +321,30 @@ def deploy_loop(args, cfg, corpus_np, state, continue_fn) -> dict:
         path = os.path.join(args.out_dir, f"index_{tag}.npz")
         EmbeddingIndex([str(i) for i in range(NUM_TRACKS)],
                        vectors).save(path)
-        return path, time.time() - t0
+        return path, time.time() - t0, vectors
+
+    def serving_overlap(port, vectors, nq, k, rng):
+        """Post-reload quality probe: top-k overlap of the LIVE server's
+        answers vs host-side exact MIPS over the same new catalog — the
+        number that shows whether aux=reuse (stale centroids/codebooks)
+        or any approximate mode degraded results for THIS generation."""
+        q = (vectors[rng.integers(0, NUM_TRACKS, nq)]
+             + rng.normal(size=(nq, vectors.shape[1])).astype(np.float32)
+             * 0.05 * np.abs(vectors).mean())
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"vectors": q.tolist(), "k": k}).encode())
+        with urllib.request.urlopen(req, timeout=600) as r:
+            got = json.loads(r.read())["ids"]
+        scores = q.astype(np.float32) @ vectors.T  # (nq, M) host exact
+        exact = np.argpartition(-scores, k, axis=-1)[:, :k]
+        return float(np.mean([
+            len(set(int(i) for i in got[r_]) & set(exact[r_].tolist())) / k
+            for r_ in range(nq)]))
 
     mode = args.deploy_serve_mode
     mode_kw = serving_bench.mode_kwargs(mode, args)
-    path0, _ = build_index("v0")
+    path0, _, _ = build_index("v0")
     t_up = time.time()
     httpd = serve(path0, port=0, max_k=500, max_batch=8, coalesce=False,
                   **mode_kw)
@@ -341,7 +360,7 @@ def deploy_loop(args, cfg, corpus_np, state, continue_fn) -> dict:
             step += args.cycle_steps
             state = continue_fn(state, step)
             t_train = time.time() - t_cycle
-            pathi, embed_s = build_index(f"v{i + 1}")
+            pathi, embed_s, vecs_i = build_index(f"v{i + 1}")
             t_reload = time.time()
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}/admin/reload",
@@ -361,13 +380,19 @@ def deploy_loop(args, cfg, corpus_np, state, continue_fn) -> dict:
                 probe_hit = "17" in json.loads(r.read())["ids"]
             if mode in ("exact", "quantized", "quantized_r8"):
                 assert probe_hit, f"self-retrieval missed in {mode} mode"
-            cycles.append({
+            cyc = {
                 "cycle": i + 1, "steps": args.cycle_steps,
                 "retrain_s": round(t_train, 1),
                 "embed_and_save_s": round(embed_s, 1),
                 "reload_s": round(reload_s, 1),
                 "artifact_to_live_s": round(embed_s + reload_s, 1),
-                "probe_hit": probe_hit})
+                "probe_hit": probe_hit}
+            if args.deploy_quality_queries:
+                cyc["overlap_at_k"] = round(serving_overlap(
+                    port, vecs_i, args.deploy_quality_queries,
+                    args.deploy_quality_k,
+                    np.random.default_rng(1000 + i)), 4)
+            cycles.append(cyc)
             log.info("deploy cycle %d: retrain %.1fs embed %.1fs reload "
                      "%.1fs", i + 1, t_train, embed_s, reload_s)
     finally:
@@ -418,6 +443,11 @@ def main(argv=None):
     p.add_argument("--build_train_sample", type=int, default=0,
                    help="train deploy-mode IVF/PQ k-means on a row sample "
                         "(cuts the aux-rebuild share of reload_s)")
+    p.add_argument("--deploy_quality_queries", type=int, default=0,
+                   help="after each reload, measure the live server's "
+                        "top-k overlap vs host-exact MIPS on this many "
+                        "near-catalog queries (0 = off)")
+    p.add_argument("--deploy_quality_k", type=int, default=100)
     p.add_argument("--deploy_reload_aux", default="rebuild",
                    choices=["rebuild", "reuse"],
                    help="per-reload aux policy: rebuild retrains IVF/PQ "

@@ -85,10 +85,15 @@ def test_deploy_cycles_serve_mode_ivf_pq(tmp_path):
                     "--deploy_serve_mode", "ivf_pq",
                     "--ivf_clusters", "8", "--nprobe", "4",
                     "--pq_subspaces", "4", "--pq_oversample", "64",
-                    "--build_train_sample", "1024"]))
+                    "--build_train_sample", "1024",
+                    "--deploy_quality_queries", "8",
+                    "--deploy_quality_k", "10"]))
     out = json.load(open(tmp_path / "device" / "full_scale_run.json"))
     assert out["deploy_serve_mode"] == "ivf_pq"
     assert out["deploy_server_startup_s"] >= 0
     (cycle,) = out["deploy_cycles"]
     assert cycle["artifact_to_live_s"] > 0
     assert isinstance(cycle["probe_hit"], bool)
+    # the post-reload quality probe: live-server top-k overlap vs
+    # host-exact MIPS on the same new catalog
+    assert 0.0 <= cycle["overlap_at_k"] <= 1.0
