@@ -25,7 +25,11 @@ TPU-shaped:
 When even a rescore catalog cannot be resident, ``rescore_items=None``
 returns the raw ADC ranking — quality is then bounded by PQ distortion
 alone (measure it per catalog:
-``tools/retrieval_quality_study.py --pq_subspaces S``).
+``tools/retrieval_quality_study.py --pq_subspaces S``). Two levers move
+that bound at ZERO search-time cost: ``rotate`` (OPQ-lite variance
+balancing) and ``anisotropic_threshold`` (score-aware training — spend
+the 256 codes' distortion budget on the direction that perturbs MIPS
+scores; :func:`anisotropic_eta`).
 
 No reference counterpart (the reference scores full f32 matrices,
 pinterest/make_recommendations.py:49-65; its largest catalog fits HBM).
@@ -34,6 +38,7 @@ PQ is what lets the serving path survive catalogs 10-100× beyond that.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -45,6 +50,164 @@ from esrecsys_tpu.core.transfer import chunked_device_put
 from esrecsys_tpu.retrieval.ivf import kmeans, kmeans_assign
 from esrecsys_tpu.retrieval.mips import (_streamed_candidate_topk,
                                          chunked_topk)
+
+
+def anisotropic_eta(threshold: float, d: int) -> float:
+    """Parallel/orthogonal weight ratio for the score-aware PQ loss.
+
+    For MIPS, quantization error PARALLEL to the datapoint perturbs the
+    scores of exactly the queries that would rank it highly; orthogonal
+    error mostly perturbs scores that were low anyway. The score-aware
+    loss therefore weights the parallel residual ``eta`` times the
+    orthogonal one, with ``eta = (d-1) * T^2 / (1 - T^2)`` for a relative
+    score-preservation threshold ``T`` (the anisotropic vector
+    quantization recipe popularized by ScaNN; public technique, see
+    PAPERS.md). Plain reconstruction-loss PQ is the ``eta = 1`` special
+    case.
+
+    We fix ``h_orth = 1, h_par = eta`` and require ``eta >= 1``
+    (``T >= 1/sqrt(d)``): below that the parallel direction would be
+    weighted NEGATIVELY relative to orthogonal, making the per-centroid
+    normal matrix indefinite.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    t2 = float(threshold) ** 2
+    eta = (d - 1) * t2 / (1.0 - t2)
+    if eta < 1.0:
+        raise ValueError(
+            f"threshold {threshold} gives eta={eta:.3f} < 1 at dim {d}; "
+            f"need threshold >= 1/sqrt(d) = {1.0 / np.sqrt(d):.3f}")
+    return eta
+
+
+@partial(jax.jit, static_argnames=("block", "update_centroids"))
+def _aniso_subspace_step(x_s, a_other, w, valid, cents_s, codes_s, *,
+                         block: int, update_centroids: bool):
+    """One coordinate-descent step of the score-aware loss on ONE subspace.
+
+    The full-vector loss ``|r|^2 + w * (x.r)^2`` (``w = (eta-1)/|x|^2``)
+    couples subspaces only through the scalar ``x.r = sum_s a_s`` with
+    ``a_s = x_s . (x_s - cent[code_s])``, so holding the other subspaces'
+    ``a_other = sum_{t!=s} a_t`` fixed:
+
+      * centroid update (given assignments) is the exact minimizer of a
+        per-centroid quadratic: solve
+        ``(n_c I + sum_i w_i x_i x_i^T) mu = sum_i x_i + sum_i w_i
+        (a_other_i + |x_i|^2) x_i`` — 256 tiny (Ds, Ds) solves;
+      * reassignment scores all C candidates per row with one blocked
+        (block, Ds) @ (Ds, C) MXU matmul:
+        ``cost = |x_s - c|^2 + w (a_other + a_cand)^2``.
+
+    Both steps monotonically decrease the total loss. Shapes are
+    identical for every subspace, so this compiles once per (block,
+    update_centroids). Padded rows carry ``valid = 0`` and are excluded
+    from the centroid statistics.
+    """
+    mp, ds = x_s.shape
+    c = cents_s.shape[0]
+    starts = jnp.arange(mp // block, dtype=jnp.int32) * block
+
+    if update_centroids:
+        eye = jnp.eye(ds, dtype=jnp.float32)
+
+        def stats(start):
+            xs = jax.lax.dynamic_slice_in_dim(x_s, start, block, axis=0)
+            cd = jax.lax.dynamic_slice_in_dim(codes_s, start, block, axis=0)
+            ao = jax.lax.dynamic_slice_in_dim(a_other, start, block, axis=0)
+            vv = jax.lax.dynamic_slice_in_dim(valid, start, block, axis=0)
+            wv = jax.lax.dynamic_slice_in_dim(w, start, block, axis=0) * vv
+            onehot = (cd[:, None] == jnp.arange(c, dtype=jnp.int32)[None, :]
+                      ).astype(jnp.float32) * vv[:, None]
+            xs_norm = jnp.sum(xs * xs, axis=1)
+            cnt = jnp.sum(onehot, axis=0)                      # (C,)
+            sx = onehot.T @ xs                                 # (C, Ds)
+            bvec = wv * (ao + xs_norm)
+            sb = onehot.T @ (xs * bvec[:, None])               # (C, Ds)
+            sxx = jnp.einsum("mc,md,me->cde",                  # (C, Ds, Ds)
+                             onehot * wv[:, None], xs, xs)
+            return cnt, sx, sb, sxx
+
+        cnt, sx, sb, sxx = jax.tree.map(
+            lambda t: jnp.sum(t, axis=0), jax.lax.map(stats, starts))
+        lhs = cnt[:, None, None] * eye[None] + sxx
+        # empty cells keep their previous centroid (and a nonsingular lhs)
+        safe_lhs = jnp.where(cnt[:, None, None] > 0, lhs, eye[None])
+        mu = jnp.linalg.solve(safe_lhs, (sx + sb)[..., None])[..., 0]
+        cents_s = jnp.where(cnt[:, None] > 0, mu, cents_s)
+
+    cn = jnp.sum(cents_s * cents_s, axis=1)
+
+    def assign(start):
+        xs = jax.lax.dynamic_slice_in_dim(x_s, start, block, axis=0)
+        ao = jax.lax.dynamic_slice_in_dim(a_other, start, block, axis=0)
+        wv = jax.lax.dynamic_slice_in_dim(w, start, block, axis=0)
+        xs_norm = jnp.sum(xs * xs, axis=1)
+        dot = jnp.dot(xs, cents_s.T, preferred_element_type=jnp.float32)
+        a_cand = xs_norm[:, None] - dot                        # (m, C)
+        cost = (xs_norm[:, None] - 2.0 * dot + cn[None, :]
+                ) + wv[:, None] * (ao[:, None] + a_cand) ** 2
+        code = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        a_new = jnp.take_along_axis(a_cand, code[:, None], axis=1)[:, 0]
+        return code, a_new
+
+    codes_new, a_new = jax.lax.map(assign, starts)
+    return cents_s, codes_new.reshape(-1), a_new.reshape(-1)
+
+
+def _refine_anisotropic(dev: jax.Array, cents, codes, eta: float,
+                        sweeps: int, block_size: int = 65_536,
+                        update_centroids: bool = True):
+    """Run ``sweeps`` coordinate-descent sweeps (all S subspaces each) of
+    the score-aware loss, starting from reconstruction-trained
+    ``cents``/``codes``. Returns (centroids (S,C,Ds) np.f32, codes (M,S)
+    np.uint8). With ``update_centroids=False`` this is assignment-only —
+    the anisotropic ENCODER for a fixed codebook."""
+    m, d = dev.shape
+    s_sub, _, ds = np.shape(cents)
+    block = min(block_size, pad_to_multiple(m, 128))
+    mp = pad_to_multiple(m, block)
+    xp = jnp.pad(dev.astype(jnp.float32), ((0, mp - m), (0, 0)))
+    valid = (jnp.arange(mp) < m).astype(jnp.float32)
+    codes_p = jnp.pad(jnp.asarray(codes, jnp.int32), ((0, mp - m), (0, 0)))
+    xnorm2 = jnp.sum(xp * xp, axis=1)
+    w = jnp.where(xnorm2 > 0, (eta - 1.0) / jnp.maximum(xnorm2, 1e-12), 0.0)
+    cents_dev = jnp.asarray(cents, jnp.float32)
+
+    x_subs, cents_list, codes_cols, a_cols = [], [], [], []
+    for s in range(s_sub):
+        xs = jax.lax.slice_in_dim(xp, s * ds, (s + 1) * ds, axis=1)
+        gathered = jnp.take(cents_dev[s], codes_p[:, s], axis=0)
+        x_subs.append(xs)
+        cents_list.append(cents_dev[s])
+        codes_cols.append(codes_p[:, s])
+        a_cols.append(jnp.sum(xs * xs, 1) - jnp.sum(xs * gathered, 1))
+    a = jnp.stack(a_cols, axis=1)  # (Mp, S)
+
+    for _ in range(sweeps):
+        for s in range(s_sub):
+            a_other = jnp.sum(a, axis=1) - a[:, s]
+            cs, code_s, a_s = _aniso_subspace_step(
+                x_subs[s], a_other, w, valid, cents_list[s], codes_cols[s],
+                block=block, update_centroids=update_centroids)
+            cents_list[s], codes_cols[s] = cs, code_s
+            a = a.at[:, s].set(a_s)
+
+    new_cents = np.asarray(jax.device_get(jnp.stack(cents_list)))
+    new_codes = np.asarray(jax.device_get(
+        jnp.stack(codes_cols, axis=1)[:m])).astype(np.uint8)
+    return new_cents, new_codes
+
+
+def anisotropic_loss(vectors, book: "PQCodebook", threshold: float) -> float:
+    """Mean score-aware loss of an encoding (host-side; tests/studies)."""
+    x = np.asarray(vectors, np.float32)
+    r = x - book.decode()
+    n2 = np.sum(x * x, axis=1)
+    par = np.where(n2 > 0,
+                   np.sum(x * r, axis=1) ** 2 / np.maximum(n2, 1e-12), 0.0)
+    eta = anisotropic_eta(threshold, x.shape[1])
+    return float(np.mean(np.sum(r * r, axis=1) + (eta - 1.0) * par))
 
 
 class PQCodebook(NamedTuple):
@@ -61,6 +224,10 @@ class PQCodebook(NamedTuple):
     codes: np.ndarray      # (M, S) uint8
     n_items: int
     rotation: Optional[np.ndarray] = None  # (D, D) orthonormal, or None
+    anisotropic_threshold: Optional[float] = None  # score-aware loss T,
+    # or None for plain reconstruction-loss PQ. Kept on the book so
+    # ``encode`` (new catalogs against trained codebooks) assigns with
+    # the SAME loss the codebook was trained under.
 
     @property
     def n_subspaces(self) -> int:
@@ -78,7 +245,9 @@ class PQCodebook(NamedTuple):
     def build(cls, vectors, n_subspaces: int = 8, n_codes: int = 256,
               iters: int = 15, seed: int = 0,
               rotate: bool = False,
-              train_sample: Optional[int] = None) -> "PQCodebook":
+              train_sample: Optional[int] = None,
+              anisotropic_threshold: Optional[float] = None,
+              anisotropic_sweeps: int = 3) -> "PQCodebook":
         """Train per-subspace k-means codebooks and encode the catalog.
 
         ``vectors`` may be host or already-device-resident (the device copy
@@ -95,6 +264,17 @@ class PQCodebook(NamedTuple):
         saturate long before millions of training rows, so this cuts the
         dominant build cost ~iters× (measured: BENCHMARKS.md
         "Sample-trained index builds").
+
+        ``anisotropic_threshold=T`` switches the training objective from
+        reconstruction error to the score-aware (anisotropic) loss — see
+        :func:`anisotropic_eta`. The reconstruction-trained codebook is
+        the INIT; ``anisotropic_sweeps`` coordinate-descent sweeps then
+        jointly refine centroids + codes under the weighted loss (with
+        ``train_sample``, centroid refinement runs on the sample and the
+        full catalog gets assignment-only sweeps). ADC search is
+        unchanged — only where the 256 codes spend their distortion
+        moves (toward the score-relevant parallel direction). Composes
+        with ``rotate`` (the loss is rotation-invariant).
         """
         m, d = vectors.shape
         if d % n_subspaces:
@@ -104,6 +284,8 @@ class PQCodebook(NamedTuple):
             raise ValueError(f"n_codes must be in [2, 256], got {n_codes}")
         if n_codes > m:
             raise ValueError(f"n_codes {n_codes} > items {m}")
+        eta = (anisotropic_eta(anisotropic_threshold, d)
+               if anisotropic_threshold is not None else None)
         ds = d // n_subspaces
         if isinstance(vectors, jax.Array):
             dev = vectors.astype(jnp.float32)
@@ -127,8 +309,30 @@ class PQCodebook(NamedTuple):
                 n_codes, iters, seed + s, train_sample=train_sample)
             cents.append(np.asarray(jax.device_get(cent)))
             codes.append(np.asarray(jax.device_get(assign)))
-        return cls(np.stack(cents),
-                   np.stack(codes, axis=1).astype(np.uint8), m, rotation)
+        cents = np.stack(cents)
+        codes = np.stack(codes, axis=1).astype(np.uint8)
+        if eta is not None:
+            if train_sample is not None and train_sample < m:
+                # centroid refinement saturates like k-means does: run the
+                # joint sweeps on the same-sized sample, then give the
+                # full catalog assignment-only sweeps (the anisotropic
+                # encoder) against the refined codebook.
+                idx = np.random.default_rng(seed).choice(
+                    m, train_sample, replace=False)
+                idx_dev = jnp.asarray(np.sort(idx))
+                cents, _ = _refine_anisotropic(
+                    jnp.take(dev, idx_dev, axis=0), cents,
+                    np.asarray(codes[np.sort(idx)], np.int32), eta,
+                    sweeps=anisotropic_sweeps)
+                _, codes = _refine_anisotropic(
+                    dev, cents, np.asarray(codes, np.int32), eta,
+                    sweeps=max(1, anisotropic_sweeps - 1),
+                    update_centroids=False)
+            else:
+                cents, codes = _refine_anisotropic(
+                    dev, cents, np.asarray(codes, np.int32), eta,
+                    sweeps=anisotropic_sweeps)
+        return cls(cents, codes, m, rotation, anisotropic_threshold)
 
     def encode(self, vectors) -> "PQCodebook":
         """Re-encode a NEW catalog against these trained codebooks: keep
@@ -156,16 +360,28 @@ class PQCodebook(NamedTuple):
             dev = dev @ jnp.asarray(self.rotation)
         assign = jax.jit(kmeans_assign)
         cents_dev = jnp.asarray(self.centroids)
-        codes = [np.asarray(jax.device_get(assign(
+        codes = np.stack([np.asarray(jax.device_get(assign(
             jax.lax.slice_in_dim(dev, s * ds, (s + 1) * ds, axis=1),
-            cents_dev[s]))) for s in range(self.n_subspaces)]
-        return PQCodebook(self.centroids,
-                          np.stack(codes, axis=1).astype(np.uint8),
-                          m, self.rotation)
+            cents_dev[s]))) for s in range(self.n_subspaces)],
+            axis=1).astype(np.uint8)
+        if self.anisotropic_threshold is not None:
+            # the codebook was trained under the score-aware loss; assign
+            # new rows under the same loss (nearest-centroid init above,
+            # then assignment-only coordinate sweeps)
+            eta = anisotropic_eta(self.anisotropic_threshold, d)
+            _, codes = _refine_anisotropic(
+                dev, self.centroids, np.asarray(codes, np.int32), eta,
+                sweeps=2, update_centroids=False)
+        return PQCodebook(self.centroids, codes, m, self.rotation,
+                          self.anisotropic_threshold)
 
     def save(self, path: str) -> None:
-        extra = ({"rotation": self.rotation}
-                 if self.rotation is not None else {})
+        extra = {}
+        if self.rotation is not None:
+            extra["rotation"] = self.rotation
+        if self.anisotropic_threshold is not None:
+            extra["anisotropic_threshold"] = np.float64(
+                self.anisotropic_threshold)
         np.savez_compressed(path, centroids=self.centroids,
                             codes=self.codes, n_items=np.int64(self.n_items),
                             **extra)
@@ -174,7 +390,10 @@ class PQCodebook(NamedTuple):
     def load(cls, path: str) -> "PQCodebook":
         with np.load(path, allow_pickle=False) as z:
             rot = z["rotation"] if "rotation" in z.files else None
-            return cls(z["centroids"], z["codes"], int(z["n_items"]), rot)
+            thr = (float(z["anisotropic_threshold"])
+                   if "anisotropic_threshold" in z.files else None)
+            return cls(z["centroids"], z["codes"], int(z["n_items"]), rot,
+                       thr)
 
     def decode(self) -> np.ndarray:
         """Reconstruct the (M, D) approximation in the ORIGINAL space

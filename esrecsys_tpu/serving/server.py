@@ -99,6 +99,7 @@ class RetrievalService:
                  pq_iters: int = 15,
                  pq_oversample: int = 64,
                  pq_rotate: bool = False,
+                 pq_anisotropic: Optional[float] = None,
                  pq_index_path: Optional[str] = None,
                  n_model_shards: Optional[int] = None,
                  ivf_warm_from=None, pq_warm_from=None):
@@ -340,6 +341,7 @@ class RetrievalService:
                 self.pq = PQCodebook.build(
                     self._items, pq_subspaces, n_codes=pq_codes,
                     iters=pq_iters, rotate=pq_rotate,
+                    anisotropic_threshold=pq_anisotropic,
                     train_sample=build_train_sample)
                 if pq_index_path:
                     self.pq.save(pq_index_path)
@@ -498,7 +500,9 @@ class RetrievalService:
             return f"sharded:{self.n_model_shards}{q8}{r8}"
         if self.pq is not None:
             rot = "+rotated" if self.pq.rotation is not None else ""
-            pq_part = (f"pq:S={self.pq.n_subspaces}{rot}"
+            aniso = (f"+aniso={self.pq.anisotropic_threshold:g}"
+                     if self.pq.anisotropic_threshold is not None else "")
+            pq_part = (f"pq:S={self.pq.n_subspaces}{rot}{aniso}"
                        f":oversample={self.pq_oversample}{r8}")
             if self.ivf is not None:
                 return (f"ivf:{self.ivf.n_clusters}:nprobe={self.nprobe}"
@@ -959,10 +963,12 @@ class RetrievalHTTPServer(ThreadingHTTPServer):
                 kwargs["pq_subspaces"] = old.pq.n_subspaces
                 kwargs["pq_codes"] = old.pq.n_codes
                 kwargs["pq_rotate"] = old.pq.rotation is not None
+                kwargs["pq_anisotropic"] = old.pq.anisotropic_threshold
                 self._service_kwargs.update(
                     pq_subspaces=kwargs["pq_subspaces"],
                     pq_codes=kwargs["pq_codes"],
-                    pq_rotate=kwargs["pq_rotate"])
+                    pq_rotate=kwargs["pq_rotate"],
+                    pq_anisotropic=kwargs["pq_anisotropic"])
             service = RetrievalService(index, **kwargs)
             if ivf_path and service.ivf is not None:
                 service.ivf.save(ivf_path)
@@ -1011,6 +1017,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           pq_codes: int = 256,
           pq_oversample: int = 64,
           pq_rotate: bool = False,
+          pq_anisotropic: Optional[float] = None,
           pq_index_path: Optional[str] = None,
           n_model_shards: Optional[int] = None,
           admin_token: Optional[str] = None) -> ThreadingHTTPServer:
@@ -1046,6 +1053,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                           pq_subspaces=pq_subspaces, pq_codes=pq_codes,
                           pq_oversample=pq_oversample,
                           pq_rotate=pq_rotate,
+                          pq_anisotropic=pq_anisotropic,
                           pq_index_path=pq_index_path,
                           n_model_shards=n_model_shards)
     service = RetrievalService(index, **service_kwargs)
@@ -1137,6 +1145,14 @@ def main(argv=None):
                         "rotated space (OPQ-lite): balances per-subspace "
                         "variance on anisotropic catalogs; queries are "
                         "rotated at search, rescore stays exact")
+    p.add_argument("--pq_anisotropic", type=float, default=0.0,
+                   help="train the PQ codebook under the score-aware "
+                        "(anisotropic) loss with this threshold T "
+                        "(e.g. 0.2; needs T >= 1/sqrt(dim)) — spends code "
+                        "distortion on the MIPS-relevant parallel "
+                        "direction; raises raw-ADC/small-oversample "
+                        "recall at zero search-time cost "
+                        "(retrieval/pq.anisotropic_eta)")
     p.add_argument("--pq_index", default="",
                    help="path to a prebuilt PQ codebook (.npz): loaded if "
                         "present, else built from --pq_subspaces and saved "
@@ -1184,6 +1200,7 @@ def main(argv=None):
           pq_codes=args.pq_codes,
           pq_oversample=args.pq_oversample,
           pq_rotate=args.pq_rotate,
+          pq_anisotropic=args.pq_anisotropic or None,
           pq_index_path=args.pq_index or None,
           n_model_shards=args.n_model_shards or None,
           admin_token=args.admin_token or None).serve_forever()

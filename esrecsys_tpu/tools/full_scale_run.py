@@ -440,6 +440,10 @@ def main(argv=None):
     p.add_argument("--pq_subspaces", type=int, default=8)
     p.add_argument("--pq_oversample", type=int, default=64)
     p.add_argument("--pq_rotate", action="store_true")
+    p.add_argument("--pq_anisotropic", type=float, default=0.0,
+                   help="score-aware PQ training threshold T for the "
+                        "deploy serve mode (0 = off; "
+                        "retrieval/pq.anisotropic_eta)")
     p.add_argument("--build_train_sample", type=int, default=0,
                    help="train deploy-mode IVF/PQ k-means on a row sample "
                         "(cuts the aux-rebuild share of reload_s)")

@@ -164,7 +164,8 @@ def int8_overlap(vecs, queries, truth10, truth100, batch: int = 128) -> dict:
 def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
                n_codes: int = 256, iters: int = 15,
                batch: int = 128, oversamples=(4, 16, 64, 256),
-               rotate: bool = False) -> dict:
+               rotate: bool = False,
+               anisotropic: float = None) -> dict:
     """PQ ADC scan quality (retrieval/pq.py): overlap vs the exact scan —
     the exact-rescore serving path swept over its candidate-budget knob
     (``oversample``: ~oversample*k candidates rescored per query), plus raw
@@ -177,11 +178,11 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
 
     t0 = time.perf_counter()
     book = PQCodebook.build(vecs, n_subspaces, n_codes=n_codes, iters=iters,
-                            rotate=rotate)
+                            rotate=rotate, anisotropic_threshold=anisotropic)
     build_s = time.perf_counter() - t0
-    log.info("pq built: S=%d C=%d (%d bytes/item vs %d f32) in %.1fs",
-             n_subspaces, n_codes, book.bytes_per_item,
-             4 * vecs.shape[1], build_s)
+    log.info("pq built: S=%d C=%d (%d bytes/item vs %d f32) aniso=%s "
+             "in %.1fs", n_subspaces, n_codes, book.bytes_per_item,
+             4 * vecs.shape[1], anisotropic, build_s)
     cents = jnp.asarray(book.centroids)
     codes = jnp.asarray(book.codes)
     rot = (jnp.asarray(book.rotation)
@@ -203,7 +204,7 @@ def pq_quality(vecs, queries, truth10, truth100, n_subspaces: int,
                 "overlap@100": round(recall(found, truth100), 4)}
 
     out = {"n_subspaces": n_subspaces, "n_codes": n_codes,
-           "rotated": rotate,
+           "rotated": rotate, "anisotropic_threshold": anisotropic,
            "bytes_per_item": book.bytes_per_item,
            "compression_vs_f32": round(4 * vecs.shape[1] / n_subspaces, 1),
            "build_seconds": round(build_s, 1), "rescored_curve": [],
@@ -280,6 +281,7 @@ def ivfpq_curve(vecs, queries, truth10, truth100, index, book,
 def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
           nprobes: list, max_cell=None, pq_subspaces=None,
           pq_oversamples=(4, 16, 64, 256), pq_rotate: bool = False,
+          pq_anisotropic=None,
           pq_iters: int = 15, ivfpq: bool = False) -> dict:
     t0 = time.perf_counter()
     truth100 = exact_topk(vecs, queries, 100)
@@ -301,7 +303,8 @@ def study(vecs: np.ndarray, queries: np.ndarray, n_clusters: int, iters: int,
         # the IVF coarse-quantizer knob
         out["pq"] = pq_quality(vecs, queries, truth10, truth100,
                                pq_subspaces, iters=pq_iters,
-                               oversamples=pq_oversamples, rotate=pq_rotate)
+                               oversamples=pq_oversamples, rotate=pq_rotate,
+                               anisotropic=pq_anisotropic)
     if ivfpq:
         out["ivfpq"] = ivfpq_curve(
             vecs, queries, truth10, truth100, out["ivf"]["_index"],
@@ -335,6 +338,10 @@ def main(argv=None):
     p.add_argument("--pq_rotate", action="store_true",
                    help="OPQ-lite random-orthonormal pre-rotation before "
                         "the subspace split (retrieval/pq.py)")
+    p.add_argument("--pq_anisotropic", type=float, default=0.0,
+                   help="score-aware (anisotropic) PQ training threshold T "
+                        "(0 = off; needs T >= 1/sqrt(dim) — "
+                        "retrieval/pq.anisotropic_eta)")
     p.add_argument("--ivfpq", action="store_true",
                    help="also sweep IVF-PQ (probe + ADC codes + exact "
                         "rescore, retrieval/ivf.ivf_pq_topk) over --nprobes "
@@ -372,6 +379,8 @@ def main(argv=None):
                                     pq_subspaces=args.pq_subspaces or None,
                                     pq_oversamples=pq_oversamples,
                                     pq_rotate=args.pq_rotate,
+                                    pq_anisotropic=(args.pq_anisotropic
+                                                    or None),
                                     pq_iters=args.pq_iters,
                                     ivfpq=args.ivfpq)
     else:
@@ -386,6 +395,7 @@ def main(argv=None):
                                   pq_subspaces=args.pq_subspaces or None,
                                   pq_oversamples=pq_oversamples,
                                   pq_rotate=args.pq_rotate,
+                                  pq_anisotropic=args.pq_anisotropic or None,
                                   pq_iters=args.pq_iters,
                                   ivfpq=args.ivfpq)
     with open(args.out, "w") as f:

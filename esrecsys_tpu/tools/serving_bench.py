@@ -65,7 +65,7 @@ def mode_kwargs(mode: str, args) -> dict:
     ``args`` is any object carrying the build knobs (argparse namespaces
     from this bench and tools/full_scale_run both work): ``recall_target``,
     ``ivf_clusters``, ``nprobe``, ``ivf_iters``, ``pq_subspaces``,
-    ``pq_oversample``, ``pq_rotate``, ``ivf_max_cell``,
+    ``pq_oversample``, ``pq_rotate``, ``pq_anisotropic``, ``ivf_max_cell``,
     ``build_train_sample``. The returned dict feeds either
     ``RetrievalService(index, **kw)`` or ``serving.server.serve(path, **kw)``
     (their mode-selection keywords are identical).
@@ -87,25 +87,31 @@ def mode_kwargs(mode: str, args) -> dict:
     elif mode == "pq":
         kw.update(pq_subspaces=args.pq_subspaces,
                   pq_oversample=args.pq_oversample,
-                  pq_rotate=args.pq_rotate)
+                  pq_rotate=args.pq_rotate,
+                  pq_anisotropic=getattr(args, 'pq_anisotropic', 0) or None)
     elif mode == "ivf_pq":
         kw.update(ivf_clusters=args.ivf_clusters, nprobe=args.nprobe,
                   ivf_iters=args.ivf_iters,
                   pq_subspaces=args.pq_subspaces,
                   pq_oversample=args.pq_oversample,
-                  pq_rotate=args.pq_rotate)
+                  pq_rotate=args.pq_rotate,
+                  pq_anisotropic=getattr(args, 'pq_anisotropic', 0) or None)
     elif mode == "quantized_r8":
         kw.update(quantized=True, rescore_int8=True)
     elif mode == "pq_r8":
         kw.update(pq_subspaces=args.pq_subspaces,
                   pq_oversample=args.pq_oversample,
-                  pq_rotate=args.pq_rotate, rescore_int8=True)
+                  pq_rotate=args.pq_rotate,
+                  pq_anisotropic=getattr(args, 'pq_anisotropic', 0) or None,
+                  rescore_int8=True)
     elif mode == "ivf_pq_r8":
         kw.update(ivf_clusters=args.ivf_clusters, nprobe=args.nprobe,
                   ivf_iters=args.ivf_iters,
                   pq_subspaces=args.pq_subspaces,
                   pq_oversample=args.pq_oversample,
-                  pq_rotate=args.pq_rotate, rescore_int8=True)
+                  pq_rotate=args.pq_rotate,
+                  pq_anisotropic=getattr(args, 'pq_anisotropic', 0) or None,
+                  rescore_int8=True)
     if mode.startswith("ivf") and getattr(args, "ivf_max_cell", 0):
         kw.update(ivf_max_cell=args.ivf_max_cell)
     if getattr(args, "build_train_sample", 0) and (
@@ -178,6 +184,8 @@ def main(argv=None):
     p.add_argument("--pq_subspaces", type=int, default=8)
     p.add_argument("--pq_oversample", type=int, default=64)
     p.add_argument("--pq_rotate", action="store_true")
+    p.add_argument("--pq_anisotropic", type=float, default=0.0,
+                   help="score-aware PQ training threshold T (0 = off; retrieval/pq.anisotropic_eta)")
     p.add_argument("--out", default="/tmp/serving_bench.json")
     args = p.parse_args(argv)
 

@@ -275,3 +275,110 @@ def test_encode_dim_mismatch_raises():
     book = pq.PQCodebook.build(x, n_subspaces=4, iters=3)
     with pytest.raises(ValueError, match="dim"):
         book.encode(x[:, :8])
+
+
+def _correlated(rng, n=2000, d=16, rank=4, noise=0.1):
+    """Decaying-spectrum catalog (the geometry where code-budget placement
+    matters; same regime where --pq_rotate was decisive)."""
+    base = rng.standard_normal((n, rank)).astype(np.float32)
+    mix = rng.standard_normal((rank, d)).astype(np.float32)
+    return base @ mix + noise * rng.standard_normal((n, d)).astype(np.float32)
+
+
+def test_anisotropic_eta_validation():
+    # eta at the documented formula
+    assert pq.anisotropic_eta(0.5, 16) == pytest.approx(15 * 0.25 / 0.75)
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        pq.anisotropic_eta(0.0, 16)
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        pq.anisotropic_eta(1.0, 16)
+    with pytest.raises(ValueError, match="1/sqrt"):
+        pq.anisotropic_eta(0.1, 16)  # eta < 1 at d=16
+
+
+def test_anisotropic_build_reduces_score_aware_loss():
+    """The coordinate-descent refinement must beat the reconstruction-
+    trained init under the loss it optimizes (both steps are exact
+    per-block minimizers, so this is a convergence invariant, not a
+    tuning accident)."""
+    rng = np.random.default_rng(30)
+    x = _correlated(rng)
+    t = 0.5
+    vanilla = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8)
+    aniso = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8,
+                                anisotropic_threshold=t)
+    assert aniso.anisotropic_threshold == t
+    l_v = pq.anisotropic_loss(x, vanilla, t)
+    l_a = pq.anisotropic_loss(x, aniso, t)
+    assert l_a < l_v, (l_a, l_v)
+
+
+def test_anisotropic_improves_raw_adc_recall_on_correlated_geometry():
+    rng = np.random.default_rng(31)
+    x = _correlated(rng)
+    q = rng.standard_normal((64, x.shape[1])).astype(np.float32)
+    exact = np.argsort(-(q @ x.T), axis=1)[:, :10]
+
+    def overlap(book):
+        _, idxs = pq.pq_topk(jnp.asarray(q), jnp.asarray(book.centroids),
+                             jnp.asarray(book.codes), 10)
+        got = np.asarray(idxs)
+        return np.mean([len(set(got[i]) & set(exact[i])) / 10
+                        for i in range(len(q))])
+
+    vanilla = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8)
+    aniso = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8,
+                                anisotropic_threshold=0.5)
+    assert overlap(aniso) >= overlap(vanilla), \
+        (overlap(aniso), overlap(vanilla))
+
+
+def test_anisotropic_save_load_encode_roundtrip(tmp_path):
+    """Threshold persists; encode() of the SAME catalog under the same
+    loss stays near the build's loss (assignment-only sweeps from a
+    nearest-centroid init reach the same basin); a new catalog encodes
+    with the trained loss without retraining."""
+    rng = np.random.default_rng(32)
+    x = _correlated(rng)
+    t = 0.5
+    book = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8,
+                               anisotropic_threshold=t)
+    p = str(tmp_path / "aniso.npz")
+    book.save(p)
+    loaded = pq.PQCodebook.load(p)
+    assert loaded.anisotropic_threshold == pytest.approx(t)
+    np.testing.assert_array_equal(loaded.codes, book.codes)
+    re = loaded.encode(x)
+    assert re.anisotropic_threshold == pytest.approx(t)
+    l_build = pq.anisotropic_loss(x, book, t)
+    l_re = pq.anisotropic_loss(x, re, t)
+    assert l_re <= 1.1 * l_build, (l_re, l_build)
+
+
+def test_anisotropic_sampled_build_close_to_full():
+    rng = np.random.default_rng(33)
+    x = _correlated(rng, n=3000)
+    t = 0.5
+    full = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8,
+                               anisotropic_threshold=t)
+    sampled = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8,
+                                  anisotropic_threshold=t, train_sample=1024)
+    l_full = pq.anisotropic_loss(x, full, t)
+    l_sampled = pq.anisotropic_loss(x, sampled, t)
+    assert l_sampled <= 1.3 * l_full, (l_sampled, l_full)
+
+
+def test_anisotropic_composes_with_rotation():
+    """Rotation + anisotropic: loss is measured in the ORIGINAL space
+    (decode undoes the rotation) and still beats the rotated vanilla
+    build under the score-aware loss."""
+    rng = np.random.default_rng(34)
+    x = _correlated(rng)
+    t = 0.5
+    vanilla = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8,
+                                  rotate=True)
+    aniso = pq.PQCodebook.build(x, n_subspaces=4, n_codes=32, iters=8,
+                                rotate=True, anisotropic_threshold=t)
+    assert aniso.rotation is not None
+    assert pq.anisotropic_loss(x, aniso, t) < pq.anisotropic_loss(
+        x, vanilla, t)

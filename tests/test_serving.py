@@ -985,3 +985,52 @@ def test_warm_start_with_prebuilt_cache_and_int8_residency(index, tmp_path):
     q = rng.normal(size=(2, 16)).astype(np.float32)
     ids, scores = warmed.topk(q, k=5)
     assert ids.shape == (2, 5) and np.isfinite(np.asarray(scores)).all()
+
+
+def test_pq_anisotropic_reachable_and_reload_carries_threshold(
+        index, tmp_path):
+    """--pq_anisotropic trains a score-aware codebook (retrieval/pq.py
+    anisotropic_eta); results stay exact on a fully-rescored catalog; a
+    reload whose config only had a prebuilt pq path recovers the
+    threshold from the RUNNING service (reload_index carry-over)."""
+    idx, path = index
+    # d=16 => threshold must be >= 1/sqrt(16) = 0.25
+    svc = RetrievalService(idx, max_k=10, max_batch=4, pq_subspaces=4,
+                           pq_codes=32, pq_anisotropic=0.3)
+    assert svc.pq.anisotropic_threshold == pytest.approx(0.3)
+    assert svc.mode == "pq:S=4+aniso=0.3:oversample=64"
+    q = idx.vector("item5")
+    ids, scores = svc.topk(q[None], k=10)
+    want = np.argsort(-(idx.vectors @ q))[:10]
+    assert list(ids[0]) == [f"item{i}" for i in want]
+    np.testing.assert_allclose(scores[0], (idx.vectors @ q)[want], rtol=1e-4)
+
+    # prebuilt-path-only config: reload must carry S/C/rotate/threshold
+    # from the running service instead of failing or silently dropping it
+    book_path = str(tmp_path / "pq_aniso.npz")
+    svc.pq.save(book_path)
+    httpd = serve(path, port=0, max_k=10, max_batch=4, coalesce=False,
+                  pq_index_path=book_path)
+    assert (httpd.service.pq.anisotropic_threshold
+            == pytest.approx(0.3))  # loaded from the npz
+    rng = np.random.default_rng(21)
+    new_vecs = rng.normal(size=(150, 16)).astype(np.float32)
+    new_path = str(tmp_path / "new_cat.npz")
+    EmbeddingIndex([f"n{i}" for i in range(150)], new_vecs).save(new_path)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload",
+            data=json.dumps({"index": new_path}).encode())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["status"] == "ok"
+        new_svc = httpd.service
+        assert new_svc.pq.n_items == 150
+        assert new_svc.pq.anisotropic_threshold == pytest.approx(0.3)
+        assert "aniso=0.3" in new_svc.mode
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
