@@ -33,6 +33,26 @@ class EmbeddingIndex:
     def vector(self, id_: str) -> np.ndarray:
         return self.vectors[self._id2row[id_]]
 
+    def extend(self, ids: Sequence[str], vectors: np.ndarray) -> None:
+        """Append new items (serving ``/admin/add_items``). Rejects ids
+        already present (an id must keep meaning ONE vector — updates go
+        through a reload) and dimension mismatches, atomically: on error
+        nothing is appended."""
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.vectors.shape[1]:
+            raise ValueError(
+                f"vectors {vectors.shape} != (n, {self.vectors.shape[1]})")
+        if len(ids) != vectors.shape[0]:
+            raise ValueError(f"{len(ids)} ids vs {vectors.shape[0]} vectors")
+        dup = [i for i in ids if i in self._id2row]
+        if dup or len(set(ids)) != len(ids):
+            raise ValueError(f"duplicate ids: {(dup or 'within batch')}")
+        base = len(self.ids)
+        self.ids.extend(str(i) for i in ids)
+        for j, key in enumerate(ids):
+            self._id2row[str(key)] = base + j
+        self.vectors = np.concatenate([self.vectors, vectors], axis=0)
+
     # ---- persistence ----
 
     def save(self, path: str) -> None:

@@ -44,6 +44,7 @@ def chunked_topk(
     num_items: int,
     k: int,
     block_size: int = 8192,
+    valid_bound: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming top-k over a virtual score matrix.
 
@@ -55,6 +56,10 @@ def chunked_topk(
         masked to -inf).
       k: candidates to keep.
       block_size: catalog rows per block.
+      valid_bound: exclusive row bound BELOW ``num_items``, may be a traced
+        scalar — the incremental-growth hook: the serving path compiles
+        once at capacity ``num_items`` and moves only this bound as rows
+        are appended (no recompile; shapes stay static).
 
     Returns:
       (values (B, k), indices (B, k)), sorted descending per row.
@@ -67,6 +72,8 @@ def chunked_topk(
     block_size = probe.shape[-1]
     num_blocks = -(-num_items // block_size)
     k_eff = min(k, num_items)
+    bound = num_items if valid_bound is None else jnp.minimum(
+        valid_bound, num_items)
 
     def body(carry, b):
         vals, idxs = carry
@@ -74,7 +81,7 @@ def chunked_topk(
         scores = score_block_fn(start)  # (B, S)
         local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
         item_idx = start + local
-        scores = jnp.where(item_idx < num_items, scores, NEG_INF)
+        scores = jnp.where(item_idx < bound, scores, NEG_INF)
         cat_vals = jnp.concatenate([vals, scores], axis=-1)
         cat_idxs = jnp.concatenate([idxs, item_idx], axis=-1)
         new_vals, sel = jax.lax.top_k(cat_vals, k_eff)
@@ -101,6 +108,7 @@ def chunked_grouped_topk(
     k: int,
     block_size: int = 8192,
     group: int = 8,
+    valid_bound: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact streaming top-k with a group-max prefilter — ~4-6x cheaper than
     :func:`chunked_topk` on TPU, where ``lax.top_k`` cost is linear in the
@@ -134,6 +142,9 @@ def chunked_grouped_topk(
         padding >= num_items; their scores are ignored.
       num_items / k / block_size: as in :func:`chunked_topk`.
       group: items per group; ``block_size`` must be divisible by it.
+      valid_bound: as in :func:`chunked_topk` (traced scalar OK) — applied
+        in BOTH phases: a beyond-bound row can neither lift its group's
+        max nor re-enter via the rescore.
 
     Returns:
       (values (B, k), indices (B, k)), sorted descending per row.
@@ -147,13 +158,15 @@ def chunked_grouped_topk(
     groups_per_block = block_size // group
     num_groups = num_blocks * groups_per_block
     kg = min(k, num_groups)
+    bound = num_items if valid_bound is None else jnp.minimum(
+        valid_bound, num_items)
 
     def body(carry, b):
         gvals, gidxs = carry
         start = b * block_size
         scores = score_block_fn(start)  # (B, S)
         local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
-        scores = jnp.where(start + local < num_items, scores, NEG_INF)
+        scores = jnp.where(start + local < bound, scores, NEG_INF)
         gmax = jnp.max(
             scores.reshape(batch_shape + (groups_per_block, group)), axis=-1)
         gid = (start // group) + jax.lax.broadcasted_iota(
@@ -176,8 +189,10 @@ def chunked_grouped_topk(
     # Phase 2: rescore the winning groups' members exactly.
     cand = win_groups[..., :, None] * group + jnp.arange(group)  # (B, kg, G)
     cand = cand.reshape(batch_shape + (kg * group,))
+    # gather clamp stays at the STATIC capacity (safe shapes); validity is
+    # the (possibly traced) bound
     cand_scores = score_items_fn(jnp.minimum(cand, num_items - 1))
-    cand_scores = jnp.where(cand < num_items, cand_scores, NEG_INF)
+    cand_scores = jnp.where(cand < bound, cand_scores, NEG_INF)
     k_eff = min(k, num_items)
     vals, sel = jax.lax.top_k(cand_scores, k_eff)
     idxs = jnp.take_along_axis(cand, sel, axis=-1)
@@ -195,6 +210,7 @@ def topk_over_matrix(
     k: int,
     block_size: int = 8192,
     group: int = 8,
+    valid_count: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Dot-product top-k of each query against an in-memory catalog matrix.
 
@@ -204,6 +220,11 @@ def topk_over_matrix(
     exact up to phase-1 rounding at the k-th group boundary (see the
     exactness note in :func:`chunked_grouped_topk`). ``group=0`` falls back
     to the plain streaming top-k at one consistent precision.
+
+    ``valid_count`` (may be a traced scalar): only rows < valid_count are
+    real; ``items`` beyond it are preallocated growth capacity (serving
+    ``/admin/add_items`` appends rows and moves the bound — one compile
+    per CAPACITY, not per catalog size).
     """
     num_items = items.shape[0]
     block = min(block_size, pad_to_multiple(num_items, 128))
@@ -232,8 +253,10 @@ def topk_over_matrix(
                               precision=jax.lax.Precision.HIGHEST)
 
         return chunked_grouped_topk(
-            score_block, score_items, num_items, k, block, group=group)
-    return chunked_topk(score_block, num_items, k, block)
+            score_block, score_items, num_items, k, block, group=group,
+            valid_bound=valid_count)
+    return chunked_topk(score_block, num_items, k, block,
+                        valid_bound=valid_count)
 
 
 def approx_topk_over_matrix(
@@ -243,6 +266,7 @@ def approx_topk_over_matrix(
     block_size: int = 262_144,
     recall_target: float = 0.95,
     per_block_k: Optional[int] = None,
+    valid_count: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate streaming top-k via the TPU's hardware-accelerated
     ``jax.lax.approx_max_k`` (PartialReduce), with an exact high-precision
@@ -282,7 +306,8 @@ def approx_topk_over_matrix(
 
     return _streamed_candidate_topk(
         score_block, queries, items, num_items, k, block, nblk, kb,
-        select="approx", recall_target=recall_target)
+        select="approx", recall_target=recall_target,
+        valid_bound=valid_count)
 
 
 def _streamed_candidate_topk(
@@ -404,6 +429,7 @@ def quantized_topk_over_matrix(
     recall_target: float = 0.95,
     oversample: int = 4,
     rescore_scales: Optional[jax.Array] = None,  # (M,): rescore_items is int8
+    valid_count: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming top-k scoring the catalog in int8, exact rescore on top.
 
@@ -463,7 +489,7 @@ def quantized_topk_over_matrix(
     return _streamed_candidate_topk(
         score_block, queries, rescore_items, num_items, k, block, nblk, kb,
         select=select, recall_target=recall_target,
-        rescore_scales=rescore_scales)
+        rescore_scales=rescore_scales, valid_bound=valid_count)
 
 
 def sharded_topk_over_matrix(

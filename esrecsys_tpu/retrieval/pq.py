@@ -429,6 +429,7 @@ def pq_topk(
     oversample: int = 64,
     rotation: Optional[jax.Array] = None,
     rescore_scales: Optional[jax.Array] = None,  # (M,): rescore_items is int8
+    valid_count: Optional[jax.Array] = None,     # scalar (may be traced)
 ) -> Tuple[jax.Array, jax.Array]:
     """ADC top-k over PQ codes, with an optional exact candidate rescore.
 
@@ -450,6 +451,10 @@ def pq_topk(
     rounding in the rescore. The middle ground between the exact f32
     rescore and no rescore at all, for catalogs whose f32 form outgrows
     HBM but whose int8 form does not.
+
+    ``valid_count`` (may be traced): rows >= it are preallocated growth
+    capacity, masked in selection and rescore — the serving
+    ``/admin/add_items`` hook (compile per capacity, not per size).
     """
     s_sub, c, ds = centroids.shape
     b_shape, d = queries.shape[:-1], queries.shape[-1]
@@ -481,11 +486,12 @@ def pq_topk(
         return _streamed_candidate_topk(
             lambda b: score_from(b * block), qf, rescore_items, num_items, k,
             block, nblk, kb, select="exact", recall_target=0.95,
-            rescore_scales=rescore_scales)
+            rescore_scales=rescore_scales, valid_bound=valid_count)
 
     # no rescore catalog: the shared streaming top-k over the raw ADC scores
     # (tail masking, -inf padding to k, descending order — mips.chunked_topk)
     # chunked_topk takes its block size from score_from's output shape
-    vals, idxs = chunked_topk(score_from, num_items, k)
+    vals, idxs = chunked_topk(score_from, num_items, k,
+                              valid_bound=valid_count)
     idxs = jnp.where(jnp.isfinite(vals), idxs, 0)
     return vals, idxs

@@ -45,6 +45,12 @@ a dependency-free HTTP service over the TPU retrieval path:
                                       IVF/PQ for the new catalog; "reuse"
                                       keeps the running centroids/codebooks
                                       and pays only the assign/encode pass
+      POST /admin/add_items         → body {"ids": [...], "vectors": [[...]]}
+                                      — live streaming catalog growth into
+                                      --add_capacity headroom: zero
+                                      recompiles (capacity-static shapes +
+                                      a traced valid bound), new items
+                                      queryable immediately
 """
 
 from __future__ import annotations
@@ -67,6 +73,20 @@ from esrecsys_tpu.retrieval.index import EmbeddingIndex
 from esrecsys_tpu.retrieval.mips import topk_over_matrix
 
 log = logging.getLogger(__name__)
+
+
+def _rows_update(buf: jax.Array, rows: jax.Array, start) -> jax.Array:
+    """Overwrite ``buf[start:start+len(rows)]`` in place (donated buffer,
+    traced start): the /admin/add_items write primitive. One tiny compile
+    per (buf shape, rows shape) pair — clients that batch adds at a
+    consistent size compile once."""
+    return _rows_update_jit(buf, rows, jnp.int32(start))
+
+
+_rows_update_jit = jax.jit(
+    lambda buf, rows, start: jax.lax.dynamic_update_slice_in_dim(
+        buf, rows.astype(buf.dtype), start, axis=0),
+    donate_argnums=0)
 
 
 def _npz_path(path: Optional[str]) -> Optional[str]:
@@ -102,6 +122,7 @@ class RetrievalService:
                  pq_anisotropic: Optional[float] = None,
                  pq_index_path: Optional[str] = None,
                  n_model_shards: Optional[int] = None,
+                 add_capacity: int = 0,
                  ivf_warm_from=None, pq_warm_from=None):
         # ivf_warm_from / pq_warm_from: trained structures from a PREVIOUS
         # catalog generation (hot reload aux="reuse") — this catalog's aux
@@ -177,6 +198,21 @@ class RetrievalService:
             raise ValueError(
                 "n_model_shards serves the sharded scan (exact or "
                 "quantized) — it does not compose with approx/ivf/pq")
+        # add_capacity=N: preallocate N extra catalog rows so
+        # /admin/add_items can append items with ZERO recompiles — buffers
+        # stay at static capacity shapes, only a traced valid-count scalar
+        # moves (mips/pq valid_count). Full-scan modes only: IVF's bucket
+        # table and the sharded layout change shape on growth — those
+        # catalogs grow via /admin/reload instead.
+        if add_capacity and (ivf_clusters or ivf_index_path
+                             or n_model_shards):
+            raise ValueError(
+                "add_capacity composes with the full-scan modes "
+                "(exact/approx/int8/pq); ivf and sharded catalogs grow "
+                "via /admin/reload")
+        self.add_capacity = int(add_capacity)
+        self._n_valid = len(index)
+        self.capacity = self._n_valid + self.add_capacity
         import os
 
         ivf_index_path = _npz_path(ivf_index_path)
@@ -352,6 +388,21 @@ class RetrievalService:
         else:
             self.pq = None
             self._pq_centroids = self._pq_codes = self._pq_rot = None
+        if self.add_capacity:
+            # builds are done (k-means/codebooks trained on REAL rows
+            # only); now pad every residency buffer to capacity with
+            # zeros. Padded rows are invisible to queries — the scan
+            # masks them via the traced valid-count in both phases —
+            # and /admin/add_items overwrites them in place
+            # (dynamic_update_slice on donated buffers, no recompile).
+            pad = self.capacity - self._n_valid
+            if self._items is not None:
+                self._items = jnp.pad(self._items, ((0, pad), (0, 0)))
+            if self._q_items is not None:
+                self._q_items = jnp.pad(self._q_items, ((0, pad), (0, 0)))
+                self._scales = jnp.pad(self._scales, (0, pad))
+            if self._pq_codes is not None:
+                self._pq_codes = jnp.pad(self._pq_codes, ((0, pad), (0, 0)))
         if rescore_int8:
             # builds are done: free the f32 matrix (if it was ever up).
             # From here the int8 catalog + aux codes are the residency.
@@ -362,7 +413,12 @@ class RetrievalService:
         # PJRT backends re-ship with the program (a 580 MB catalog stalls the
         # compile request entirely).
         def query(q, items, q_items, scales, centroids, bucket_ids,
-                  pq_centroids, pq_codes, pq_rot):
+                  pq_centroids, pq_codes, pq_rot, valid):
+            # valid (traced scalar) bounds the real rows when growth
+            # capacity is preallocated; None (static) otherwise so
+            # non-growable services compile the exact same programs as
+            # before add_capacity existed
+            vc = valid if self.add_capacity else None
             # approx/quantized paths want LARGE blocks (few scan iterations,
             # few candidates to rescore) — the 11.7k q/s number was measured
             # at 262144; the exact path's small-block default would explode
@@ -416,7 +472,8 @@ class RetrievalService:
                                block_size=max(block_size, 262_144),
                                oversample=self.pq_oversample,
                                rotation=pq_rot,
-                               rescore_scales=scales if r8 else None)
+                               rescore_scales=scales if r8 else None,
+                               valid_count=vc)
             if self.ivf is not None:
                 from esrecsys_tpu.retrieval.ivf import ivf_topk
 
@@ -434,20 +491,24 @@ class RetrievalService:
                     block_size=max(block_size, 262_144),
                     select="approx" if self.approx else "exact",
                     recall_target=self.recall_target,
-                    rescore_scales=scales if r8 else None)
+                    rescore_scales=scales if r8 else None,
+                    valid_count=vc)
             if self.approx:
                 from esrecsys_tpu.retrieval.mips import approx_topk_over_matrix
 
                 return approx_topk_over_matrix(
                     q, items, self.max_k, block_size=max(block_size, 262_144),
-                    recall_target=self.recall_target)
-            return topk_over_matrix(q, items, self.max_k, block_size)
+                    recall_target=self.recall_target,
+                    valid_count=vc)
+            return topk_over_matrix(q, items, self.max_k, block_size,
+                                    valid_count=vc)
 
         self._query_fn = jax.jit(query)
         self._query = lambda q, items: self._query_fn(
             q, items, self._q_items, self._scales,
             self._centroids, self._bucket_ids,
-            self._pq_centroids, self._pq_codes, self._pq_rot)
+            self._pq_centroids, self._pq_codes, self._pq_rot,
+            jnp.int32(self._n_valid))
         # Compile once at construction so first request latency is steady.
         warm = jnp.zeros((max_batch, self._dim), jnp.float32)
         jax.device_get(jax.tree_util.tree_leaves(
@@ -456,6 +517,64 @@ class RetrievalService:
         # per-dispatch device latency ring (seconds); bounded so a
         # long-lived server never grows it — /statsz reports percentiles
         self._lat = collections.deque(maxlen=2048)
+
+    def add_items(self, ids: Sequence[str], vectors: np.ndarray) -> int:
+        """Append items to the LIVE catalog without recompiling or
+        restarting (requires ``add_capacity`` headroom at construction).
+
+        The compiled query keeps its capacity-static shapes; this
+        overwrites preallocated rows in place (donated
+        ``dynamic_update_slice``) and advances the traced valid-count the
+        scans mask by — new items are queryable on the next dispatch.
+        Derived residencies update consistently: int8 rows/scales via the
+        host quantizer (bit-identical to the device one —
+        :func:`~esrecsys_tpu.retrieval.mips.quantize_rows_np`), PQ codes
+        via :meth:`~esrecsys_tpu.retrieval.pq.PQCodebook.encode` against
+        the trained (possibly rotated/anisotropic) codebooks. Returns the
+        new catalog size. The streaming half of continuous deployment:
+        adds keep freshness between /admin/reload generations; codebook/
+        centroid drift still wants the periodic retrain+reload.
+        """
+        if not self.add_capacity:
+            raise ValueError(
+                "service has no growth headroom: start it with "
+                "add_capacity=N (--add_capacity) to enable add_items")
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        n = vectors.shape[0]
+        with self._lock:  # queries round-trip under this lock, so no
+            # in-flight dispatch holds the buffers we donate below
+            if self._n_valid + n > self.capacity:
+                raise ValueError(
+                    f"capacity exhausted: {self._n_valid}+{n} > "
+                    f"{self.capacity}; reload with a larger add_capacity")
+            # validates duplicate ids / dim and appends host-side
+            self.index.extend(ids, vectors)
+            start = self._n_valid
+            if self._items is not None:
+                self._items = _rows_update(
+                    self._items, jnp.asarray(vectors), start)
+            if self._q_items is not None:
+                from esrecsys_tpu.retrieval.mips import quantize_rows_np
+
+                q8, sc = quantize_rows_np(vectors)
+                self._q_items = _rows_update(
+                    self._q_items, jnp.asarray(q8), start)
+                self._scales = _rows_update(
+                    self._scales, jnp.asarray(sc), start)
+            if self.pq is not None:
+                from esrecsys_tpu.retrieval.pq import PQCodebook
+
+                enc = self.pq.encode(vectors)
+                self._pq_codes = _rows_update(
+                    self._pq_codes, jnp.asarray(enc.codes), start)
+                # host copy stays consistent (reload aux=reuse / re-save)
+                self.pq = PQCodebook(
+                    self.pq.centroids,
+                    np.concatenate([self.pq.codes, enc.codes]),
+                    self.pq.n_items + n, self.pq.rotation,
+                    self.pq.anisotropic_threshold)
+            self._n_valid += n
+            return self._n_valid
 
     @property
     def dim(self) -> int:
@@ -747,6 +866,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, {
                 "mode": service.mode,
                 "items": len(service.index),
+                "capacity": service.capacity,  # items + add_items headroom
                 "resident_bytes_per_item": service.resident_bytes_per_item,
                 "index": self.server.index_path,
                 "queries": q,
@@ -781,6 +901,23 @@ class _Handler(BaseHTTPRequestHandler):
                     "aux": aux,
                     "reload_seconds": round(time.perf_counter() - t0, 3)})
             except Exception as e:  # missing file, dim mismatch, ...
+                self._send(400, {"error": str(e)})
+            return
+        if self.path == "/admin/add_items":
+            # streaming catalog growth: {"ids": [...], "vectors": [[...]]}
+            # appends into preallocated capacity (RetrievalService
+            # add_items — zero recompiles, new items queryable at once)
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                ids = req.get("ids") or []
+                vecs = np.asarray(req.get("vectors") or [], np.float32)
+                service = self.server.service
+                total = service.add_items(ids, vecs)
+                self._send(200, {
+                    "status": "ok", "added": len(ids), "items": total,
+                    "capacity_left": service.capacity - total})
+            except Exception as e:  # no headroom, dup ids, bad dims, ...
                 self._send(400, {"error": str(e)})
             return
         if self.path != "/v1/topk":
@@ -1020,6 +1157,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           pq_anisotropic: Optional[float] = None,
           pq_index_path: Optional[str] = None,
           n_model_shards: Optional[int] = None,
+          add_capacity: int = 0,
           admin_token: Optional[str] = None) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
 
@@ -1055,7 +1193,8 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                           pq_rotate=pq_rotate,
                           pq_anisotropic=pq_anisotropic,
                           pq_index_path=pq_index_path,
-                          n_model_shards=n_model_shards)
+                          n_model_shards=n_model_shards,
+                          add_capacity=add_capacity)
     service = RetrievalService(index, **service_kwargs)
     batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
     httpd = RetrievalHTTPServer((host, port), _Handler)
@@ -1166,6 +1305,11 @@ def main(argv=None):
                    help="shard the catalog's rows over this many devices "
                         "on the mesh's model axis (serve catalogs beyond "
                         "one chip's HBM; exact sharded scan)")
+    p.add_argument("--add_capacity", type=int, default=0,
+                   help="preallocate this many extra catalog rows so "
+                        "POST /admin/add_items can append items live with "
+                        "zero recompiles (full-scan modes: exact/approx/"
+                        "int8/pq; ivf/sharded grow via /admin/reload)")
     # query-side model inference (serving/encoders.py)
     p.add_argument("--txt2url_artifact", default="",
                    help="enable 'text' queries via this trained artifact")
@@ -1203,6 +1347,7 @@ def main(argv=None):
           pq_anisotropic=args.pq_anisotropic or None,
           pq_index_path=args.pq_index or None,
           n_model_shards=args.n_model_shards or None,
+          add_capacity=args.add_capacity,
           admin_token=args.admin_token or None).serve_forever()
 
 

@@ -211,3 +211,78 @@ def test_approx_topk_small_catalog_returns_real_items():
     v, i = approx_topk_over_matrix(q, items, K, block_size=262144)
     assert bool(jnp.isfinite(v).all())
     assert len(set(np.asarray(i)[0].tolist())) == K  # k distinct real items
+
+
+class TestValidCount:
+    """valid_count (traced growth bound): capacity-padded scans must
+    EQUAL the same scan over the truncated catalog — a poisoned tail
+    (high-norm rows that would win every query) can neither take a
+    phase-1 slot nor re-enter via a rescore."""
+
+    cap, valid, d, k = 1000, 731, 16, 12
+
+    @pytest.fixture(scope="class")
+    def data(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((self.cap, self.d)).astype(np.float32)
+        x[self.valid:] = 7.7  # poison: beats every real row if unmasked
+        q = rng.standard_normal((5, self.d)).astype(np.float32)
+        return jnp.asarray(x), jnp.asarray(x[:self.valid]), jnp.asarray(q)
+
+    def _check(self, got, want):
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+    def test_plain_and_grouped(self, data):
+        xd, xe, qd = data
+        vb = jnp.int32(self.valid)
+        for group in (0, 8):
+            self._check(
+                mips.topk_over_matrix(qd, xd, self.k, group=group,
+                                      valid_count=vb),
+                mips.topk_over_matrix(qd, xe, self.k, group=group))
+
+    def test_quantized_and_approx(self, data):
+        xd, xe, qd = data
+        vb = jnp.int32(self.valid)
+        q8, sc = mips.quantize_rows(xd)
+        q8e, sce = mips.quantize_rows(xe)
+        self._check(
+            mips.quantized_topk_over_matrix(qd, q8, sc, xd, self.k,
+                                            valid_count=vb),
+            mips.quantized_topk_over_matrix(qd, q8e, sce, xe, self.k))
+        self._check(
+            mips.approx_topk_over_matrix(qd, xd, self.k, valid_count=vb),
+            mips.approx_topk_over_matrix(qd, xe, self.k))
+
+    def test_pq_both_phases(self, data):
+        from esrecsys_tpu.retrieval import pq
+
+        xd, xe, qd = data
+        vb = jnp.int32(self.valid)
+        book = pq.PQCodebook.build(np.asarray(xe), n_subspaces=4,
+                                   n_codes=32, iters=5)
+        codes_cap = np.zeros((self.cap, 4), np.uint8)
+        codes_cap[:self.valid] = book.codes
+        cents = jnp.asarray(book.centroids)
+        self._check(
+            pq.pq_topk(qd, cents, jnp.asarray(codes_cap), self.k,
+                       rescore_items=xd, valid_count=vb),
+            pq.pq_topk(qd, cents, jnp.asarray(book.codes), self.k,
+                       rescore_items=xe))
+        self._check(
+            pq.pq_topk(qd, cents, jnp.asarray(codes_cap), self.k,
+                       valid_count=vb),
+            pq.pq_topk(qd, cents, jnp.asarray(book.codes), self.k))
+
+    def test_bound_moves_without_recompile(self, data):
+        xd, xe, qd = data
+        f = jax.jit(mips.topk_over_matrix, static_argnames=("k", "group"))
+        f(qd, xd, k=self.k, group=8, valid_count=jnp.int32(self.valid))
+        n_compiles = f._cache_size()
+        got = f(qd, xd, k=self.k, group=8,
+                valid_count=jnp.int32(self.valid - 100))
+        assert f._cache_size() == n_compiles  # traced bound: same program
+        self._check(got, mips.topk_over_matrix(
+            qd, xe[:self.valid - 100], self.k, group=8))

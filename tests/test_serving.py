@@ -1034,3 +1034,101 @@ def test_pq_anisotropic_reachable_and_reload_carries_threshold(
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_add_items_live_growth_zero_recompile(index):
+    """add_capacity preallocates rows; add_items appends and the SAME
+    compiled query (one cache entry) serves the grown catalog exactly."""
+    idx, _ = index
+    rng = np.random.default_rng(30)
+    svc = RetrievalService(
+        EmbeddingIndex(list(idx.ids), idx.vectors.copy()),
+        max_k=10, max_batch=4, add_capacity=32)
+    assert svc.capacity == 232
+    compiles = svc._query_fn._cache_size()
+    new = rng.normal(size=(8, 16)).astype(np.float32) * 2.0  # big norms:
+    # these rows WIN queries, so serving them proves the bound moved
+    assert svc.add_items([f"new{i}" for i in range(8)], new) == 208
+    allv = np.concatenate([idx.vectors, new])
+    q = new[2][None]
+    ids, scores = svc.topk(q, k=10)
+    names = [f"item{i}" for i in range(200)] + [f"new{i}" for i in range(8)]
+    want = np.argsort(-(allv @ q[0]))[:10]
+    assert list(ids[0]) == [names[i] for i in want]
+    np.testing.assert_allclose(scores[0], (allv @ q[0])[want], rtol=1e-4)
+    assert svc._query_fn._cache_size() == compiles  # zero new programs
+    # guards: over-capacity and duplicate ids are rejected atomically
+    with pytest.raises(ValueError, match="capacity"):
+        svc.add_items([f"x{i}" for i in range(32)],
+                      np.zeros((32, 16), np.float32))
+    with pytest.raises(ValueError, match="duplicate"):
+        svc.add_items(["new0"], np.zeros((1, 16), np.float32))
+    assert len(svc.index) == 208  # nothing partially applied
+
+
+def test_add_items_updates_derived_residencies(index):
+    """int8 rows/scales and PQ codes stay consistent with the grown
+    catalog: pq mode with rescore_int8 (no f32 resident) serves added
+    items through codes+int8 only."""
+    idx, _ = index
+    rng = np.random.default_rng(31)
+    svc = RetrievalService(
+        EmbeddingIndex(list(idx.ids), idx.vectors.copy()),
+        max_k=10, max_batch=4, add_capacity=16,
+        pq_subspaces=4, pq_codes=32, rescore_int8=True)
+    assert svc._items is None  # f32-free residency
+    new = rng.normal(size=(4, 16)).astype(np.float32) * 2.0
+    svc.add_items([f"n{i}" for i in range(4)], new)
+    assert svc.pq.n_items == 204 and svc.pq.codes.shape == (204, 4)
+    ids, scores = svc.topk(new[1][None], k=5)
+    assert ids[0][0] == "n1"  # the added high-norm row wins its own query
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_add_items_http_and_mode_guards(index, tmp_path):
+    """POST /admin/add_items over the wire: added items queryable at
+    once, /statsz reports capacity; ivf+add_capacity refused at init;
+    no-headroom services reject adds."""
+    idx, path = index
+    httpd = serve(path, port=0, max_k=10, max_batch=4, coalesce=False,
+                  add_capacity=16)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(32)
+        new = (rng.normal(size=(3, 16)) * 2.0).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/add_items",
+            data=json.dumps({"ids": ["a1", "a2", "a3"],
+                             "vectors": new.tolist()}).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out == {"status": "ok", "added": 3, "items": 203,
+                       "capacity_left": 13}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "a2", "k": 5}).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            got = json.loads(r.read())
+        assert got["ids"][0] == "a2"  # high-norm row tops its own query
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/statsz", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["items"] == 203 and stats["capacity"] == 216
+        # duplicate id → 400, catalog unchanged
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/add_items",
+            data=json.dumps({"ids": ["a1"],
+                             "vectors": [[0.0] * 16]}).encode())
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    with pytest.raises(ValueError, match="add_capacity"):
+        RetrievalService(idx, ivf_clusters=8, add_capacity=8)
+    with pytest.raises(ValueError, match="headroom"):
+        RetrievalService(idx, max_k=5).add_items(
+            ["z"], np.zeros((1, 16), np.float32))
