@@ -26,6 +26,19 @@ class EmbeddingIndex:
         self.ids: List[str] = list(ids)
         self.vectors = np.asarray(vectors, np.float32)
         self._id2row = {k: i for i, k in enumerate(self.ids)}
+        self._buf: "np.ndarray | None" = None  # see reserve()
+
+    def reserve(self, capacity: int) -> None:
+        """Preallocate host storage so :meth:`extend` appends in O(n)
+        instead of re-copying the whole matrix per call (the serving
+        ``add_capacity`` host mirror). ``vectors`` becomes a view of the
+        first ``len(self)`` rows; callers never see the tail."""
+        if capacity <= len(self.ids):
+            return
+        buf = np.zeros((capacity, self.vectors.shape[1]), np.float32)
+        buf[:len(self.ids)] = self.vectors
+        self._buf = buf
+        self.vectors = buf[:len(self.ids)]
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -44,14 +57,24 @@ class EmbeddingIndex:
                 f"vectors {vectors.shape} != (n, {self.vectors.shape[1]})")
         if len(ids) != vectors.shape[0]:
             raise ValueError(f"{len(ids)} ids vs {vectors.shape[0]} vectors")
+        # normalize BEFORE validating: stored keys are str, so a numeric id
+        # (e.g. a JSON number over /admin/add_items) must collide with its
+        # string form, not slip past the duplicate guard
+        ids = [str(i) for i in ids]
         dup = [i for i in ids if i in self._id2row]
         if dup or len(set(ids)) != len(ids):
             raise ValueError(f"duplicate ids: {(dup or 'within batch')}")
         base = len(self.ids)
-        self.ids.extend(str(i) for i in ids)
+        self.ids.extend(ids)
         for j, key in enumerate(ids):
-            self._id2row[str(key)] = base + j
-        self.vectors = np.concatenate([self.vectors, vectors], axis=0)
+            self._id2row[key] = base + j
+        if self._buf is not None and base + len(ids) <= self._buf.shape[0]:
+            # preallocated growth capacity (reserve): O(n) in-place append
+            self._buf[base:base + len(ids)] = vectors
+            self.vectors = self._buf[:base + len(ids)]
+        else:
+            self._buf = None  # capacity exhausted: back to copy-append
+            self.vectors = np.concatenate([self.vectors, vectors], axis=0)
 
     # ---- persistence ----
 

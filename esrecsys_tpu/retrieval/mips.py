@@ -196,6 +196,10 @@ def chunked_grouped_topk(
     k_eff = min(k, num_items)
     vals, sel = jax.lax.top_k(cand_scores, k_eff)
     idxs = jnp.take_along_axis(cand, sel, axis=-1)
+    # -inf slots can carry the init's out-of-range group ids (>= capacity
+    # when valid_bound < k) — sanitize to 0 like every sibling path so
+    # callers can always index id arrays with the result
+    idxs = jnp.where(jnp.isfinite(vals), idxs, 0)
     if k_eff < k:
         pad = k - k_eff
         vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)],

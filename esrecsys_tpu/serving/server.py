@@ -213,6 +213,14 @@ class RetrievalService:
         self.add_capacity = int(add_capacity)
         self._n_valid = len(index)
         self.capacity = self._n_valid + self.add_capacity
+        if self.add_capacity:
+            # growable services clamp max_k to CAPACITY, not the seed size:
+            # a catalog that starts small and grows must not be capped at
+            # its launch-day size forever (topk clamps per request anyway)
+            self.max_k = min(max_k, self.capacity)
+            # host mirror preallocated too: extend() appends in O(n)
+            # instead of re-copying the whole matrix under the query lock
+            index.reserve(self.capacity)
         import os
 
         ivf_index_path = _npz_path(ivf_index_path)
@@ -403,6 +411,17 @@ class RetrievalService:
                 self._scales = jnp.pad(self._scales, (0, pad))
             if self._pq_codes is not None:
                 self._pq_codes = jnp.pad(self._pq_codes, ((0, pad), (0, 0)))
+            if self.pq is not None:
+                # host mirror of the codes at capacity: add_items appends
+                # in O(n) and republishes self.pq over a VIEW instead of
+                # re-concatenating the whole code matrix per add
+                buf = np.zeros((self.capacity, self.pq.codes.shape[1]),
+                               np.uint8)
+                buf[:self._n_valid] = self.pq.codes
+                self._pq_codes_host = buf
+                self.pq = self.pq._replace(codes=buf[:self._n_valid])
+            else:
+                self._pq_codes_host = None
         if rescore_int8:
             # builds are done: free the f32 matrix (if it was ever up).
             # From here the int8 catalog + aux codes are the residency.
@@ -541,15 +560,25 @@ class RetrievalService:
                 "add_capacity=N (--add_capacity) to enable add_items")
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))
         n = vectors.shape[0]
+        if vectors.shape[1] != self._dim:
+            raise ValueError(
+                f"vectors dim {vectors.shape[1]} != index dim {self._dim}")
+        str_ids = [str(i) for i in ids]
         with self._lock:  # queries round-trip under this lock, so no
             # in-flight dispatch holds the buffers we donate below
             if self._n_valid + n > self.capacity:
                 raise ValueError(
                     f"capacity exhausted: {self._n_valid}+{n} > "
                     f"{self.capacity}; reload with a larger add_capacity")
-            # validates duplicate ids / dim and appends host-side
-            self.index.extend(ids, vectors)
+            # pre-validate ids so NO state (host or device) moves for a
+            # batch that would be rejected; the host index mutates LAST —
+            # a device failure mid-way then leaves the batch fully
+            # retriable (rows written beyond _n_valid stay invisible)
+            dup = [i for i in str_ids if i in self.index._id2row]
+            if dup or len(set(str_ids)) != len(str_ids):
+                raise ValueError(f"duplicate ids: {dup or 'within batch'}")
             start = self._n_valid
+            end = start + n
             if self._items is not None:
                 self._items = _rows_update(
                     self._items, jnp.asarray(vectors), start)
@@ -567,13 +596,14 @@ class RetrievalService:
                 enc = self.pq.encode(vectors)
                 self._pq_codes = _rows_update(
                     self._pq_codes, jnp.asarray(enc.codes), start)
-                # host copy stays consistent (reload aux=reuse / re-save)
+                # republish over the preallocated host mirror (O(n), no
+                # full-codes copy); reload aux=reuse / re-save read self.pq
+                self._pq_codes_host[start:end] = enc.codes
                 self.pq = PQCodebook(
-                    self.pq.centroids,
-                    np.concatenate([self.pq.codes, enc.codes]),
-                    self.pq.n_items + n, self.pq.rotation,
-                    self.pq.anisotropic_threshold)
-            self._n_valid += n
+                    self.pq.centroids, self._pq_codes_host[:end], end,
+                    self.pq.rotation, self.pq.anisotropic_threshold)
+            self.index.extend(str_ids, vectors)
+            self._n_valid = end
             return self._n_valid
 
     @property
@@ -668,7 +698,17 @@ class RetrievalService:
         top-(k+E): the compiled device query keeps its one static shape.
         """
         k = self.max_k if k is None else min(k, self.max_k)
+        # growable services allow max_k up to CAPACITY; never return more
+        # rows than real items exist right now (-inf pad must not leak)
+        k = min(k, self._n_valid)
         fetch = k if not exclude else self.exclusion_budget(k, exclude)
+        if fetch > self._n_valid:
+            # the over-fetch that guarantees k survivors cannot fit in the
+            # current (still-growing) catalog — same contract as
+            # exclusion_budget's k+E <= max_k, against live size
+            raise ValueError(
+                f"k + len(exclude) = {fetch} exceeds the current catalog "
+                f"size {self._n_valid}")
         excl = frozenset(exclude) if exclude else frozenset()
         q = np.atleast_2d(np.asarray(vectors, np.float32))
         if q.shape[1] != self._dim:
@@ -1152,6 +1192,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           ivf_index_path: Optional[str] = None,
           pq_subspaces: Optional[int] = None,
           pq_codes: int = 256,
+          pq_iters: int = 15,
           pq_oversample: int = 64,
           pq_rotate: bool = False,
           pq_anisotropic: Optional[float] = None,
@@ -1189,6 +1230,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                           build_train_sample=build_train_sample,
                           ivf_index_path=ivf_index_path,
                           pq_subspaces=pq_subspaces, pq_codes=pq_codes,
+                          pq_iters=pq_iters,
                           pq_oversample=pq_oversample,
                           pq_rotate=pq_rotate,
                           pq_anisotropic=pq_anisotropic,
@@ -1274,6 +1316,10 @@ def main(argv=None):
                         "it becomes IVF-PQ (sublinear + compressed)")
     p.add_argument("--pq_codes", type=int, default=256,
                    help="PQ codebook entries per subspace (<=256)")
+    p.add_argument("--pq_iters", type=int, default=15,
+                   help="PQ codebook k-means iterations (pin this to the "
+                        "value a calibration tuned with — "
+                        "tools/retrieval_autotune emits it)")
     p.add_argument("--pq_oversample", type=int, default=64,
                    help="exact-rescore candidate budget ~oversample*max_k "
                         "(default matches the measured MPD-scale optimum: "
@@ -1342,6 +1388,7 @@ def main(argv=None):
           ivf_index_path=args.ivf_index or None,
           pq_subspaces=args.pq_subspaces or None,
           pq_codes=args.pq_codes,
+          pq_iters=args.pq_iters,
           pq_oversample=args.pq_oversample,
           pq_rotate=args.pq_rotate,
           pq_anisotropic=args.pq_anisotropic or None,

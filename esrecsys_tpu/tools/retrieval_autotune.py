@@ -51,13 +51,11 @@ import time
 import numpy as np
 
 from esrecsys_tpu.core.transfer import chunked_device_put
+# the SAME metric the quality study reports — calibration and study must
+# never drift apart
+from esrecsys_tpu.tools.retrieval_quality_study import recall as _recall
 
 log = logging.getLogger(__name__)
-
-
-def _recall(found: np.ndarray, truth: np.ndarray) -> float:
-    hits = [np.intersect1d(f, t).size for f, t in zip(found, truth)]
-    return float(np.mean(hits) / truth.shape[1])
 
 
 def _batched_found(fn, queries, batch):
@@ -155,7 +153,8 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
             break
         fn = lambda q, _p=p: jivf(q, cent, buckets, items, k, _p)
         r = _recall(_batched_found(fn, queries, batch), truth)
-        add("ivf", {"nprobe": p}, r, 4 * d * p * lmax, 4 * d,
+        # residency mirrors /statsz: +4 = the int32 bucket slot per item
+        add("ivf", {"nprobe": p}, r, 4 * d * p * lmax, 4 * d + 4,
             dict(ivf_kw, nprobe=p), f"{ivf_fl} --nprobe {p}")
         if r >= target_recall:
             break
@@ -165,7 +164,8 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
         fn = lambda q, _p=p: jivf(
             q, cent, buckets, items, k, _p, q_items=q8, item_scales=scales)
         r = _recall(_batched_found(fn, queries, batch), truth)
-        add("ivf_int8", {"nprobe": p}, r, d * p * lmax, 4 * d + d + 4,
+        add("ivf_int8", {"nprobe": p}, r, d * p * lmax,
+            4 * d + d + 4 + 4,
             dict(ivf_kw, nprobe=p, quantized=True),
             f"{ivf_fl} --nprobe {p} --quantized")
         if r >= target_recall:
@@ -173,8 +173,9 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
 
     # ---- PQ (oversample sweep) + IVF-PQ (probe sweep at max budget) -------
     t0 = time.perf_counter()
+    pq_iters = max(build_iters, 15)
     book = PQCodebook.build(
-        items, pq_subspaces, iters=max(build_iters, 15),
+        items, pq_subspaces, iters=pq_iters,
         rotate=pq_rotate, anisotropic_threshold=pq_anisotropic or None,
         train_sample=ts)
     log.info("pq built: S=%d rot=%s aniso=%s (%.1fs)", pq_subspaces,
@@ -183,8 +184,10 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
     pq_codes = jnp.asarray(book.codes)
     rot = jnp.asarray(book.rotation) if book.rotation is not None else None
     s_b = book.bytes_per_item
-    pq_kw = {"pq_subspaces": pq_subspaces}
-    pq_fl = f"--pq_subspaces {pq_subspaces}"
+    # pin the calibrated build depth: a serving rebuild at a different
+    # pq_iters would be a DIFFERENT codebook than the one that met target
+    pq_kw = {"pq_subspaces": pq_subspaces, "pq_iters": pq_iters}
+    pq_fl = f"--pq_subspaces {pq_subspaces} --pq_iters {pq_iters}"
     if pq_rotate:
         pq_kw["pq_rotate"] = True
         pq_fl += " --pq_rotate"
@@ -214,7 +217,7 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
             pq_codes=pq_codes, oversample=o_max, rotation=rot)
         r = _recall(_batched_found(fn, queries, batch), truth)
         add("ivf_pq", {"nprobe": p, "oversample": o_max}, r,
-            s_b * p * lmax + 4 * d * o_max * k, 4 * d + s_b,
+            s_b * p * lmax + 4 * d * o_max * k, 4 * d + s_b + 4,
             dict(ivf_kw, **pq_kw, nprobe=p, pq_oversample=o_max),
             f"{ivf_fl} {pq_fl} --nprobe {p} --pq_oversample {o_max}")
         if r >= target_recall:

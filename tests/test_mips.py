@@ -286,3 +286,24 @@ class TestValidCount:
         assert f._cache_size() == n_compiles  # traced bound: same program
         self._check(got, mips.topk_over_matrix(
             qd, xe[:self.valid - 100], self.k, group=8))
+
+    def test_valid_below_k_sanitizes_inf_slot_indices(self, data):
+        """Review-caught: the grouped path's -inf slots leaked the init's
+        out-of-range group ids (>= CAPACITY) when valid_count < k —
+        indexing an id array with them crashes. All paths must sanitize
+        to 0 like chunked_topk does."""
+        xd, _, qd = data
+        for fn in (
+            lambda: mips.topk_over_matrix(qd, xd, 10, group=8,
+                                          valid_count=jnp.int32(5)),
+            lambda: mips.topk_over_matrix(qd, xd, 10, group=0,
+                                          valid_count=jnp.int32(5)),
+            lambda: mips.quantized_topk_over_matrix(
+                qd, *mips.quantize_rows(xd), xd, 10,
+                valid_count=jnp.int32(5)),
+        ):
+            vals, idxs = fn()
+            idxs = np.asarray(idxs)
+            assert idxs.max() < self.cap and idxs.min() >= 0
+            finite = np.isfinite(np.asarray(vals))
+            assert (idxs[finite] < 5).all()  # real hits within the bound

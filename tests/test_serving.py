@@ -1132,3 +1132,31 @@ def test_add_items_http_and_mode_guards(index, tmp_path):
     with pytest.raises(ValueError, match="headroom"):
         RetrievalService(idx, max_k=5).add_items(
             ["z"], np.zeros((1, 16), np.float32))
+
+
+def test_add_items_review_regressions(index):
+    """Review-caught cluster: (a) numeric ids must collide with their
+    string forms in the duplicate guard; (b) max_k clamps to CAPACITY
+    for growable services, not the seed size, while k never exceeds the
+    LIVE item count; (c) a rejected batch leaves no trace anywhere."""
+    idx, _ = index
+    seed = EmbeddingIndex([f"i{j}" for j in range(20)],
+                          idx.vectors[:20].copy())
+    svc = RetrievalService(seed, max_k=50, max_batch=4, add_capacity=100)
+    # (b) capacity clamp: seed had 20 items but the service can grow
+    assert svc.max_k == 50
+    ids, scores = svc.topk(idx.vectors[3][None], k=50)
+    assert ids.shape == (1, 20)  # live size bounds the result, no -inf pad
+    assert np.isfinite(np.asarray(scores)).all()
+    svc.add_items([f"g{j}" for j in range(40)],
+                  idx.vectors[20:60].copy())
+    ids, _ = svc.topk(idx.vectors[3][None], k=50)
+    assert ids.shape == (1, 50)  # growth unlocked the larger k
+    # (a) numeric id duplicate of an existing string id
+    with pytest.raises(ValueError, match="duplicate"):
+        svc.add_items(["g1"], np.zeros((1, 16), np.float32))
+    before = len(svc.index)
+    with pytest.raises(ValueError, match="duplicate"):
+        svc.add_items([7, "7"], np.zeros((2, 16), np.float32))
+    # (c) nothing partially applied by the rejected batches
+    assert len(svc.index) == before and svc._n_valid == before
