@@ -319,6 +319,7 @@ def ivf_topk(
     q_items: Optional[jax.Array] = None,     # (M, D) int8: int8 probe scan
     item_scales: Optional[jax.Array] = None,  # (M,) f32
     rescore_scales: Optional[jax.Array] = None,  # (M,): items is int8
+    item_mask: Optional[jax.Array] = None,   # (M,) bool: filtered retrieval
 ) -> Tuple[jax.Array, jax.Array]:
     """Probe the ``nprobe`` best cells per query, exact top-k within them.
 
@@ -357,6 +358,8 @@ def ivf_topk(
         s = jnp.einsum("bd,bnd->bn", qf, rows,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
+    if item_mask is not None:  # filtered retrieval: candidate eligibility
+        valid = valid & jnp.take(item_mask, safe, axis=0)
     s = jnp.where(valid, s, NEG_INF)
     k_eff = min(k, nprobe * l)
     vals, sel = jax.lax.top_k(s, k_eff)
@@ -389,6 +392,7 @@ def ivf_pq_topk(
     oversample: int = 4,
     rotation: Optional[jax.Array] = None,
     item_scales: Optional[jax.Array] = None,  # (M,) f32: items is int8
+    item_mask: Optional[jax.Array] = None,    # (M,) bool: filtered retrieval
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF-PQ: sublinear probe + compressed candidate scoring + exact
     rescore — the standard big-catalog composition (inverted file over PQ
@@ -425,6 +429,8 @@ def ivf_pq_topk(
     for sub in range(s_sub):  # S is small and static: unrolled gathers
         s = s + jnp.take_along_axis(
             lut[:, sub, :], rows_c[:, :, sub].astype(jnp.int32), axis=-1)
+    if item_mask is not None:  # filtered retrieval: candidate eligibility
+        valid = valid & jnp.take(item_mask, safe, axis=0)
     s = jnp.where(valid, s, NEG_INF)
 
     # exact rescore of the oversampled ADC top set, then the final k

@@ -215,6 +215,7 @@ def topk_over_matrix(
     block_size: int = 8192,
     group: int = 8,
     valid_count: Optional[jax.Array] = None,
+    item_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Dot-product top-k of each query against an in-memory catalog matrix.
 
@@ -229,6 +230,11 @@ def topk_over_matrix(
     real; ``items`` beyond it are preallocated growth capacity (serving
     ``/admin/add_items`` appends rows and moves the bound — one compile
     per CAPACITY, not per catalog size).
+
+    ``item_mask`` ((M,) bool): filtered retrieval — only True rows are
+    eligible, enforced in BOTH the block scan and the grouped rescore
+    (a masked row can neither lift its group's max nor re-enter via the
+    rescore). Cost: one byte/row of extra scan traffic.
     """
     num_items = items.shape[0]
     block = min(block_size, pad_to_multiple(num_items, 128))
@@ -238,10 +244,16 @@ def topk_over_matrix(
     if padded_rows != num_items:
         # Pad so dynamic_slice never clamps (which would mislabel indices).
         items = jnp.pad(items, ((0, padded_rows - num_items), (0, 0)))
+        if item_mask is not None:
+            item_mask = jnp.pad(item_mask, (0, padded_rows - num_items))
 
     def score_block(start):
         blk = jax.lax.dynamic_slice_in_dim(items, start, block, axis=0)
-        return jnp.dot(queries, blk.T, preferred_element_type=jnp.float32)
+        s = jnp.dot(queries, blk.T, preferred_element_type=jnp.float32)
+        if item_mask is not None:
+            mblk = jax.lax.dynamic_slice_in_dim(item_mask, start, block)
+            s = jnp.where(mblk[None, :], s, NEG_INF)
+        return s
 
     if group:
         def score_items(cand):  # (B, n) indices
@@ -252,9 +264,12 @@ def topk_over_matrix(
             # scores; phase-1 selection is internally consistent at its own
             # precision, so only items within matmul rounding of the k-th
             # boundary can differ from a full high-precision sort
-            return jnp.einsum("bd,bnd->bn", queries, rows,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+            s = jnp.einsum("bd,bnd->bn", queries, rows,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            if item_mask is not None:
+                s = jnp.where(jnp.take(item_mask, cand, axis=0), s, NEG_INF)
+            return s
 
         return chunked_grouped_topk(
             score_block, score_items, num_items, k, block, group=group,
@@ -271,6 +286,7 @@ def approx_topk_over_matrix(
     recall_target: float = 0.95,
     per_block_k: Optional[int] = None,
     valid_count: Optional[jax.Array] = None,
+    item_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate streaming top-k via the TPU's hardware-accelerated
     ``jax.lax.approx_max_k`` (PartialReduce), with an exact high-precision
@@ -296,6 +312,8 @@ def approx_topk_over_matrix(
     padded_rows = pad_to_multiple(num_items, block)
     if padded_rows != num_items:
         items = jnp.pad(items, ((0, padded_rows - num_items), (0, 0)))
+        if item_mask is not None:
+            item_mask = jnp.pad(item_mask, (0, padded_rows - num_items))
     nblk = padded_rows // block
     # per-block candidates: never fewer than ceil(k/nblk), or small catalogs
     # (k > nblk*default) would silently pad real results away
@@ -305,13 +323,17 @@ def approx_topk_over_matrix(
 
     def score_block(b):
         blk = jax.lax.dynamic_slice_in_dim(items, b * block, block, axis=0)
-        return jnp.einsum("bd,md->bm", qb, blk.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+        s = jnp.einsum("bd,md->bm", qb, blk.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        if item_mask is not None:
+            mblk = jax.lax.dynamic_slice_in_dim(item_mask, b * block, block)
+            s = jnp.where(mblk[None, :], s, NEG_INF)
+        return s
 
     return _streamed_candidate_topk(
         score_block, queries, items, num_items, k, block, nblk, kb,
         select="approx", recall_target=recall_target,
-        valid_bound=valid_count)
+        valid_bound=valid_count, item_mask=item_mask)
 
 
 def _streamed_candidate_topk(
@@ -327,6 +349,7 @@ def _streamed_candidate_topk(
     recall_target: float,
     rescore_scales: Optional[jax.Array] = None,  # (>=num_items,) f32
     valid_bound: Optional[jax.Array] = None,     # scalar (may be traced)
+    item_mask: Optional[jax.Array] = None,       # (>=num_items,) bool
 ) -> Tuple[jax.Array, jax.Array]:
     """Shared two-phase skeleton for the approx and quantized scans.
 
@@ -353,6 +376,12 @@ def _streamed_candidate_topk(
     neither win a phase-1 slot nor re-enter via its rescored dot (0 beats
     real negative scores). It must be applied before each top_k, not
     after: masking winners post-selection forfeits the slots they stole.
+
+    ``item_mask`` (per-row eligibility — filtered retrieval) follows the
+    same both-phases discipline: callers fold it into phase 1's
+    ``score_block_fn``; here it guards the RESCORE, because a masked item
+    selected as an -inf phase-1 slot would otherwise re-enter with its
+    real dot.
     """
     bound = num_items if valid_bound is None else jnp.minimum(
         valid_bound, num_items)
@@ -377,7 +406,10 @@ def _streamed_candidate_topk(
     cs = jnp.einsum("bd,bnd->bn", queries.astype(jnp.float32), rows,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-    cs = jnp.where(cand < bound, cs, NEG_INF)
+    ok = cand < bound
+    if item_mask is not None:
+        ok = ok & jnp.take(item_mask, safe, axis=0)
+    cs = jnp.where(ok, cs, NEG_INF)
     k_eff = min(k, nblk * kb)
     vals, sel = jax.lax.top_k(cs, k_eff)
     idxs = jnp.take_along_axis(cand, sel, axis=-1)
@@ -434,6 +466,7 @@ def quantized_topk_over_matrix(
     oversample: int = 4,
     rescore_scales: Optional[jax.Array] = None,  # (M,): rescore_items is int8
     valid_count: Optional[jax.Array] = None,
+    item_mask: Optional[jax.Array] = None,       # (M,) bool: filtered scan
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming top-k scoring the catalog in int8, exact rescore on top.
 
@@ -474,6 +507,8 @@ def quantized_topk_over_matrix(
     if padded_rows != num_items:
         q_items = jnp.pad(q_items, ((0, padded_rows - num_items), (0, 0)))
         item_scales = jnp.pad(item_scales, (0, padded_rows - num_items))
+        if item_mask is not None:
+            item_mask = jnp.pad(item_mask, (0, padded_rows - num_items))
     nblk = padded_rows // block
     # keep ~oversample*k candidates TOTAL across blocks: int8 rounding can
     # reorder near the k-th boundary, so rescoring only k candidates caps
@@ -488,12 +523,17 @@ def quantized_topk_over_matrix(
         s_i32 = jax.lax.dot_general(
             qq, blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)  # (B, block)
-        return s_i32.astype(jnp.float32) * sc[None, :]
+        s = s_i32.astype(jnp.float32) * sc[None, :]
+        if item_mask is not None:
+            mblk = jax.lax.dynamic_slice_in_dim(item_mask, b * block, block)
+            s = jnp.where(mblk[None, :], s, NEG_INF)
+        return s
 
     return _streamed_candidate_topk(
         score_block, queries, rescore_items, num_items, k, block, nblk, kb,
         select=select, recall_target=recall_target,
-        rescore_scales=rescore_scales, valid_bound=valid_count)
+        rescore_scales=rescore_scales, valid_bound=valid_count,
+        item_mask=item_mask)
 
 
 def sharded_topk_over_matrix(

@@ -48,7 +48,7 @@ import numpy as np
 from esrecsys_tpu.core.mesh import pad_to_multiple
 from esrecsys_tpu.core.transfer import chunked_device_put
 from esrecsys_tpu.retrieval.ivf import kmeans, kmeans_assign
-from esrecsys_tpu.retrieval.mips import (_streamed_candidate_topk,
+from esrecsys_tpu.retrieval.mips import (NEG_INF, _streamed_candidate_topk,
                                          chunked_topk)
 
 
@@ -430,6 +430,7 @@ def pq_topk(
     rotation: Optional[jax.Array] = None,
     rescore_scales: Optional[jax.Array] = None,  # (M,): rescore_items is int8
     valid_count: Optional[jax.Array] = None,     # scalar (may be traced)
+    item_mask: Optional[jax.Array] = None,       # (M,) bool: filtered scan
 ) -> Tuple[jax.Array, jax.Array]:
     """ADC top-k over PQ codes, with an optional exact candidate rescore.
 
@@ -465,6 +466,8 @@ def pq_topk(
     padded_rows = pad_to_multiple(num_items, block)
     if padded_rows != num_items:
         codes = jnp.pad(codes, ((0, padded_rows - num_items), (0, 0)))
+        if item_mask is not None:
+            item_mask = jnp.pad(item_mask, (0, padded_rows - num_items))
     nblk = padded_rows // block
     kb = per_block_k or min(block, max(-(-oversample * k // nblk), 1))
 
@@ -480,13 +483,17 @@ def pq_topk(
         for s in range(s_sub):  # S is small and static: unrolled gathers
             total = total + jnp.take(lut[..., s, :],
                                      blk[:, s].astype(jnp.int32), axis=-1)
+        if item_mask is not None:
+            mblk = jax.lax.dynamic_slice_in_dim(item_mask, start, block)
+            total = jnp.where(mblk, total, NEG_INF)
         return total
 
     if rescore_items is not None:
         return _streamed_candidate_topk(
             lambda b: score_from(b * block), qf, rescore_items, num_items, k,
             block, nblk, kb, select="exact", recall_target=0.95,
-            rescore_scales=rescore_scales, valid_bound=valid_count)
+            rescore_scales=rescore_scales, valid_bound=valid_count,
+            item_mask=item_mask)
 
     # no rescore catalog: the shared streaming top-k over the raw ADC scores
     # (tail masking, -inf padding to k, descending order — mips.chunked_topk)

@@ -51,6 +51,11 @@ a dependency-free HTTP service over the TPU retrieval path:
                                       recompiles (capacity-static shapes +
                                       a traced valid bound), new items
                                       queryable immediately
+      POST /admin/set_filter        → body {"name": ..., "ids": [...]} —
+                                      register/replace a named eligibility
+                                      mask; queries pass "filter": name to
+                                      only see those rows (device-side,
+                                      both scan phases, every mode)
 """
 
 from __future__ import annotations
@@ -89,6 +94,19 @@ _rows_update_jit = jax.jit(
     donate_argnums=0)
 
 
+def _finite_row(ids_row, scores_row):
+    """JSON-safe (ids, scores) lists: drop -inf tail slots (a filter can
+    leave fewer eligible items than k; -Infinity is not valid JSON)."""
+    out_i, out_s = [], []
+    for x, s in zip(ids_row, scores_row):
+        s = float(s)
+        if not np.isfinite(s):
+            break  # scores are sorted descending; the -inf tail follows
+        out_i.append(str(x))
+        out_s.append(s)
+    return out_i, out_s
+
+
 def _npz_path(path: Optional[str]) -> Optional[str]:
     """np.savez* appends .npz to suffixless paths; normalize up front so
     the exists()-check on restart finds what save() actually wrote."""
@@ -123,6 +141,7 @@ class RetrievalService:
                  pq_index_path: Optional[str] = None,
                  n_model_shards: Optional[int] = None,
                  add_capacity: int = 0,
+                 filters: Optional[Dict[str, Sequence[str]]] = None,
                  ivf_warm_from=None, pq_warm_from=None):
         # ivf_warm_from / pq_warm_from: trained structures from a PREVIOUS
         # catalog generation (hot reload aux="reuse") — this catalog's aux
@@ -210,6 +229,15 @@ class RetrievalService:
                 "add_capacity composes with the full-scan modes "
                 "(exact/approx/int8/pq); ivf and sharded catalogs grow "
                 "via /admin/reload")
+        # filters={name: [allowed ids]}: named per-row eligibility masks
+        # for filtered retrieval — a query carrying "filter": name only
+        # sees those rows, enforced in BOTH scan phases (mips/pq/ivf
+        # item_mask). filters={} enables the machinery with no masks yet
+        # (register at runtime via set_filter / POST /admin/set_filter).
+        if filters is not None and n_model_shards:
+            raise ValueError(
+                "filters are single-chip modes for now (the mask buffer "
+                "is not sharded) — drop n_model_shards or the filters")
         self.add_capacity = int(add_capacity)
         self._n_valid = len(index)
         self.capacity = self._n_valid + self.add_capacity
@@ -427,17 +455,35 @@ class RetrievalService:
             # From here the int8 catalog + aux codes are the residency.
             self._items = None
 
+        # ---- filtered retrieval: named per-row eligibility masks ----
+        # masks live at the buffers' row count (capacity when growable):
+        # rows appended later default to False in every existing filter
+        # until set_filter re-registers it
+        self._filters_enabled = filters is not None
+        self._all_mask = (jnp.ones((self.capacity,), bool)
+                          if self._filters_enabled else
+                          jnp.ones((1,), bool))  # dummy: arg never traced
+        self._filter_masks: Dict[str, jax.Array] = {}
+        for name, id_list in (filters or {}).items():
+            mask, matched = self._mask_from_ids(id_list)
+            self._filter_masks[str(name)] = mask
+            log.info("filter %r: %d/%d ids matched the catalog", name,
+                     matched, len(id_list))
+
         # The catalog is an ARGUMENT of the jitted query, never a closure:
         # closed-over arrays become compile-time constants, which tunneled
         # PJRT backends re-ship with the program (a 580 MB catalog stalls the
         # compile request entirely).
         def query(q, items, q_items, scales, centroids, bucket_ids,
-                  pq_centroids, pq_codes, pq_rot, valid):
+                  pq_centroids, pq_codes, pq_rot, valid, fmask):
             # valid (traced scalar) bounds the real rows when growth
             # capacity is preallocated; None (static) otherwise so
             # non-growable services compile the exact same programs as
-            # before add_capacity existed
+            # before add_capacity existed. Same discipline for fmask
+            # (filtered retrieval): a service without filters never pays
+            # the mask's scan traffic.
             vc = valid if self.add_capacity else None
+            fm = fmask if self._filters_enabled else None
             # approx/quantized paths want LARGE blocks (few scan iterations,
             # few candidates to rescore) — the 11.7k q/s number was measured
             # at 262144; the exact path's small-block default would explode
@@ -477,7 +523,8 @@ class RetrievalService:
                                    pq_codes=pq_codes,
                                    oversample=self.pq_oversample,
                                    rotation=pq_rot,
-                                   item_scales=scales if r8 else None)
+                                   item_scales=scales if r8 else None,
+                                   item_mask=fm)
             if self.pq is not None:
                 from esrecsys_tpu.retrieval.pq import pq_topk
 
@@ -492,7 +539,7 @@ class RetrievalService:
                                oversample=self.pq_oversample,
                                rotation=pq_rot,
                                rescore_scales=scales if r8 else None,
-                               valid_count=vc)
+                               valid_count=vc, item_mask=fm)
             if self.ivf is not None:
                 from esrecsys_tpu.retrieval.ivf import ivf_topk
 
@@ -500,7 +547,8 @@ class RetrievalService:
                                 q_items if r8 else items, self.max_k,
                                 nprobe=self.nprobe, q_items=q_items,
                                 item_scales=scales,
-                                rescore_scales=scales if r8 else None)
+                                rescore_scales=scales if r8 else None,
+                                item_mask=fm)
             if self.quantized:
                 from esrecsys_tpu.retrieval.mips import (
                     quantized_topk_over_matrix)
@@ -511,23 +559,24 @@ class RetrievalService:
                     select="approx" if self.approx else "exact",
                     recall_target=self.recall_target,
                     rescore_scales=scales if r8 else None,
-                    valid_count=vc)
+                    valid_count=vc, item_mask=fm)
             if self.approx:
                 from esrecsys_tpu.retrieval.mips import approx_topk_over_matrix
 
                 return approx_topk_over_matrix(
                     q, items, self.max_k, block_size=max(block_size, 262_144),
                     recall_target=self.recall_target,
-                    valid_count=vc)
+                    valid_count=vc, item_mask=fm)
             return topk_over_matrix(q, items, self.max_k, block_size,
-                                    valid_count=vc)
+                                    valid_count=vc, item_mask=fm)
 
         self._query_fn = jax.jit(query)
-        self._query = lambda q, items: self._query_fn(
+        self._query = lambda q, items, fmask=None: self._query_fn(
             q, items, self._q_items, self._scales,
             self._centroids, self._bucket_ids,
             self._pq_centroids, self._pq_codes, self._pq_rot,
-            jnp.int32(self._n_valid))
+            jnp.int32(self._n_valid),
+            self._all_mask if fmask is None else fmask)
         # Compile once at construction so first request latency is steady.
         warm = jnp.zeros((max_batch, self._dim), jnp.float32)
         jax.device_get(jax.tree_util.tree_leaves(
@@ -536,6 +585,35 @@ class RetrievalService:
         # per-dispatch device latency ring (seconds); bounded so a
         # long-lived server never grows it — /statsz reports percentiles
         self._lat = collections.deque(maxlen=2048)
+
+    def _mask_from_ids(self, id_list: Sequence[str]):
+        """(device bool mask over the row buffers, n ids that matched).
+        Off-catalog ids no-op (filter lists and catalogs drift on
+        different cadences); the match count lets callers alarm on it."""
+        mask = np.zeros(self.capacity, bool)
+        rows = [self.index._id2row.get(str(i)) for i in id_list]
+        matched = [r for r in rows if r is not None]
+        if matched:
+            mask[np.asarray(matched, np.int64)] = True
+        return jnp.asarray(mask), len(matched)
+
+    def set_filter(self, name: str, id_list: Sequence[str]) -> int:
+        """Register or replace a named eligibility filter at runtime
+        (POST /admin/set_filter). Returns how many ids matched the
+        catalog. After add_items, re-register any filter that should
+        include the new rows (they default to ineligible). Runtime
+        registrations do NOT survive /admin/reload (row positions change
+        with the catalog) — only the startup ``filters`` dict is
+        re-applied to the new generation; re-POST the rest after."""
+        if not self._filters_enabled:
+            raise ValueError(
+                "filters are not enabled: start the service with "
+                "filters={...} (or --filters_json) to preallocate the "
+                "mask path")
+        mask, matched = self._mask_from_ids(id_list)
+        with self._lock:
+            self._filter_masks[str(name)] = mask
+        return matched
 
     def add_items(self, ids: Sequence[str], vectors: np.ndarray) -> int:
         """Append items to the LIVE catalog without recompiling or
@@ -686,7 +764,8 @@ class RetrievalService:
         return ids_row[keep], scores_row[keep]
 
     def topk(self, vectors: np.ndarray, k: Optional[int] = None,
-             exclude: Optional[Sequence[str]] = None
+             exclude: Optional[Sequence[str]] = None,
+             filter: Optional[str] = None,
              ) -> Tuple[np.ndarray, np.ndarray]:
         """(B, D) query vectors → (ids (B, k) of str, scores (B, k)).
 
@@ -696,7 +775,22 @@ class RetrievalService:
         otherwise no-op, so "recently seen" lists may safely contain
         off-catalog items. Filtering happens on host over an over-fetched
         top-(k+E): the compiled device query keeps its one static shape.
+
+        ``filter``: name of a registered eligibility mask (set_filter) —
+        only those rows can be returned, enforced on device in both scan
+        phases. Rows whose score comes back -inf (fewer eligible items
+        than k) carry a sanitized id; check ``np.isfinite(scores)``.
         """
+        fmask = None
+        if filter is not None:
+            if not self._filters_enabled:
+                raise ValueError("filters are not enabled on this service")
+            try:
+                fmask = self._filter_masks[filter]
+            except KeyError:
+                raise ValueError(
+                    f"unknown filter {filter!r}; registered: "
+                    f"{sorted(self._filter_masks)}") from None
         k = self.max_k if k is None else min(k, self.max_k)
         # growable services allow max_k up to CAPACITY; never return more
         # rows than real items exist right now (-inf pad must not leak)
@@ -723,7 +817,7 @@ class RetrievalService:
                 self.queries += chunk.shape[0]
                 t0 = time.perf_counter()
                 vals, idxs = jax.device_get(
-                    self._query(jnp.asarray(padded), self._items))
+                    self._query(jnp.asarray(padded), self._items, fmask))
                 self._lat.append(time.perf_counter() - t0)
             out_v.append(vals[: chunk.shape[0], :fetch])
             out_i.append(idxs[: chunk.shape[0], :fetch])
@@ -738,13 +832,14 @@ class RetrievalService:
         return ids, vals
 
     def topk_by_id(self, item_id: str, k: Optional[int] = None,
-                   exclude: Optional[Sequence[str]] = None):
+                   exclude: Optional[Sequence[str]] = None,
+                   filter: Optional[str] = None):
         """Item-to-item: query with a catalog item's own vector.
 
         Pass ``exclude=[item_id]`` to drop the query item from its own
         results (it otherwise ranks first by construction)."""
         ids, vals = self.topk(self.index.vector(item_id)[None, :], k,
-                              exclude=exclude)
+                              exclude=exclude, filter=filter)
         return ids[0], vals[0]
 
     def encode(self, kind: str, payload) -> np.ndarray:
@@ -907,6 +1002,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "mode": service.mode,
                 "items": len(service.index),
                 "capacity": service.capacity,  # items + add_items headroom
+                "filters": (sorted(service._filter_masks)
+                            if service._filters_enabled else None),
                 "resident_bytes_per_item": service.resident_bytes_per_item,
                 "index": self.server.index_path,
                 "queries": q,
@@ -941,6 +1038,24 @@ class _Handler(BaseHTTPRequestHandler):
                     "aux": aux,
                     "reload_seconds": round(time.perf_counter() - t0, 3)})
             except Exception as e:  # missing file, dim mismatch, ...
+                self._send(400, {"error": str(e)})
+            return
+        if self.path == "/admin/set_filter":
+            # register/replace a named eligibility mask at runtime:
+            # {"name": "genre:jazz", "ids": ["t1", ...]}
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                name = req.get("name")
+                ids = req.get("ids")
+                if not isinstance(name, str) or not isinstance(ids, list):
+                    self._send(400, {"error": "need 'name' (str) and "
+                                              "'ids' (list)"})
+                    return
+                matched = self.server.service.set_filter(name, ids)
+                self._send(200, {"status": "ok", "filter": name,
+                                 "matched": matched, "given": len(ids)})
+            except Exception as e:
                 self._send(400, {"error": str(e)})
             return
         if self.path == "/admin/add_items":
@@ -978,6 +1093,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(400, {"error": "'exclude' must be a list of "
                                           "catalog id strings"})
                 return
+            # "filter": name of a registered eligibility mask — only
+            # those catalog rows can be returned (device-side, both scan
+            # phases). Filtered requests bypass the coalescer: the batch
+            # shares ONE compiled dispatch and therefore one mask.
+            filt = req.get("filter")
+            if filt is not None and not isinstance(filt, str):
+                self._send(400, {"error": "'filter' must be a string"})
+                return
             # batch form: "vectors" = list of query vectors, answered in
             # one service call (bulk/offline scoring; bypasses the
             # single-query coalescer, which exists for the concurrent-
@@ -988,11 +1111,12 @@ class _Handler(BaseHTTPRequestHandler):
                     self._send(400, {"error": "'vectors' must be a list "
                                               "of equal-length vectors"})
                     return
-                ids_b, scores_b = service.topk(vecs, k, exclude=exclude)
-                self._send(200, {
-                    "ids": [[str(x) for x in row] for row in ids_b],
-                    "scores": [[float(v) for v in row]
-                               for row in scores_b]})
+                ids_b, scores_b = service.topk(vecs, k, exclude=exclude,
+                                               filter=filt)
+                rows = [_finite_row(i_r, s_r)
+                        for i_r, s_r in zip(ids_b, scores_b)]
+                self._send(200, {"ids": [r[0] for r in rows],
+                                 "scores": [r[1] for r in rows]})
                 return
             # resolve the query to ONE vector: raw, catalog id, or a raw
             # query embedded through a registered model encoder
@@ -1008,7 +1132,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(400, {"error":
                                  "need 'vector', 'id', 'text' or 'image_key'"})
                 return
-            if batcher is not None:
+            if batcher is not None and filt is None:
                 try:
                     ids, scores = batcher.submit(vec, k, exclude=exclude)
                 except QueryBatcher.Closed:
@@ -1023,10 +1147,10 @@ class _Handler(BaseHTTPRequestHandler):
                         ids, scores = ids2[0], scores2[0]
             else:
                 ids2, scores2 = service.topk(vec[None, :], k,
-                                             exclude=exclude)
+                                             exclude=exclude, filter=filt)
                 ids, scores = ids2[0], scores2[0]
-            self._send(200, {"ids": [str(x) for x in ids],
-                             "scores": [float(s) for s in scores]})
+            out_ids, out_scores = _finite_row(ids, scores)
+            self._send(200, {"ids": out_ids, "scores": out_scores})
         except KeyError as e:
             self._send(404, {"error": f"unknown id {e}"})
         except Exception as e:  # malformed JSON, wrong dim, ...
@@ -1199,6 +1323,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           pq_index_path: Optional[str] = None,
           n_model_shards: Optional[int] = None,
           add_capacity: int = 0,
+          filters: Optional[Dict[str, Sequence[str]]] = None,
           admin_token: Optional[str] = None) -> ThreadingHTTPServer:
     """Load an index and return a ready (not yet running) HTTP server.
 
@@ -1236,7 +1361,8 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
                           pq_anisotropic=pq_anisotropic,
                           pq_index_path=pq_index_path,
                           n_model_shards=n_model_shards,
-                          add_capacity=add_capacity)
+                          add_capacity=add_capacity,
+                          filters=filters)
     service = RetrievalService(index, **service_kwargs)
     batcher = QueryBatcher(service, max_wait_ms=max_wait_ms) if coalesce else None
     httpd = RetrievalHTTPServer((host, port), _Handler)
@@ -1356,6 +1482,13 @@ def main(argv=None):
                         "POST /admin/add_items can append items live with "
                         "zero recompiles (full-scan modes: exact/approx/"
                         "int8/pq; ivf/sharded grow via /admin/reload)")
+    p.add_argument("--filters_json", default="",
+                   help="enable filtered retrieval: a JSON file of "
+                        '{"name": ["catalog id", ...], ...} eligibility '
+                        "lists; queries pass \"filter\": name to only see "
+                        "those rows (device-side mask, both scan phases). "
+                        "'{}' enables the path with no masks yet — "
+                        "register via POST /admin/set_filter")
     # query-side model inference (serving/encoders.py)
     p.add_argument("--txt2url_artifact", default="",
                    help="enable 'text' queries via this trained artifact")
@@ -1395,6 +1528,10 @@ def main(argv=None):
           pq_index_path=args.pq_index or None,
           n_model_shards=args.n_model_shards or None,
           add_capacity=args.add_capacity,
+          filters=(json.loads(
+              args.filters_json if args.filters_json.strip().startswith("{")
+              else open(args.filters_json).read())
+              if args.filters_json else None),
           admin_token=args.admin_token or None).serve_forever()
 
 

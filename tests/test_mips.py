@@ -307,3 +307,78 @@ class TestValidCount:
             assert idxs.max() < self.cap and idxs.min() >= 0
             finite = np.isfinite(np.asarray(vals))
             assert (idxs[finite] < 5).all()  # real hits within the bound
+
+
+class TestItemMask:
+    """item_mask (filtered retrieval): scans over a catalog whose
+    DISALLOWED rows are the global winners must equal brute force over
+    the allowed subset — phase-1 selection and phase-2 rescores both
+    enforce eligibility (a masked row selected as an -inf slot must not
+    re-enter with its real dot)."""
+
+    @pytest.fixture(scope="class")
+    def data(self):
+        rng = np.random.default_rng(7)
+        m, d = 1200, 16
+        x = rng.standard_normal((m, d)).astype(np.float32)
+        mask = rng.random(m) < 0.3
+        x[~mask] *= 3.0  # disallowed rows would win every query unmasked
+        q = rng.standard_normal((4, d)).astype(np.float32)
+        allowed = np.where(mask)[0]
+        truth = allowed[np.argsort(-(q @ x[allowed].T), axis=1)[:, :15]]
+        return jnp.asarray(x), jnp.asarray(q), jnp.asarray(mask), truth
+
+    def _assert_exact(self, got, truth):
+        vals, idxs = got
+        assert np.isfinite(np.asarray(vals)).all()
+        np.testing.assert_array_equal(np.asarray(idxs), truth)
+
+    def test_full_scans(self, data):
+        xd, qd, md_, truth = data
+        k = truth.shape[1]
+        for group in (0, 8):
+            self._assert_exact(
+                mips.topk_over_matrix(qd, xd, k, group=group,
+                                      item_mask=md_), truth)
+        q8, sc = mips.quantize_rows(xd)
+        self._assert_exact(mips.quantized_topk_over_matrix(
+            qd, q8, sc, xd, k, item_mask=md_), truth)
+        self._assert_exact(mips.approx_topk_over_matrix(
+            qd, xd, k, item_mask=md_), truth)
+
+    def test_pq_and_ivf(self, data):
+        from esrecsys_tpu.retrieval import ivf, pq
+
+        xd, qd, md_, truth = data
+        k = truth.shape[1]
+        book = pq.PQCodebook.build(np.asarray(xd), n_subspaces=4,
+                                   n_codes=32, iters=6)
+        cents = jnp.asarray(book.centroids)
+        codes = jnp.asarray(book.codes)
+        self._assert_exact(pq.pq_topk(qd, cents, codes, k,
+                                      rescore_items=xd, oversample=256,
+                                      item_mask=md_), truth)
+        index = ivf.IVFIndex.build(xd, 8, iters=5)
+        cent = jnp.asarray(index.centroids)
+        buckets = jnp.asarray(index.bucket_ids)
+        # full probe: only the filter constrains results
+        self._assert_exact(ivf.ivf_topk(qd, cent, buckets, xd, k,
+                                        nprobe=8, item_mask=md_), truth)
+        self._assert_exact(ivf.ivf_pq_topk(
+            qd, cent, buckets, xd, k, nprobe=8, pq_centroids=cents,
+            pq_codes=codes, oversample=256, item_mask=md_), truth)
+
+    def test_mask_composes_with_valid_count_and_empty_mask(self, data):
+        xd, qd, md_, truth = data
+        m, d = xd.shape
+        k = truth.shape[1]
+        cap = m + 300
+        xc = jnp.pad(xd, ((0, cap - m), (0, 0)), constant_values=9.9)
+        mc = jnp.pad(md_, (0, cap - m), constant_values=True)
+        self._assert_exact(mips.topk_over_matrix(
+            qd, xc, k, group=8, valid_count=jnp.int32(m), item_mask=mc),
+            truth)
+        vals, idxs = mips.topk_over_matrix(qd, xd, k, group=8,
+                                           item_mask=jnp.zeros(m, bool))
+        assert not np.isfinite(np.asarray(vals)).any()
+        assert (np.asarray(idxs) == 0).all()  # sanitized

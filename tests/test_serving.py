@@ -1160,3 +1160,119 @@ def test_add_items_review_regressions(index):
         svc.add_items([7, "7"], np.zeros((2, 16), np.float32))
     # (c) nothing partially applied by the rejected batches
     assert len(svc.index) == before and svc._n_valid == before
+
+
+def test_filtered_retrieval_all_modes_and_both_phases(index):
+    """filters={name: ids}: results restricted to the allowed set in
+    every scan mode, exactly (a disallowed global winner must not leak
+    through phase-2 rescores — the masked-candidate re-entry hazard)."""
+    idx, _ = index
+    rng = np.random.default_rng(40)
+    allowed_ids = [f"item{i}" for i in range(0, 200, 3)]
+    rows = np.asarray([int(s[4:]) for s in allowed_ids])
+    for kw in ({}, {"quantized": True}, {"approx": True},
+               {"pq_subspaces": 4, "pq_codes": 32},
+               {"ivf_clusters": 8, "nprobe": 8},
+               {"ivf_clusters": 8, "nprobe": 8,
+                "pq_subspaces": 4, "pq_codes": 32}):
+        svc = RetrievalService(EmbeddingIndex(list(idx.ids),
+                                              idx.vectors.copy()),
+                               max_k=10, max_batch=4,
+                               filters={"f": allowed_ids}, **kw)
+        q = rng.normal(size=(1, 16)).astype(np.float32)
+        ids, scores = svc.topk(q, k=10, filter="f")
+        want = [f"item{rows[j]}"
+                for j in np.argsort(-(idx.vectors[rows] @ q[0]))[:10]]
+        assert list(ids[0]) == want, (kw, list(ids[0]), want)
+        np.testing.assert_allclose(
+            scores[0], np.sort(idx.vectors[rows] @ q[0])[::-1][:10],
+            rtol=1e-4)
+        # the same service still answers unfiltered queries exactly
+        ids2, _ = svc.topk(q, k=10)
+        want2 = np.argsort(-(idx.vectors @ q[0]))[:10]
+        assert list(ids2[0]) == [f"item{i}" for i in want2], kw
+
+
+def test_filter_runtime_registration_growth_and_errors(index):
+    idx, _ = index
+    rng = np.random.default_rng(41)
+    svc = RetrievalService(EmbeddingIndex(list(idx.ids),
+                                          idx.vectors.copy()),
+                           max_k=10, max_batch=4, filters={},
+                           add_capacity=8)
+    with pytest.raises(ValueError, match="unknown filter"):
+        svc.topk(np.zeros((1, 16), np.float32), k=3, filter="nope")
+    # off-catalog ids no-op but are reported via the matched count
+    assert svc.set_filter("evens",
+                          [f"item{i}" for i in range(0, 200, 2)]
+                          + ["ghost"]) == 100
+    got, _ = svc.topk(rng.normal(size=(1, 16)).astype(np.float32),
+                      k=10, filter="evens")
+    assert all(int(g[4:]) % 2 == 0 for g in got[0])
+    # added rows are ineligible until the filter is re-registered
+    svc.add_items(["fresh"], (rng.normal(size=(1, 16)) * 3
+                              ).astype(np.float32))
+    got, _ = svc.topk(svc.index.vector("fresh")[None], k=10,
+                      filter="evens")
+    assert "fresh" not in got[0]
+    svc.set_filter("evens", ["fresh"])
+    got, scores = svc.topk(svc.index.vector("fresh")[None], k=10,
+                           filter="evens")
+    # only ONE eligible item: exactly one finite row comes back
+    assert got[0][0] == "fresh" and np.isfinite(scores[0][0])
+    assert not np.isfinite(scores[0][1:]).any()
+    # filters need opt-in, and don't compose with sharding
+    with pytest.raises(ValueError, match="not enabled"):
+        RetrievalService(idx, max_k=5).topk(
+            np.zeros((1, 16), np.float32), filter="x")
+    with pytest.raises(ValueError, match="filter"):
+        RetrievalService(idx, n_model_shards=2, filters={})
+
+
+def test_filtered_http_end_to_end(index, tmp_path):
+    """--filters_json + "filter" queries + /admin/set_filter over the
+    wire; -inf tails trimmed from JSON; /statsz lists filter names."""
+    idx, path = index
+    fj = tmp_path / "filters.json"
+    fj.write_text(json.dumps({"third": [f"item{i}"
+                                        for i in range(0, 200, 3)]}))
+    httpd = serve(path, port=0, max_k=10, max_batch=4, coalesce=False,
+                  filters=json.loads(fj.read_text()))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "item9", "k": 5,
+                             "filter": "third"}).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["ids"] and all(int(x[4:]) % 3 == 0 for x in out["ids"])
+        # register a nearly-empty filter; response trims the -inf tail
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/set_filter",
+            data=json.dumps({"name": "solo", "ids": ["item5"]}).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.loads(r.read())["matched"] == 1
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "item9", "k": 5,
+                             "filter": "solo"}).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["ids"] == ["item5"] and len(out["scores"]) == 1
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/statsz", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["filters"] == ["solo", "third"]
+        # unknown filter -> 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"id": "item9", "filter": "zzz"}).encode())
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
