@@ -88,12 +88,27 @@ def _pool_kernel(ids_ref, table_ref, out_ref, scratch, sems, *, block_b, k_ids,
     valid = (ids_block != mask_id).astype(jnp.float32)
     rows_lanes = scratch[...]  # (block_b, K, lanes)
     if pack > 1:
-        # physical row → (pack, D) slots; keep only each id's own slot
+        # physical row → (pack, D) slots; keep only each id's own slot.
+        # Mosaic cannot shape-cast the 128-lane axis into (pack, D), so the
+        # slot select stays lane-shaped: zero every lane outside the id's
+        # D-lane slot, then fold lanes→D with a constant (128, D) matmul
+        # F[l, d] = (l % D == d) — sum over the pack groups has exactly one
+        # non-zero term per output element.
         slot = ids_block % pack  # (block_b, K)
-        slot_mask = (slot[..., None] == jax.lax.broadcasted_iota(
-            jnp.int32, (block_b, k_ids, pack), 2)).astype(jnp.float32)
-        grouped = rows_lanes.reshape(block_b, k_ids, pack, d_logical)
-        rows = jnp.sum(grouped * slot_mask[..., None], axis=2)  # (b, K, D)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (block_b, k_ids, 128), 2)
+        lane_mask = (lane // d_logical == slot[..., None]).astype(
+            rows_lanes.dtype)
+        masked = rows_lanes * lane_mask  # (block_b, K, 128)
+        fold = (jax.lax.broadcasted_iota(jnp.int32, (128, d_logical), 0)
+                % d_logical
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (128, d_logical), 1)).astype(rows_lanes.dtype)
+        rows = jax.lax.dot_general(
+            masked.reshape(block_b * k_ids, 128), fold,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(block_b, k_ids, d_logical)  # leading-dim reshapes only
     else:
         rows = rows_lanes
     acc = jnp.sum(rows * valid[..., None], axis=1)  # (block_b, D)
