@@ -109,10 +109,18 @@ def main():
     )
     model, state = pl.init_state(cfg, mesh=None)
     train_step = pl.select_train_step(model, cfg, corpus, prng.base_key(0))
+    # 128-lane packed physical tables across the scan (both the gathers and
+    # the scatters then pay per PHYSICAL row — BENCHMARKS.md gather study);
+    # same state_pack/state_unpack transform fit() installs
+    state_pack, state_unpack = pl.packed_state_transforms(cfg)
 
     def multi_step(state, stacked):
+        if state_pack is not None:
+            state = state_pack(state)
         new_state, metrics = jax.lax.scan(
             lambda s, b: train_step(s, b), state, stacked)
+        if state_unpack is not None:
+            new_state = state_unpack(new_state)
         return new_state, metrics["loss"][-1]
 
     step = jax.jit(multi_step, donate_argnums=0)

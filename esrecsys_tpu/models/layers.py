@@ -43,10 +43,14 @@ class TableEmbed(nn.Module):
     mesh: Optional[Mesh] = None
     embedding_init: Callable = default_embed_init
     dtype = None
+    rows_multiple: int = 1  # extra row-count alignment, e.g. 128//features
+    # so the table admits the 128-lane packed physical layout
+    # (ops/optim.pack_rows; padded rows are unreachable past the id guard)
 
     def setup(self):
         n_shards = self.mesh.shape[MODEL_AXIS] if self.mesh is not None else 1
-        rows = pad_to_multiple(self.num_embeddings, n_shards)
+        rows = pad_to_multiple(
+            pad_to_multiple(self.num_embeddings, n_shards), self.rows_multiple)
         self.embedding = self.param(
             "embedding", self.embedding_init, (rows, self.features)
         )

@@ -149,17 +149,21 @@ class PlaylistModel(nn.Module):
     num_artists: int = 295_861
     mesh: Optional[Mesh] = None
     compute_dtype: Optional[jnp.dtype] = None  # bf16 scoring einsums (opt-in)
+    table_rows_multiple: int = 1  # row alignment for the 128-lane packed
+    # physical layout (workloads/playlist.use_packed_tables)
 
     def setup(self):
         self.album_embed = TableEmbed(
             num_embeddings=self.album_hash_buckets,
             features=self.feature_size,
             mesh=self.mesh,
+            rows_multiple=self.table_rows_multiple,
         )
         self.artist_embed = TableEmbed(
             num_embeddings=self.num_artists,
             features=self.feature_size,
             mesh=self.mesh,
+            rows_multiple=self.table_rows_multiple,
         )
 
     def get_embeddings(self, album: jax.Array, artist: jax.Array) -> jax.Array:

@@ -267,6 +267,113 @@ def unpack_rows(a: jax.Array, dim: int) -> jax.Array:
     return a.reshape(a.shape[0] * 128 // dim, dim)
 
 
+def lane_gather_scalars(packed: jax.Array, ids: jax.Array) -> jax.Array:
+    """Per-logical-row scalars from their (R/128, 128) packed layout.
+
+    The packed layout for a per-row SCALAR array (last_step, counters) is
+    ``a.reshape(R // 128, 128)`` — 128 logical rows per physical row. Reads
+    fetch the physical row and select the ``id % 128`` lane; requires
+    R % 128 == 0 (pad at creation).
+    """
+    wide = jnp.take(packed, ids // 128, axis=0)            # (n, 128)
+    return jnp.take_along_axis(wide, (ids % 128)[:, None], axis=1)[:, 0]
+
+
+def momentum_catchup_rows_packed(
+    state_p: Dict[str, jax.Array],  # momentum: (R·D/128, 128); last_step: (R/128, 128)
+    ids: jax.Array,
+    *,
+    dim: int,
+    lr: float,
+    mu: float,
+    step: jax.Array,
+) -> jax.Array:
+    """:func:`momentum_catchup_rows` reading packed-layout state (see
+    :func:`lazy_momentum_packed_update`). Same per-row math."""
+    m_rows = packed_gather_rows(state_p["momentum"], ids, dim).astype(jnp.float32)
+    last = lane_gather_scalars(state_p["last_step"], ids)
+    k = jnp.maximum(step - last, 0).astype(jnp.float32)
+    mu_k = jnp.power(jnp.float32(mu), k)
+    geom = jnp.where(mu > 0, mu * (1.0 - mu_k) / max(1.0 - mu, 1e-12), 0.0)
+    return -lr * m_rows * geom[:, None]
+
+
+def lazy_momentum_packed_update(
+    table_p: jax.Array,    # (R·D/128, 128) packed table (pack_rows layout)
+    state_p: Dict[str, jax.Array],  # momentum packed like the table;
+    # last_step (R/128, 128) int32 (lane_gather_scalars layout)
+    ids: jax.Array,        # (n,) LOGICAL row ids (dups allowed)
+    row_grads: jax.Array,  # (n, D) gradients w.r.t. the gathered rows
+    *,
+    dim: int,
+    lr: float,
+    mu: float,
+    step: jax.Array,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """:func:`lazy_momentum_update` with every read/write through the
+    128-lane packed physical layout.
+
+    Identical per-logical-row math (sort + first-occurrence aggregation is
+    unchanged); only the IO changes: row gathers fetch whole physical rows
+    (:func:`packed_gather_rows`), scatters target physical rows
+    (ops/scatter.packed_scatter_add_phys), and last_step updates scatter
+    one-hot lane maxima into its (R/128, 128) layout — the momentum step
+    pays 3 scatters + 3 gathers per table, so the per-target-row win
+    (BENCHMARKS.md gather study) compounds here. Requires R % 128 == 0.
+    """
+    from esrecsys_tpu.ops.scatter import packed_scatter_add_phys
+
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    sgrads = row_grads[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(first) - 1
+    agg = jax.ops.segment_sum(sgrads, seg, num_segments=n)
+    g = jnp.where(first[:, None], agg[seg], 0.0)
+    w = first.astype(jnp.float32)[:, None]
+
+    m_rows = packed_gather_rows(state_p["momentum"], sids, dim).astype(jnp.float32)
+    last = lane_gather_scalars(state_p["last_step"], sids)
+    k = jnp.maximum(step - last, 0).astype(jnp.float32)
+    mu_k = jnp.power(jnp.float32(mu), k)
+    geom = jnp.where(mu > 0, mu * (1.0 - mu_k) / max(1.0 - mu, 1e-12), 0.0)
+    catchup = -lr * m_rows * geom[:, None]
+    m_caught = m_rows * mu_k[:, None]
+    m_new = mu * m_caught + g
+    delta = (catchup - lr * m_new) * w
+
+    new_table = packed_scatter_add_phys(table_p, sids, delta, dim)
+    new_mom = packed_scatter_add_phys(
+        state_p["momentum"], sids, (m_new - m_rows) * w, dim)
+    placed = jnp.where(
+        (sids % 128)[:, None] == jnp.arange(128)[None, :],
+        jnp.where(first, step + 1, 0)[:, None], 0).astype(jnp.int32)
+    new_last = state_p["last_step"].at[sids // 128].max(placed)
+    return new_table, {"momentum": new_mom, "last_step": new_last}
+
+
+def packed_gather_rows(table_p: jax.Array, ids: jax.Array,
+                       dim: int) -> jax.Array:
+    """``take(unpack_rows(table_p, dim), ids)`` through the PHYSICAL rows.
+
+    Fetches each id's whole 128-lane physical row (``pack = 128/dim``
+    logical rows) and selects the id's ``dim``-lane slot with a tiny
+    one-hot contraction — 128/dim× the bytes for 1/pack the target rows.
+    XLA's TPU gather, like its scatter, pays per TARGET row, so this is
+    measured 2.1× faster than the logical take at 100k/296k rows and 3.8×
+    at 2.26M (BENCHMARKS.md gather study; ``take(unpack_rows(...))`` — a
+    logical-view take — gets none of this, which is why round 2's
+    stored-packed playlist experiment came out neutral).
+    """
+    pack = 128 // dim
+    wide = jnp.take(table_p, ids // pack, axis=0)          # (n, 128)
+    grouped = wide.reshape(-1, pack, dim)
+    sel = ((ids % pack)[:, None] == jnp.arange(pack)[None, :]).astype(
+        table_p.dtype)
+    return jnp.einsum("np,npd->nd", sel, grouped)
+
+
 def lazy_adam_packed_update(
     table_p: jax.Array,    # (R·D/128, 128) packed table (pack_rows layout)
     state: Dict[str, jax.Array],   # m/v packed to the same shape

@@ -216,13 +216,25 @@ def packed_scatter_add(
     pack = 128 // dim if dim and 128 % dim == 0 else 1
     if pack <= 1 or dim * rows % 128:
         return table.at[ids].add(updates.astype(table.dtype))
+    phys = packed_scatter_add_phys(table.reshape(rows // pack, 128),
+                                   ids, updates, dim)
+    return phys.reshape(rows, dim)
+
+
+def packed_scatter_add_phys(
+    table_p: jax.Array,    # (R·D/128, 128) physical layout (optim.pack_rows)
+    ids: jax.Array,        # (n,) int32 LOGICAL row ids in [0, R)
+    updates: jax.Array,    # (n, D)
+    dim: int,
+) -> jax.Array:
+    """:func:`packed_scatter_add` on an already-physical table — for STORED
+    packed carriers (the reshape-per-step variant loses; see pack_rows)."""
+    pack = 128 // dim
     n = ids.shape[0]
     slot = (ids % pack)[:, None, None]
     placed = jnp.where(slot == jnp.arange(pack)[None, :, None],
                        updates[:, None, :], 0.0).reshape(n, 128)
-    phys = table.reshape(rows // pack, 128)
-    phys = phys.at[ids // pack].add(placed.astype(table.dtype))
-    return phys.reshape(rows, dim)
+    return table_p.at[ids // pack].add(placed.astype(table_p.dtype))
 
 
 # Row count at/above which the packed physical view measurably beats the

@@ -150,19 +150,25 @@ def in_step(steps=64) -> dict:
     }
     stacked = {k: jnp.asarray(np.stack([v] * steps)) for k, v in one.items()}
     res = {}
-    for name, gk in [("xla_take", False), ("pallas_dma", True)]:
+    for name, gk, pt in [("xla_take", False, "off"), ("pallas_dma", True, "off"),
+                         ("packed_stored", False, "on")]:
         cfg = pl.PlaylistConfig(
             feature_size=D, album_hash_buckets=NUM_ALBUMS,
             num_artists=NUM_ARTISTS, num_negatives=512, batch_size=B,
             context_size=C, max_next=M, shared_negatives=True,
             sparse_updates=True, momentum=0.0, compute_dtype="bfloat16",
-            gather_kernel=gk)
+            gather_kernel=gk, packed_tables=pt)
         model, state = pl.init_state(cfg, mesh=None)
         step = pl.select_train_step(model, cfg, corpus, prng.base_key(0))
+        state_pack, state_unpack = pl.packed_state_transforms(cfg)
 
         @jax.jit
         def multi(state, xs):
+            if state_pack is not None:
+                state = state_pack(state)
             st, m = jax.lax.scan(lambda s, x: step(s, x), state, xs)
+            if state_unpack is not None:
+                st = state_unpack(st)
             return st, m["loss"][-1]
 
         state, l0 = multi(state, stacked)

@@ -116,7 +116,11 @@ def make_lazy_adam_train_step(model: Glove, cfg: GloveConfig, packed: bool = Fal
             ids = guards.check_ids(ids, model.num_embeddings, "token_embedding")
             tp_emb = state.params["token_embedding"]["embedding"]
             tp_bias = state.params["bias"]["embedding"]
-            rows_e = jnp.take(optim.unpack_rows(tp_emb, D), ids, axis=0)
+            # embedding rows through the PHYSICAL layout (per-target-row
+            # gather cost, 128/D× bytes — wins like the scatters do,
+            # BENCHMARKS.md gather study); bias stays a logical-view take:
+            # at dim=1 the physical fetch would be 128× the bytes
+            rows_e = optim.packed_gather_rows(tp_emb, ids, D)
             rows_b = jnp.take(optim.unpack_rows(tp_bias, 1), ids, axis=0)
 
             def loss_fn(rows_e, rows_b):

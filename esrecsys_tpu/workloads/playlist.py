@@ -66,7 +66,16 @@ class PlaylistConfig:
     # catch-up scheme (ops/optim.py) — read via settled_params for eval/export
     gather_kernel: bool = False  # sparse step row gathers through the
     # Pallas per-row-DMA kernel (ops/lookup.gather_rows) instead of XLA's
-    # gather — measured in BENCHMARKS.md's gather study before defaulting
+    # gather — measured in BENCHMARKS.md's gather study: loses at every
+    # shape (the per-row DMA round-trip dwarfs XLA's gather), kept for study
+    packed_tables: str = "auto"  # "auto"|"on"|"off": store the embedding
+    # tables in the 128-lane packed PHYSICAL layout across the step scan
+    # (fit state_pack hooks) so both the row gathers and the row scatters
+    # target (R·D/128, 128) physical rows — XLA's TPU gather AND scatter pay
+    # per target row, so fetching 128/D× the bytes over 1/pack the rows wins
+    # both ways (BENCHMARKS.md gather study: gathers 2.1×, full step
+    # measured before defaulting). auto = on for the unsharded row-sparse
+    # momentum-0 step with D | 128 and steps_per_call > 1
     learning_rate: float = 1e-3
     momentum: float = 0.98
     regularization: float = 10.0   # L2-norm cap
@@ -195,6 +204,78 @@ def make_train_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str,
     return train_step
 
 
+def use_packed_tables(cfg: PlaylistConfig) -> bool:
+    """Resolve ``cfg.packed_tables`` ("auto"/"on"/"off") to a decision.
+
+    The packed layout applies to the unsharded row-sparse step (momentum 0
+    scatters straight through the physical rows; momentum > 0 routes the
+    catch-up state through ops/optim's packed lazy-momentum variants). On a
+    row-sharded table the (R, D) → (R·D/128, 128) reshape crosses the
+    sharded dimension (GSPMD would re-gather the table per step — same
+    constraint as ops/scatter.auto_scatter_add).
+    """
+    mode = getattr(cfg, "packed_tables", "auto")
+    eligible = (cfg.sparse_updates
+                and cfg.n_model_shards == 1
+                and 0 < cfg.feature_size < 128
+                and 128 % cfg.feature_size == 0)
+    if mode == "off":
+        return False
+    if mode == "on":
+        if not eligible:
+            raise ValueError(
+                "packed_tables='on' requires sparse_updates, "
+                "n_model_shards=1 and feature_size dividing 128 "
+                f"(got sparse={cfg.sparse_updates} "
+                f"shards={cfg.n_model_shards} D={cfg.feature_size})")
+        return True
+    # auto: also require a multi-step scan so the pack/unpack reshapes wrap
+    # the whole dispatch, not every step (ops/optim.pack_rows)
+    return eligible and cfg.steps_per_call > 1
+
+
+def _table_rows_multiple(cfg: PlaylistConfig) -> int:
+    """Row alignment for init_state: 128 whenever the packed physical
+    layouts COULD apply for this shape (independent of sparse_updates —
+    see the init_state comment), else 1."""
+    return 128 if (cfg.n_model_shards == 1
+                   and 0 < cfg.feature_size < 128
+                   and 128 % cfg.feature_size == 0
+                   and getattr(cfg, "packed_tables", "auto") != "off") else 1
+
+
+def packed_state_transforms(cfg: PlaylistConfig):
+    """(state_pack, state_unpack) for ``fit`` — album/artist tables to/from
+    the 128-lane physical layout at the step-scan boundary. (None, None)
+    when :func:`use_packed_tables` says no."""
+    if not use_packed_tables(cfg):
+        return None, None
+    from esrecsys_tpu.ops import optim
+
+    D = cfg.feature_size
+    mom = bool(cfg.momentum)
+
+    def _map(state: TrainState, f, f_scalar):
+        p = dict(state.params)
+        p["album_embed"] = {"embedding": f(p["album_embed"]["embedding"])}
+        p["artist_embed"] = {"embedding": f(p["artist_embed"]["embedding"])}
+        if not mom:
+            return state.replace(params=p)
+        # lazy-momentum state rides packed too: momentum like the table,
+        # last_step in the (R/128, 128) scalar layout (requires the
+        # rows_multiple=128 padding init_state applies under packed)
+        os = {ax: {"momentum": f(s["momentum"]),
+                   "last_step": f_scalar(s["last_step"])}
+              for ax, s in state.opt_state.items()}
+        return state.replace(params=p, opt_state=os)
+
+    pack = lambda state: _map(
+        state, optim.pack_rows, lambda a: a.reshape(-1, 128))
+    unpack = lambda state: _map(
+        state, lambda a: optim.unpack_rows(a, D), lambda a: a.reshape(-1))
+    return pack, unpack
+
+
 def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
                            corpus: Dict[str, jax.Array], base_key: jax.Array):
     """Row-sparse SGD train step.
@@ -220,6 +301,8 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
     neg_albums = corpus["albums"]
     neg_artists = corpus["artists"]
     n_albums = cfg.album_hash_buckets
+    packed = use_packed_tables(cfg)
+    D = cfg.feature_size
 
     def train_step(state: TrainState, batch):
         key = prng.key_for_step(base_key, state.step, prng.STREAM_NEGATIVES)
@@ -248,7 +331,17 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
         # sharding rule, so on a row-sharded table GSPMD would all-gather
         # the full table to feed it — exactly the materialization the
         # sharded sparse path exists to avoid (tests/test_sharded_sparse.py)
-        if cfg.gather_kernel and cfg.n_model_shards == 1:
+        # layout-adaptive: under fit's state_pack hooks (or bench.py's) the
+        # tables arrive in the (R·D/128, 128) physical layout — detected by
+        # the lane count, unambiguous since packed requires D < 128. Direct
+        # callers that skip the hooks keep the logical path, just slower.
+        is_packed = packed and t_alb.shape[-1] == 128
+        if is_packed:
+            from esrecsys_tpu.ops import optim
+
+            rows_alb = optim.packed_gather_rows(t_alb, alb_ids, D)
+            rows_art = optim.packed_gather_rows(t_art, art_ids, D)
+        elif cfg.gather_kernel and cfg.n_model_shards == 1:
             from esrecsys_tpu.ops.lookup import gather_rows
 
             rows_alb = gather_rows(t_alb, alb_ids)
@@ -261,12 +354,20 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
             # or grads are taken at stale params — see ops/optim.py
             from esrecsys_tpu.ops import optim
 
-            rows_alb = rows_alb + optim.momentum_catchup_rows(
-                state.opt_state["album"], alb_ids,
-                lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)
-            rows_art = rows_art + optim.momentum_catchup_rows(
-                state.opt_state["artist"], art_ids,
-                lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)
+            if is_packed:
+                rows_alb = rows_alb + optim.momentum_catchup_rows_packed(
+                    state.opt_state["album"], alb_ids, dim=D,
+                    lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)
+                rows_art = rows_art + optim.momentum_catchup_rows_packed(
+                    state.opt_state["artist"], art_ids, dim=D,
+                    lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)
+            else:
+                rows_alb = rows_alb + optim.momentum_catchup_rows(
+                    state.opt_state["album"], alb_ids,
+                    lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)
+                rows_art = rows_art + optim.momentum_catchup_rows(
+                    state.opt_state["artist"], art_ids,
+                    lr=cfg.learning_rate, mu=cfg.momentum, step=state.step)
 
         def loss_fn(rows_alb, rows_art):
             e = jnp.concatenate([rows_alb, rows_art], axis=-1)  # (n, 2F)
@@ -292,6 +393,18 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
         if cfg.momentum:
             from esrecsys_tpu.ops import optim
 
+            if is_packed:
+                new_alb, os_alb = optim.lazy_momentum_packed_update(
+                    t_alb, state.opt_state["album"], alb_ids, g_alb,
+                    dim=D, lr=lr, mu=cfg.momentum, step=state.step)
+                new_art, os_art = optim.lazy_momentum_packed_update(
+                    t_art, state.opt_state["artist"], art_ids, g_art,
+                    dim=D, lr=lr, mu=cfg.momentum, step=state.step)
+                new_params["album_embed"] = {"embedding": new_alb}
+                new_params["artist_embed"] = {"embedding": new_art}
+                return state.replace(
+                    step=state.step + 1, params=new_params,
+                    opt_state={"album": os_alb, "artist": os_art}), metrics
             shd = cfg.n_model_shards > 1
             new_alb, os_alb = optim.lazy_momentum_update(
                 t_alb, state.opt_state["album"], alb_ids, g_alb,
@@ -304,8 +417,16 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
             return state.replace(
                 step=state.step + 1, params=new_params,
                 opt_state={"album": os_alb, "artist": os_art}), metrics
-        new_params["album_embed"] = {"embedding": t_alb.at[alb_ids].add(-lr * g_alb)}
-        new_params["artist_embed"] = {"embedding": t_art.at[art_ids].add(-lr * g_art)}
+        if is_packed:
+            from esrecsys_tpu.ops import scatter
+
+            new_params["album_embed"] = {"embedding": scatter.packed_scatter_add_phys(
+                t_alb, alb_ids, -lr * g_alb, D)}
+            new_params["artist_embed"] = {"embedding": scatter.packed_scatter_add_phys(
+                t_art, art_ids, -lr * g_art, D)}
+        else:
+            new_params["album_embed"] = {"embedding": t_alb.at[alb_ids].add(-lr * g_alb)}
+            new_params["artist_embed"] = {"embedding": t_art.at[art_ids].add(-lr * g_art)}
         return state.replace(step=state.step + 1, params=new_params), metrics
 
     return train_step
@@ -587,6 +708,14 @@ def init_state(cfg: PlaylistConfig, mesh) -> Tuple[PlaylistModel, TrainState]:
         num_artists=cfg.num_artists,
         mesh=mesh,
         compute_dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None),
+        # align table rows to 128 so the packed layouts divide evenly — the
+        # (R·D/128, 128) table view AND the (R/128, 128) scalar last_step
+        # view (e.g. the reference's 295,861 artists pad to 295,936 at
+        # D=32; padded rows sit past the id guards, never touched). The
+        # decision deliberately ignores sparse_updates so dense- and
+        # sparse-step states share shapes (trajectory-equality tests,
+        # checkpoint compat when toggling the step)
+        table_rows_multiple=_table_rows_multiple(cfg),
     )
     key = prng.stream(prng.base_key(cfg.seed), prng.STREAM_INIT)
     b, c, m, n = 2, cfg.context_size, cfg.max_next, cfg.num_negatives
@@ -660,10 +789,13 @@ def train(cfg: PlaylistConfig, tracker=None, corpus_np=None):
                    corpus_np["num_artists"])
 
     base_key = prng.base_key(cfg.seed)
+    state_pack, state_unpack = packed_state_transforms(cfg)
     result = fit(
         state,
         select_train_step(model, cfg, corpus, base_key),
         train_iter,
+        state_pack=state_pack,
+        state_unpack=state_unpack,
         num_steps=cfg.max_steps,
         eval_step=select_eval_step(model, cfg, corpus, mesh),
         eval_setup_fn=select_eval_setup(model, cfg, corpus, mesh),

@@ -223,3 +223,70 @@ def test_settle_then_continue_matches_dense():
                                    step=jnp.int32(steps))
     np.testing.assert_allclose(np.asarray(settled), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_packed_gather_rows_matches_logical_take():
+    """packed_gather_rows through the physical layout == take on logical,
+    including duplicate ids and ids in every lane slot."""
+    rng = np.random.default_rng(9)
+    for dim in (1, 4, 32, 64):
+        rows = 4 * (128 // dim)  # multiple of pack
+        a = jnp.asarray(rng.normal(size=(rows, dim)).astype(np.float32))
+        ids = jnp.asarray(
+            np.concatenate([rng.integers(0, rows, 37), [0, 0, rows - 1]]),
+            jnp.int32)
+        got = optim.packed_gather_rows(optim.pack_rows(a), ids, dim)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(jnp.take(a, ids, axis=0)),
+            err_msg=f"dim={dim}")
+
+
+def test_packed_scatter_add_phys_matches_logical():
+    rng = np.random.default_rng(10)
+    from esrecsys_tpu.ops import scatter as sc
+
+    dim = 32
+    a = jnp.asarray(rng.normal(size=(96, dim)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 96, 41), jnp.int32)
+    upd = jnp.asarray(rng.normal(size=(41, dim)).astype(np.float32))
+    got = optim.unpack_rows(
+        sc.packed_scatter_add_phys(optim.pack_rows(a), ids, upd, dim), dim)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(a.at[ids].add(upd)), rtol=1e-6, atol=1e-7)
+
+
+def test_lazy_momentum_packed_matches_logical():
+    """Packed-layout lazy momentum == logical lazy momentum, with duplicate
+    ids, idle rows (catch-up), and multi-step drift."""
+    rng = np.random.default_rng(12)
+    R, D = 256, 32  # R % 128 == 0
+    table = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    st_l = optim.momentum_init(table)
+    tab_l, tab_p = table, optim.pack_rows(table)
+    st_p = {"momentum": optim.pack_rows(st_l["momentum"]),
+            "last_step": st_l["last_step"].reshape(-1, 128)}
+    for step in range(4):
+        ids = jnp.asarray(
+            np.concatenate([rng.integers(0, R, 21), [3, 3, 130]]), jnp.int32)
+        g = jnp.asarray(rng.normal(size=(ids.shape[0], D)).astype(np.float32))
+        # forward settlement deltas must agree too
+        np.testing.assert_allclose(
+            np.asarray(optim.momentum_catchup_rows(
+                st_l, ids, lr=0.1, mu=0.9, step=jnp.int32(step))),
+            np.asarray(optim.momentum_catchup_rows_packed(
+                st_p, ids, dim=D, lr=0.1, mu=0.9, step=jnp.int32(step))),
+            rtol=1e-6, atol=1e-8)
+        tab_l, st_l = optim.lazy_momentum_update(
+            tab_l, st_l, ids, g, lr=0.1, mu=0.9, step=jnp.int32(step))
+        tab_p, st_p = optim.lazy_momentum_packed_update(
+            tab_p, st_p, ids, g, dim=D, lr=0.1, mu=0.9, step=jnp.int32(step))
+        np.testing.assert_allclose(
+            np.asarray(tab_l), np.asarray(optim.unpack_rows(tab_p, D)),
+            rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(st_l["momentum"]),
+            np.asarray(optim.unpack_rows(st_p["momentum"], D)),
+            rtol=1e-6, atol=1e-8)
+        np.testing.assert_array_equal(
+            np.asarray(st_l["last_step"]),
+            np.asarray(st_p["last_step"].reshape(-1)))

@@ -349,7 +349,8 @@ def test_sparse_momentum_init_state_carries_lazy_state():
                             num_artists=10, momentum=0.9, sparse_updates=True)
     _, state = pl.init_state(cfg, mesh=None)
     assert set(state.opt_state.keys()) == {"album", "artist"}
-    assert state.opt_state["album"]["momentum"].shape == (10, 4)
+    # rows 128-padded at creation (packed physical layouts, use_packed_tables)
+    assert state.opt_state["album"]["momentum"].shape == (128, 4)
     assert state.opt_state["album"]["last_step"].dtype == jnp.int32
 
 
@@ -535,3 +536,98 @@ def test_ranking_metrics_closed_form():
     hit_all = jnp.ones((1, 3), jnp.float32)
     out2 = pl.ranking_metrics(hit_all, jnp.asarray([10.0]), k=3, prefix="t")
     np.testing.assert_allclose(float(out2["t_ndcg"]), 1.0, rtol=1e-6)
+
+
+def test_packed_sparse_step_matches_unpacked_trajectory():
+    """The 128-lane packed sparse step (layout-adaptive: physical tables in,
+    physical out) must reproduce the logical sparse trajectory, through a
+    table whose row count needs pack-alignment padding (40 artists, pack=32
+    at D=4 -> 64 physical-aligned rows)."""
+    rng = np.random.default_rng(11)
+    cfg = pl.PlaylistConfig(
+        feature_size=4, album_hash_buckets=50, num_artists=40,
+        num_negatives=6, batch_size=3, context_size=3, max_next=4,
+        momentum=0.0, learning_rate=0.05, shared_negatives=True,
+        sparse_updates=True, steps_per_call=4)
+    assert pl.use_packed_tables(cfg)
+    model, state_l = pl.init_state(cfg, mesh=None)
+    # 128-aligned padding happened at creation (both packed views divide)
+    assert state_l.params["artist_embed"]["embedding"].shape == (128, 4)
+    assert state_l.params["album_embed"]["embedding"].shape == (128, 4)
+    _, state_p = pl.init_state(cfg, mesh=None)
+    step = pl.make_sparse_train_step(model, cfg, _tiny_corpus(rng),
+                                     jax.random.PRNGKey(7))
+    pack, unpack = pl.packed_state_transforms(cfg)
+    assert pack is not None
+    batch = _rand_batch(rng, 3, 3, 4)
+    state_p = jax.jit(pack)(state_p)
+    for _ in range(3):
+        state_l, ml = jax.jit(step)(state_l, batch)   # logical layout path
+        state_p, mp = jax.jit(step)(state_p, batch)   # packed layout path
+    state_p = jax.jit(unpack)(state_p)
+    np.testing.assert_allclose(float(ml["loss"]), float(mp["loss"]), rtol=1e-5)
+    for name in ("album_embed", "artist_embed"):
+        np.testing.assert_allclose(
+            np.asarray(state_l.params[name]["embedding"]),
+            np.asarray(state_p.params[name]["embedding"]),
+            rtol=2e-5, atol=1e-7, err_msg=name)
+
+
+def test_packed_tables_auto_gating():
+    base = dict(feature_size=32, album_hash_buckets=50, num_artists=40,
+                sparse_updates=True, momentum=0.0, steps_per_call=8)
+    assert pl.use_packed_tables(pl.PlaylistConfig(**base))
+    assert pl.use_packed_tables(pl.PlaylistConfig(**{**base, "momentum": 0.9}))
+    assert not pl.use_packed_tables(pl.PlaylistConfig(**{**base, "n_model_shards": 2}))
+    assert not pl.use_packed_tables(pl.PlaylistConfig(**{**base, "feature_size": 48}))
+    assert not pl.use_packed_tables(pl.PlaylistConfig(**{**base, "feature_size": 128}))
+    assert not pl.use_packed_tables(pl.PlaylistConfig(**{**base, "steps_per_call": 1}))
+    assert not pl.use_packed_tables(pl.PlaylistConfig(**{**base, "sparse_updates": False}))
+    assert not pl.use_packed_tables(pl.PlaylistConfig(**{**base, "packed_tables": "off"}))
+    # "on" overrides the steps_per_call heuristic but validates eligibility
+    assert pl.use_packed_tables(
+        pl.PlaylistConfig(**{**base, "steps_per_call": 1, "packed_tables": "on"}))
+    import pytest
+    with pytest.raises(ValueError):
+        pl.use_packed_tables(
+            pl.PlaylistConfig(**{**base, "n_model_shards": 2, "packed_tables": "on"}))
+
+
+def test_packed_momentum_sparse_step_matches_unpacked_trajectory():
+    """Packed lazy SGD-momentum (tables + catch-up state in physical
+    layout) must reproduce the logical lazy-momentum trajectory — which is
+    itself proven equal to dense momentum (test_sparse_momentum_*)."""
+    rng = np.random.default_rng(12)
+    cfg = pl.PlaylistConfig(
+        feature_size=4, album_hash_buckets=50, num_artists=40,
+        num_negatives=6, batch_size=3, context_size=3, max_next=4,
+        momentum=0.9, learning_rate=0.05, shared_negatives=True,
+        sparse_updates=True, steps_per_call=4)
+    assert pl.use_packed_tables(cfg)
+    model, state_l = pl.init_state(cfg, mesh=None)
+    _, state_p = pl.init_state(cfg, mesh=None)
+    assert state_l.opt_state["artist"]["last_step"].shape == (128,)
+    step = pl.make_sparse_train_step(model, cfg, _tiny_corpus(rng),
+                                     jax.random.PRNGKey(7))
+    pack, unpack = pl.packed_state_transforms(cfg)
+    batch = _rand_batch(rng, 3, 3, 4)
+    state_p = jax.jit(pack)(state_p)
+    assert state_p.opt_state["artist"]["last_step"].shape == (1, 128)
+    for _ in range(4):
+        state_l, ml = jax.jit(step)(state_l, batch)
+        state_p, mp = jax.jit(step)(state_p, batch)
+    state_p = jax.jit(unpack)(state_p)
+    np.testing.assert_allclose(float(ml["loss"]), float(mp["loss"]), rtol=1e-5)
+    for name in ("album_embed", "artist_embed"):
+        np.testing.assert_allclose(
+            np.asarray(state_l.params[name]["embedding"]),
+            np.asarray(state_p.params[name]["embedding"]),
+            rtol=2e-5, atol=1e-7, err_msg=name)
+    for ax in ("album", "artist"):
+        np.testing.assert_allclose(
+            np.asarray(state_l.opt_state[ax]["momentum"]),
+            np.asarray(state_p.opt_state[ax]["momentum"]),
+            rtol=2e-5, atol=1e-7, err_msg=ax)
+        np.testing.assert_array_equal(
+            np.asarray(state_l.opt_state[ax]["last_step"]),
+            np.asarray(state_p.opt_state[ax]["last_step"]), err_msg=ax)
