@@ -11,6 +11,7 @@ jit rather than gathering it to one device.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional
 
 import jax
@@ -49,8 +50,14 @@ class TableEmbed(nn.Module):
 
     def setup(self):
         n_shards = self.mesh.shape[MODEL_AXIS] if self.mesh is not None else 1
+        # pad ONCE to lcm(n_shards, rows_multiple): sequential padding
+        # (pad-to-shards then pad-to-multiple) can break shard divisibility
+        # (e.g. n_shards=3, rows_multiple=128 -> 128 rows), and lcm also
+        # keeps the row count shard-INDEPENDENT whenever n_shards divides
+        # rows_multiple (any power of two <= 128 for the packed layouts),
+        # so sharded and unsharded states share shapes.
         rows = pad_to_multiple(
-            pad_to_multiple(self.num_embeddings, n_shards), self.rows_multiple)
+            self.num_embeddings, math.lcm(n_shards, self.rows_multiple))
         self.embedding = self.param(
             "embedding", self.embedding_init, (rows, self.features)
         )

@@ -365,13 +365,20 @@ def packed_gather_rows(table_p: jax.Array, ids: jax.Array,
     at 2.26M (BENCHMARKS.md gather study; ``take(unpack_rows(...))`` — a
     logical-view take — gets none of this, which is why round 2's
     stored-packed playlist experiment came out neutral).
+
+    The slot select is an EXACT masked sum, deliberately not an einsum:
+    on TPU an f32 dot_general runs as a bf16 MXU pass by default, which
+    would round every gathered f32 table/momentum row and silently break
+    the documented exact dense-trajectory equivalence (ADVICE r3 high).
+    Multiplying by a 0/1 mask and summing the single nonzero slot is
+    exact in every dtype and stays on the VPU.
     """
     pack = 128 // dim
     wide = jnp.take(table_p, ids // pack, axis=0)          # (n, 128)
     grouped = wide.reshape(-1, pack, dim)
     sel = ((ids % pack)[:, None] == jnp.arange(pack)[None, :]).astype(
         table_p.dtype)
-    return jnp.einsum("np,npd->nd", sel, grouped)
+    return jnp.sum(grouped * sel[:, :, None], axis=1)
 
 
 def lazy_adam_packed_update(

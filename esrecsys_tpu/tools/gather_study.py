@@ -91,7 +91,9 @@ def isolated(rows_list=(100_000, 295_861, 2_262_292)) -> dict:
             grouped = wide.reshape(-1, pack, D)
             slot = (ids % pack)[:, None]
             sel = (slot == jnp.arange(pack)[None, :]).astype(t.dtype)
-            return jnp.einsum("np,npd->nd", sel, grouped)
+            # exact masked sum, not einsum: TPU f32 dot_general defaults to
+            # a bf16 MXU pass (see ops/optim.packed_gather_rows)
+            return jnp.sum(grouped * sel[:, :, None], axis=1)
 
         res = {}
         for name, fn in [("xla_take", xla_take), ("pallas_dma", pallas),

