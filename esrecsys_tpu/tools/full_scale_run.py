@@ -211,7 +211,9 @@ def run_train(args) -> dict:
             step=int(jax.device_get(state.step)), tracker=tracker,
             metadata={"feature_size": cfg.feature_size,
                       "album_hash_buckets": cfg.album_hash_buckets,
-                      "num_artists": cfg.num_artists})
+                      "num_artists": cfg.num_artists,
+                      "valid_rows": {"album_embed": cfg.album_hash_buckets,
+                                     "artist_embed": cfg.num_artists}})
 
     def continue_fn(state, to_step):
         """Resume the SAME fit wiring to an absolute step, then export —

@@ -47,18 +47,37 @@ class Checkpointer:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+    def restore(self, state_template: Any, step: Optional[int] = None,
+                adapt_rows: bool = True) -> Any:
         """Restore into the (possibly sharded) structure of ``state_template``.
 
         The template's shardings are respected: arrays come back with the
         same NamedShardings, so restore works on any mesh shape that matches.
+
+        ``adapt_rows``: when the saved arrays' ROW counts (axis 0) differ
+        from the template's — a checkpoint written under a different padding
+        layout (``packed_tables`` off↔auto changes table rows from e.g.
+        295,861 to 295,936) or a pre-r4 shard-dependent-padding checkpoint —
+        fall back to a raw (host) restore and trim/zero-pad axis 0 per leaf
+        to the template shape, then re-place with the template's shardings.
+        Padded rows sit past the id guards and are never touched, so zeros
+        are exact; trimming removes only pad rows. Mirrors the reference's
+        restore-anywhere flag semantics (spotify/train_spotify.py:244-245)
+        across this framework's layout knobs.
         """
         if step is None:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
         payload = _arrays_only(state_template)
-        restored = self._mgr.restore(int(step), args=ocp.args.StandardRestore(payload))
+        try:
+            restored = self._mgr.restore(
+                int(step), args=ocp.args.StandardRestore(payload))
+        except Exception:
+            if not adapt_rows:
+                raise
+            raw = self._mgr.restore(int(step))  # saved shapes, host numpy
+            restored = _adapt_rows(payload, raw)
         return _merge_restored(state_template, restored)
 
     def close(self) -> None:
@@ -77,6 +96,41 @@ def _arrays_only(state: Any) -> dict:
             payload["batch_stats"] = state.batch_stats
         return payload
     return {"tree": state}
+
+
+def _adapt_rows(template_payload: Any, raw_payload: Any) -> Any:
+    """Per-leaf: fit a host-restored array to the template's shape+sharding.
+
+    Only axis-0 (row-count) differences are absorbed — trim extra rows or
+    zero-pad missing ones; any other shape mismatch is a real config error
+    and raises. Leaves land with the template leaf's sharding."""
+    import numpy as np
+
+    def fit(t_leaf, r_leaf):
+        want = getattr(t_leaf, "shape", ())
+        raw = np.asarray(r_leaf)
+        if raw.shape != tuple(want):
+            if raw.ndim != len(want) or raw.shape[1:] != tuple(want)[1:] or not want:
+                raise ValueError(
+                    f"checkpoint leaf shape {raw.shape} cannot adapt to "
+                    f"template {tuple(want)} (only axis-0 row padding is "
+                    "adaptable)")
+            if raw.shape[0] > want[0]:
+                raw = raw[: want[0]]
+            else:
+                pad = np.zeros((want[0] - raw.shape[0],) + raw.shape[1:],
+                               raw.dtype)
+                raw = np.concatenate([raw, pad], axis=0)
+        if hasattr(t_leaf, "dtype"):
+            raw = raw.astype(t_leaf.dtype)
+        sharding = getattr(t_leaf, "sharding", None)
+        if sharding is not None and getattr(t_leaf, "committed", True):
+            return jax.device_put(raw, sharding)
+        import jax.numpy as jnp
+
+        return jnp.asarray(raw)
+
+    return jax.tree_util.tree_map(fit, template_payload, raw_payload)
 
 
 def _match_commitment(template: Any, restored: Any) -> Any:
