@@ -116,6 +116,25 @@ class Txt2UrlModel(nn.Module):
         debug_callbacks.py:81-104)."""
         return self.url_embedding.attend(self.encoder(tokens))
 
+    def all_pairs_scores(
+        self,
+        url_near_text: jax.Array,  # (B,)
+        tokens: jax.Array,         # (B, L)
+        url1: jax.Array,           # (B,)
+        url2: jax.Array,           # (B,)
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Reference-EXACT (B, B) similarity matrices for both heads.
+
+        The reference's ``similarity`` Lambda is a full ``K.dot(a, b.T)``
+        over the batch (train_txt2url.py:165-167), so its text head trains
+        every text_i × url_j pair toward the margin and its url2url head
+        regresses every url1_i · url2_j against row i's sqrt(dice)
+        (:252-257 with Keras's broadcast-target MAE/MSE). Returns
+        (text_sim, url_sim), each (B, B) with rows = first argument."""
+        text_sim = self.encoder(tokens) @ self.url_embedding(url_near_text).T
+        url_sim = self.url_embedding(url1) @ self.url_embedding(url2).T
+        return text_sim, url_sim
+
     def __call__(
         self,
         url_near_text: jax.Array,  # (B,) url id whose page the text came from

@@ -104,7 +104,55 @@ def test_max_norm_projection_applied_in_training(corpus):
     assert np.sqrt((ut ** 2).sum(-1)).max() <= 0.7 + 1e-5
 
 
-@pytest.mark.parametrize("objective,encoder", [("margin", "lstm"), ("softmax", "mean")])
+def test_reference_exact_objective_closed_form():
+    """text_objective='reference_exact' computes the (B,B) all-pairs losses
+    of the reference's Keras graph (train_txt2url.py:164-167,252-257):
+    verified against a hand-computed numpy expression on the same params."""
+    cfg = t2u.Txt2UrlConfig(word_dim=4, rnn_size=4, url_dim=4,
+                            sentence_length=6, batch_size=5, margin=0.1,
+                            encoder_type="mean",
+                            text_objective="reference_exact")
+    model, state = t2u.init_state(cfg, word_vocab_size=30, url_vocab_size=N_URLS)
+    rng = np.random.default_rng(3)
+    b = cfg.batch_size
+    batch = {
+        "url_near_text": jnp.asarray(rng.integers(0, N_URLS, b), jnp.int32),
+        "tokens": jnp.asarray(rng.integers(0, 30, (b, 6)), jnp.int32),
+        "url1": jnp.asarray(rng.integers(0, N_URLS, b), jnp.int32),
+        "url2": jnp.asarray(rng.integers(0, N_URLS, b), jnp.int32),
+        "sqrt_dice": jnp.asarray(rng.random(b), jnp.float32),
+    }
+    text_loss, url_loss = t2u._objective_losses(
+        model, cfg, state.params, state.apply_fn, batch)
+
+    # hand-computed: embed through the model's own tower methods
+    text_e = np.asarray(state.apply_fn(
+        {"params": state.params}, batch["tokens"],
+        method=Txt2UrlModel.encode_text))
+    url_e = np.asarray(state.apply_fn(
+        {"params": state.params}, batch["url_near_text"],
+        method=Txt2UrlModel.encode_url))
+    u1 = np.asarray(state.apply_fn({"params": state.params}, batch["url1"],
+                                   method=Txt2UrlModel.encode_url))
+    u2 = np.asarray(state.apply_fn({"params": state.params}, batch["url2"],
+                                   method=Txt2UrlModel.encode_url))
+    want_text = np.mean(np.square(np.maximum(0.0, cfg.margin - text_e @ url_e.T)))
+    want_url = np.mean(np.square(u1 @ u2.T - np.asarray(batch["sqrt_dice"])[:, None]))
+    np.testing.assert_allclose(float(text_loss), want_text, rtol=1e-5)
+    np.testing.assert_allclose(float(url_loss), want_url, rtol=1e-5)
+
+    # the matching-pairs default differs (it is a deliberate divergence) —
+    # equal only in degenerate cases
+    cfg_d = t2u.Txt2UrlConfig(**{**cfg.__dict__, "text_objective": "margin"})
+    d_text, _ = t2u._objective_losses(model, cfg_d, state.params,
+                                      state.apply_fn, batch)
+    diag = np.mean(np.square(np.maximum(0.0, cfg.margin - np.sum(text_e * url_e, -1))))
+    np.testing.assert_allclose(float(d_text), diag, rtol=1e-5)
+
+
+@pytest.mark.parametrize("objective,encoder",
+                         [("margin", "lstm"), ("softmax", "mean"),
+                          ("reference_exact", "lstm")])
 def test_txt2url_trains(corpus, tmp_path, objective, encoder):
     cfg = t2u.Txt2UrlConfig(
         txt2url_pattern=corpus["txt2url"], url2url_pattern=corpus["url2url"],
@@ -120,7 +168,12 @@ def test_txt2url_trains(corpus, tmp_path, objective, encoder):
     assert result.steps_run == 120
     first_losses = result.last_train_metrics
     assert np.isfinite(first_losses["train_loss"])
-    assert first_losses["train_url_loss"] < 0.2  # dice regression converges
+    if objective != "reference_exact":
+        assert first_losses["train_url_loss"] < 0.2  # dice regression converges
+    else:
+        # all-pairs regression (every url1_i·url2_j toward row i's target)
+        # converges more slowly; just require it to be moving down
+        assert first_losses["train_url_loss"] < 1.0
 
 
 def test_txt2url_in_train_eval(corpus, tmp_path):
