@@ -61,6 +61,10 @@ class PlaylistConfig:
     num_negatives: int = 64
     shared_negatives: bool = False  # one pool of num_negatives per step,
     # scored against every playlist (N gather rows instead of B·N)
+    exact_negative_range: bool = False  # sample negatives in the
+    # reference's [0, corpus-1) instead of [0, corpus) — its off-by-one
+    # excludes the last corpus row (train_spotify.py:149); opt-in for
+    # airtight A/B parity runs (ops/negatives.sample_negative_ids)
     sparse_updates: bool = False  # row-sparse updates: grads stay row-shaped
     # and scatter straight into the tables; momentum>0 uses the exact lazy
     # catch-up scheme (ops/optim.py) — read via settled_params for eval/export
@@ -188,7 +192,8 @@ def make_train_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str,
         key = prng.key_for_step(base_key, state.step, prng.STREAM_NEGATIVES)
         neg_idx, neg_album, neg_artist = negatives.sample_negative_rows(
             key, cfg.num_negatives, (neg_albums, neg_artists),
-            batch_size=None if cfg.shared_negatives else batch["track_context"].shape[0])
+            batch_size=None if cfg.shared_negatives else batch["track_context"].shape[0],
+            exact_range=cfg.exact_negative_range)
 
         def loss_fn(params):
             result = state.apply_fn(
@@ -317,7 +322,8 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
         b = batch["track_context"].shape[0]
         neg_idx, neg_album, neg_artist = negatives.sample_negative_rows(
             key, cfg.num_negatives, (neg_albums, neg_artists),
-            batch_size=None if cfg.shared_negatives else b)
+            batch_size=None if cfg.shared_negatives else b,
+            exact_range=cfg.exact_negative_range)
 
         c, m = cfg.context_size, cfg.max_next
         alb_ids = jnp.concatenate([

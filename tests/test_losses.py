@@ -94,3 +94,15 @@ def test_sample_negatives_on_device():
         return negatives.sample_negative_ids(key, 4, 10)
 
     assert step(key).shape == (4,)
+
+
+def test_exact_negative_range_excludes_last_row():
+    """exact_range=True reproduces the reference's [0, n-1) off-by-one
+    (train_spotify.py:149): the last corpus row is never sampled."""
+    key = jax.random.PRNGKey(7)
+    n = 4
+    ids = negatives.sample_negative_ids(key, 20_000, n, exact_range=True)
+    vals = set(np.asarray(ids).tolist())
+    assert vals == {0, 1, 2}  # 20k draws over 3 values: all present, no 3
+    ids_full = negatives.sample_negative_ids(key, 20_000, n)
+    assert set(np.asarray(ids_full).tolist()) == {0, 1, 2, 3}
