@@ -45,7 +45,7 @@ log = logging.getLogger(__name__)
 
 MODES = ("exact", "approx", "quantized", "quantized_approx",
          "ivf", "ivf_quantized", "pq", "ivf_pq",
-         "quantized_r8", "pq_r8", "ivf_pq_r8")
+         "quantized_r8", "pq_r8", "ivf_pq_r8", "filtered")
 
 
 def make_catalog(n: int, dim: int, structured: bool, seed: int = 0):
@@ -123,26 +123,46 @@ def mode_kwargs(mode: str, args) -> dict:
 def service_for(mode: str, index, k: int, batch: int, args):
     from esrecsys_tpu.serving.server import RetrievalService
 
+    if mode == "filtered":
+        return RetrievalService(index, max_k=k, max_batch=batch, filters={})
     return RetrievalService(index, max_k=k, max_batch=batch,
                             **mode_kwargs(mode, args))
 
 
 def bench_mode(mode: str, index, queries: np.ndarray, k: int, args,
-               exact_ids: np.ndarray | None):
+               exact_ids: np.ndarray | None, vecs: np.ndarray | None = None):
     t0 = time.time()
     svc = service_for(mode, index, k, args.batch, args)
+    fkw = {}
+    if mode == "filtered":
+        # a 50% eligibility mask (every even row) registered up front;
+        # queries then carry the filter name — the on-device two-phase
+        # masked scan (retrieval/mips valid_bound + mask) is what's timed
+        rng = np.random.default_rng(7)
+        eligible = np.arange(0, len(index.ids), 2)
+        svc.set_filter("bench", [index.ids[i] for i in eligible])
+        fkw = {"filter": "bench"}
     setup_s = time.time() - t0  # includes device upload + compile + build
 
     # warm path is compiled at construction; measure steady-state wall
     t0 = time.time()
     ids = None
     for rep in range(args.reps):
-        ids, _ = svc.topk(queries, k=k)
+        ids, _ = svc.topk(queries, k=k, **fkw)
     wall = time.time() - t0
     qps = args.reps * queries.shape[0] / wall
 
     overlap = None
-    if exact_ids is not None:
+    if mode == "filtered" and vecs is not None:
+        # truth = exact top-k over the ELIGIBLE half, computed on host
+        sub = min(queries.shape[0], args.overlap_queries)
+        evecs = vecs[::2]
+        scores = queries[:sub] @ evecs.T
+        want = np.argsort(-scores, axis=1)[:, :k] * 2  # back to catalog rows
+        overlap = float(np.mean([
+            len({int(x) for x in ids[b]} & set(want[b].tolist())) / k
+            for b in range(sub)]))
+    elif exact_ids is not None:
         sub = min(queries.shape[0], args.overlap_queries)
         overlap = float(np.mean([
             len(set(ids[b]) & set(exact_ids[b])) / k for b in range(sub)]))
@@ -209,7 +229,8 @@ def main(argv=None):
         modes = ["exact"] + [m for m in modes if m != "exact"]
     for mode in modes:
         res, ids = bench_mode(mode, index, queries, args.k, args,
-                              exact_ids if mode != "exact" else None)
+                              exact_ids if mode != "exact" else None,
+                              vecs=vecs)
         if mode == "exact":
             exact_ids = ids
         results.append(res)
