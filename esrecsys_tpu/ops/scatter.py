@@ -241,6 +241,14 @@ def packed_scatter_add_phys(
 # logical scatter for small-n updates (BENCHMARKS.md scatter study).
 PACKED_SCATTER_MIN_ROWS = 400_000
 
+# Table-size ceiling for the RESHAPE-around-scatter packed path. XLA may
+# satisfy the (R, D) -> (R*D/128, 128) reshape by relayouting the logical
+# table to a lane-padded T(8,128) tiling first — a materialized copy of
+# 128/D x the table bytes (observed on chip: a (100M, 32) bf16 table drew
+# a 25.6 GB copy and OOMed 16 GB HBM). Tables larger than this must STORE
+# packed (ops/optim.pack_rows carriers) instead of reshaping per call.
+PACKED_SCATTER_MAX_BYTES = 2_000_000_000
+
 
 def auto_scatter_add(table: jax.Array, ids: jax.Array, updates: jax.Array,
                      allow_packed: bool = True) -> jax.Array:
@@ -255,6 +263,7 @@ def auto_scatter_add(table: jax.Array, ids: jax.Array, updates: jax.Array,
     rows, dim = table.shape
     pack = 128 // dim if dim and 128 % dim == 0 else 1
     if (allow_packed and pack > 1 and rows >= PACKED_SCATTER_MIN_ROWS
+            and rows * dim * table.dtype.itemsize <= PACKED_SCATTER_MAX_BYTES
             and (dim * rows) % 128 == 0):
         return packed_scatter_add(table, ids, updates)
     return table.at[ids].add(updates.astype(table.dtype))

@@ -37,9 +37,14 @@ class ScaleConfig:
     steps_per_call: int = 4
     calls: int = 4
     learning_rate: float = 0.01
-    momentum: float = 0.0  # >0 uses ops.optim.lazy_momentum_update — the
-    # exact dense-SGD-momentum trajectory without the dense per-step pass
-    # (at 100M rows a dense momentum pass moves ~38 GB/step)
+    momentum: float = 0.0  # >0 uses the lazy-momentum path — the exact
+    # dense-SGD-momentum trajectory without the dense per-step pass (at
+    # 100M rows a dense momentum pass moves ~38 GB/step). Single-chip
+    # packable shapes STORE the table/moments in the 128-lane packed
+    # physical layout (ops/optim.lazy_momentum_packed_update): per-step
+    # reshape-around-scatter would draw a lane-padded relayout copy
+    # (128/D x table bytes — OOM at 100M rows) and loses in-step anyway
+    # (BENCHMARKS.md scatter study)
     n_model: int = 1
     seed: int = 0
 
@@ -48,33 +53,63 @@ def run(cfg: ScaleConfig) -> dict:
     mesh = mesh_lib.make_mesh(n_model=cfg.n_model) if cfg.n_model > 1 else None
     dtype = jnp.dtype(cfg.dtype)
     key = prng.base_key(cfg.seed)
-    table = jax.jit(
-        lambda k: init_table(k, cfg.rows, cfg.dim, mesh=mesh, dtype=dtype),
-    )(prng.stream(key, prng.STREAM_INIT))
-    w = jnp.ones((cfg.ids_per_step, cfg.dim), jnp.float32)
-    if cfg.momentum:
+    # Packed-STORED carriers for the single-chip lazy-momentum path: the
+    # per-step reshape view is both slower in-step and, at 100M rows, an
+    # OOM (XLA materializes a lane-padded relayout copy of the table).
+    packed = bool(cfg.momentum) and cfg.n_model == 1 and cfg.dim <= 128 \
+        and 128 % cfg.dim == 0 and cfg.rows % 128 == 0
+    if packed:
         from esrecsys_tpu.ops import optim
 
-        # moments in the table's dtype: at this scale HBM is the constraint
-        carry0 = (table, optim.momentum_init(table, dtype=dtype))
+        phys_rows = cfg.rows * cfg.dim // 128
+        table = jax.jit(
+            lambda k: init_table(k, phys_rows, 128, mesh=None, dtype=dtype),
+        )(prng.stream(key, prng.STREAM_INIT))
+        carry0 = (table, {
+            "momentum": jnp.zeros((phys_rows, 128), dtype),
+            "last_step": jnp.zeros((cfg.rows // 128, 128), jnp.int32),
+        })
     else:
-        carry0 = (table, None)
+        table = jax.jit(
+            lambda k: init_table(k, cfg.rows, cfg.dim, mesh=mesh, dtype=dtype),
+        )(prng.stream(key, prng.STREAM_INIT))
+        if cfg.momentum:
+            from esrecsys_tpu.ops import optim
+
+            # moments in the table's dtype: HBM is the constraint here
+            carry0 = (table, optim.momentum_init(table, dtype=dtype))
+        else:
+            carry0 = (table, None)
+    w = jnp.ones((cfg.ids_per_step, cfg.dim), jnp.float32)
 
     def one_step(carry, step):
         table, mstate = carry
         k = prng.key_for_step(key, step, prng.STREAM_NEGATIVES)
         ids = jax.random.randint(k, (cfg.ids_per_step,), 0, cfg.rows)
-        rows = lookup(table, ids, mesh=mesh).astype(jnp.float32)
         if cfg.momentum:
             from esrecsys_tpu.ops import optim
-
-            rows = rows + optim.momentum_catchup_rows(
-                mstate, ids, lr=cfg.learning_rate, mu=cfg.momentum, step=step)
+        if packed:
+            rows = optim.packed_gather_rows(table, ids, cfg.dim).astype(
+                jnp.float32)
+            rows = rows + optim.momentum_catchup_rows_packed(
+                mstate, ids, dim=cfg.dim,
+                lr=cfg.learning_rate, mu=cfg.momentum, step=step)
+        else:
+            rows = lookup(table, ids, mesh=mesh).astype(jnp.float32)
+            if cfg.momentum:
+                rows = rows + optim.momentum_catchup_rows(
+                    mstate, ids,
+                    lr=cfg.learning_rate, mu=cfg.momentum, step=step)
 
         def loss_fn(rows):
             return jnp.vdot(jnp.tanh(rows), w)
 
         loss, g = jax.value_and_grad(loss_fn)(rows)
+        if packed:
+            table, mstate = optim.lazy_momentum_packed_update(
+                table, mstate, ids, g, dim=cfg.dim,
+                lr=cfg.learning_rate, mu=cfg.momentum, step=step)
+            return (table, mstate), loss
         if cfg.momentum:
             table, mstate = optim.lazy_momentum_update(
                 table, mstate, ids, g,
@@ -103,6 +138,7 @@ def run(cfg: ScaleConfig) -> dict:
         "dtype": cfg.dtype,
         "table_gb": round(cfg.rows * cfg.dim * dtype.itemsize / 1e9, 2),
         "n_model": cfg.n_model,
+        "layout": "packed" if packed else "logical",
         "ids_per_step": cfg.ids_per_step,
         "ms_per_step": round(dt / n_steps * 1e3, 3),
         "value": round(n_steps * cfg.ids_per_step / dt, 1),

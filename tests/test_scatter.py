@@ -40,3 +40,33 @@ def test_mxu_scatter_fallback_off_tpu():
     got = scatter_add_rows(table, ids, upd)
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(table.at[ids].add(upd)), rtol=1e-6)
+
+
+def test_auto_scatter_byte_cap_falls_back_to_plain(monkeypatch):
+    """Tables above PACKED_SCATTER_MAX_BYTES must not take the reshape-view
+    packed path: XLA can satisfy the packed reshape only via a lane-padded
+    relayout copy of 128/D x the table bytes (observed 25.6 GB OOM on the
+    100M-row chip run). The capped call must still be exact."""
+    from esrecsys_tpu.ops import scatter as sc
+
+    rng = np.random.default_rng(3)
+    R, N, dim = 500_032, 64, 32  # above MIN_ROWS, packable shape
+    table = jnp.asarray(rng.normal(size=(R, dim)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, R, N), jnp.int32)
+    upd = jnp.asarray(rng.normal(size=(N, dim)).astype(np.float32))
+
+    calls = []
+    real = sc.packed_scatter_add
+    monkeypatch.setattr(sc, "packed_scatter_add",
+                        lambda *a: calls.append(1) or real(*a))
+    monkeypatch.setattr(sc, "PACKED_SCATTER_MAX_BYTES", R * dim * 4)
+    sc.auto_scatter_add(table, ids, upd)
+    assert calls, "at the cap the packed path should be taken"
+
+    calls.clear()
+    monkeypatch.setattr(sc, "PACKED_SCATTER_MAX_BYTES", R * dim * 4 - 1)
+    got = sc.auto_scatter_add(table, ids, upd)
+    assert not calls, "above the cap the plain scatter must be used"
+    np.testing.assert_allclose(np.asarray(got)[np.asarray(ids)],
+                               np.asarray(table.at[ids].add(upd))[np.asarray(ids)],
+                               rtol=1e-6)
