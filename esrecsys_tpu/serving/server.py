@@ -93,6 +93,13 @@ _rows_update_jit = jax.jit(
         buf, rows.astype(buf.dtype), start, axis=0),
     donate_argnums=0)
 
+# column twin of _rows_update for the fused mode's (D, Mp) transposed scan
+# copy: item i lives in column i, so add_items writes the same slice index
+_cols_update_jit = jax.jit(
+    lambda buf, cols, start: jax.lax.dynamic_update_slice_in_dim(
+        buf, cols.astype(buf.dtype), start, axis=1),
+    donate_argnums=0)
+
 
 def _finite_row(ids_row, scores_row):
     """JSON-safe (ids, scores) lists: drop -inf tail slots (a filter can
@@ -126,6 +133,7 @@ class RetrievalService:
                  max_batch: int = 8, block_size: int = 8192,
                  encoders: Optional[Dict[str, Callable]] = None,
                  approx: bool = False, recall_target: float = 0.95,
+                 fused: bool = False, fused_bins: int = 4096,
                  quantized: bool = False,
                  rescore_int8: bool = False,
                  ivf_clusters: Optional[int] = None, nprobe: int = 8,
@@ -181,6 +189,22 @@ class RetrievalService:
         if (ivf_clusters or ivf_index_path) and approx:
             raise ValueError("ivf and approx are mutually exclusive"
                              " (ivf probe selection already approximates)")
+        # fused=True: the Pallas scan+select kernel (retrieval/fused.py) —
+        # the catalog streams through VMEM once and candidate selection
+        # happens in-register (per-bin top-2), no score matrix and no
+        # lax.top_k in the scan loop. Chip-measured fastest mode at 2.26M
+        # items / k=500: 1318.7 q/s = 3.3x exact and 1.15x approx, at
+        # HIGHER overlap than approx (0.9974 vs 0.9896 — BENCHMARKS.md).
+        # It IS the alternative to every other scan, so it composes only
+        # with add_capacity and filters; residency adds a bf16 transposed
+        # scan copy (+2*D bytes/item over the f32 rows the rescore reads).
+        if fused and (approx or quantized or rescore_int8 or ivf_clusters
+                      or ivf_index_path or pq_subspaces or pq_index_path
+                      or n_model_shards):
+            raise ValueError(
+                "fused is a complete scan+select path — it does not "
+                "compose with approx/quantized/ivf/pq/sharded modes")
+        self.fused = fused
         # pq_subspaces=S: the catalog SCAN reads only S bytes/item of PQ
         # codes (retrieval/pq.py — 16x less traffic than f32 at D=32/S=8)
         # with an exact rescore of the candidates from the resident f32
@@ -454,6 +478,24 @@ class RetrievalService:
             # builds are done: free the f32 matrix (if it was ever up).
             # From here the int8 catalog + aux codes are the residency.
             self._items = None
+        if fused:
+            from esrecsys_tpu.core.mesh import pad_to_multiple
+            from esrecsys_tpu.retrieval.fused import auto_bins, pack_catalog
+
+            # bin count: VMEM-fitted at the compiled batch width, and at
+            # least ceil(max_k/2) so 2L >= k (fused.py recall math)
+            self._fused_bins = max(
+                auto_bins(pad_to_multiple(max_batch, 8), fused_bins,
+                          self._dim),
+                pad_to_multiple(-(-self.max_k // 2), 128))
+            # device-side transpose+cast of the (already capacity-padded)
+            # f32 rows, ONCE — per-query packing would relayout the whole
+            # catalog every call (fused.py pack_catalog)
+            self._items_packed = jax.jit(
+                lambda it: pack_catalog(it, self._fused_bins))(self._items)
+        else:
+            self._fused_bins = None
+            self._items_packed = None
 
         # ---- filtered retrieval: named per-row eligibility masks ----
         # masks live at the buffers' row count (capacity when growable):
@@ -475,7 +517,8 @@ class RetrievalService:
         # PJRT backends re-ship with the program (a 580 MB catalog stalls the
         # compile request entirely).
         def query(q, items, q_items, scales, centroids, bucket_ids,
-                  pq_centroids, pq_codes, pq_rot, valid, fmask):
+                  pq_centroids, pq_codes, pq_rot, valid, fmask,
+                  items_packed):
             # valid (traced scalar) bounds the real rows when growth
             # capacity is preallocated; None (static) otherwise so
             # non-growable services compile the exact same programs as
@@ -508,6 +551,16 @@ class RetrievalService:
                     q, items, self.max_k, mesh=self._mesh,
                     block_size=block_size,
                     valid_items=self._valid_items)
+            if self.fused:
+                from esrecsys_tpu.retrieval.fused import (
+                    binned_topk_over_matrix)
+
+                # Pallas fused scan+select over the resident (D, Mp) bf16
+                # scan copy; the f32 rows serve only the exact rescore
+                return binned_topk_over_matrix(
+                    q, items, self.max_k, num_bins=self._fused_bins,
+                    valid_count=vc, item_mask=fm,
+                    items_packed=items_packed)
             # rescore_int8: no f32 catalog exists — rescore gathers int8
             # rows and dequantizes (items arg is None in that case)
             r8 = self.rescore_int8
@@ -576,7 +629,8 @@ class RetrievalService:
             self._centroids, self._bucket_ids,
             self._pq_centroids, self._pq_codes, self._pq_rot,
             jnp.int32(self._n_valid),
-            self._all_mask if fmask is None else fmask)
+            self._all_mask if fmask is None else fmask,
+            self._items_packed)
         # Compile once at construction so first request latency is steady.
         warm = jnp.zeros((max_batch, self._dim), jnp.float32)
         jax.device_get(jax.tree_util.tree_leaves(
@@ -660,6 +714,11 @@ class RetrievalService:
             if self._items is not None:
                 self._items = _rows_update(
                     self._items, jnp.asarray(vectors), start)
+            if self._items_packed is not None:
+                # transposed scan copy: item rows are columns there
+                self._items_packed = _cols_update_jit(
+                    self._items_packed, jnp.asarray(vectors.T),
+                    jnp.int32(start))
             if self._q_items is not None:
                 from esrecsys_tpu.retrieval.mips import quantize_rows_np
 
@@ -710,6 +769,8 @@ class RetrievalService:
         b = 0
         if self._items is not None:
             b += 4 * self._dim
+        if self._items_packed is not None:
+            b += 2 * self._dim  # bf16 transposed scan copy (fused mode)
         if self._q_items is not None:
             b += self._dim + 4  # int8 row + f32 scale
         if self.ivf is not None:
@@ -740,6 +801,8 @@ class RetrievalService:
             return f"ivf:{self.ivf.n_clusters}:nprobe={self.nprobe}{q8}{r8}"
         if self.quantized:
             return ("int8+approx" if self.approx else "int8") + r8
+        if self.fused:
+            return f"fused:bins={self._fused_bins}"
         return "approx" if self.approx else "exact"
 
     def exclusion_budget(self, k: int, exclude) -> int:
@@ -1306,6 +1369,8 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
           max_wait_ms: float = 2.0,
           approx: bool = False,
           recall_target: float = 0.95,
+          fused: bool = False,
+          fused_bins: int = 4096,
           quantized: bool = False,
           rescore_int8: bool = False,
           ivf_clusters: Optional[int] = None,
@@ -1348,6 +1413,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
     service_kwargs = dict(max_k=max_k, max_batch=max_batch,
                           encoders=encoders, approx=approx,
                           recall_target=recall_target,
+                          fused=fused, fused_bins=fused_bins,
                           quantized=quantized,
                           rescore_int8=rescore_int8,
                           ivf_clusters=ivf_clusters, nprobe=nprobe,
@@ -1399,6 +1465,16 @@ def main(argv=None):
                    help="approx_max_k candidate selection + exact rescore "
                         "(~3.7x exact throughput at --recall_target overlap)")
     p.add_argument("--recall_target", type=float, default=0.95)
+    p.add_argument("--fused", action="store_true",
+                   help="Pallas fused scan+select kernel "
+                        "(retrieval/fused.py): selection happens in VMEM "
+                        "during the scan — fastest chip mode at 2.26M "
+                        "items/k=500 (3.3x exact, 1.15x approx at higher "
+                        "overlap; BENCHMARKS.md); +2*D bytes/item for "
+                        "the bf16 transposed scan copy")
+    p.add_argument("--fused_bins", type=int, default=4096,
+                   help="fused-mode bin count L (recall rises ~L^2; VMEM "
+                        "auto-caps it at the compiled batch width)")
     p.add_argument("--quantized", action="store_true",
                    help="int8 catalog scan + exact full-precision rescore "
                         "(4x less HBM traffic; composes with --approx)")
@@ -1511,6 +1587,8 @@ def main(argv=None):
           encoders=enc, coalesce=not args.no_coalesce,
           approx=args.approx,
           recall_target=args.recall_target,
+          fused=args.fused,
+          fused_bins=args.fused_bins,
           quantized=args.quantized,
           rescore_int8=args.rescore_int8,
           ivf_clusters=args.ivf_clusters or None,

@@ -6,6 +6,9 @@ across the mode lattice:
 
   exact            streamed grouped top-k (retrieval/mips.topk_over_matrix)
   approx           hardware approx_max_k selection + exact rescore
+  fused            Pallas fused scan+select kernel (retrieval/fused.py):
+                   in-VMEM per-bin top-2 selection, no score matrix
+                   (``--fused_bins`` sets the bin count L)
   quantized        int8 catalog scan + exact rescore
   quantized_approx int8 scan + approx_max_k selection
   ivf              k-means inverted file, nprobe cells per query
@@ -43,7 +46,7 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-MODES = ("exact", "approx", "quantized", "quantized_approx",
+MODES = ("exact", "approx", "fused", "quantized", "quantized_approx",
          "ivf", "ivf_quantized", "pq", "ivf_pq",
          "quantized_r8", "pq_r8", "ivf_pq_r8", "filtered")
 
@@ -73,6 +76,9 @@ def mode_kwargs(mode: str, args) -> dict:
     kw = {}
     if mode == "approx":
         kw.update(approx=True, recall_target=args.recall_target)
+    elif mode == "fused":
+        kw.update(fused=True,
+                  fused_bins=getattr(args, "fused_bins", 4096))
     elif mode == "quantized":
         kw.update(quantized=True)
     elif mode == "quantized_approx":
@@ -193,6 +199,8 @@ def main(argv=None):
     p.add_argument("--modes", default=",".join(MODES))
     p.add_argument("--structured", action="store_true")
     p.add_argument("--recall_target", type=float, default=0.95)
+    p.add_argument("--fused_bins", type=int, default=4096,
+                   help="fused-mode bin count (retrieval/fused.py)")
     p.add_argument("--ivf_clusters", type=int, default=4096)
     p.add_argument("--nprobe", type=int, default=64)
     p.add_argument("--ivf_iters", type=int, default=10)

@@ -1276,3 +1276,57 @@ def test_filtered_http_end_to_end(index, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_fused_mode_matches_bruteforce(index):
+    # 200 items fit one 4096-bin block -> the fused path is EXACT here
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=10, max_batch=4, fused=True)
+    assert svc.mode.startswith("fused:bins=")
+    # residency: f32 rows + bf16 transposed scan copy
+    assert svc.resident_bytes_per_item == 4 * 16 + 2 * 16
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(6, 16)).astype(np.float32)
+    ids, scores = svc.topk(q, k=5)
+    ref = q @ idx.vectors.T
+    for b in range(6):
+        want = np.argsort(-ref[b])[:5]
+        got = [idx.ids.index(i) for i in ids[b]]
+        assert got == list(want)
+        np.testing.assert_allclose(scores[b], ref[b][want], rtol=1e-5)
+
+
+def test_fused_is_exclusive_with_other_scan_modes(index):
+    idx, _ = index
+    for bad in (dict(approx=True), dict(quantized=True),
+                dict(ivf_clusters=8), dict(pq_subspaces=4),
+                dict(n_model_shards=2),
+                dict(quantized=True, rescore_int8=True)):
+        with pytest.raises(ValueError, match="fused"):
+            RetrievalService(idx, max_k=5, max_batch=2, fused=True, **bad)
+
+
+def test_fused_add_items_updates_packed_scan_copy(index):
+    idx, path = index
+    fresh = EmbeddingIndex.load(path)
+    svc = RetrievalService(fresh, max_k=10, max_batch=4,
+                           fused=True, add_capacity=16)
+    # a distinctive new vector must be findable via the PACKED scan copy
+    probe = np.zeros((1, 16), np.float32)
+    probe[0, 0] = 100.0
+    svc.add_items(["shiny"], probe)
+    ids, scores = svc.topk(probe, k=3)
+    assert ids[0][0] == "shiny"
+
+
+def test_fused_composes_with_filters(index):
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=10, max_batch=4, fused=True,
+                           filters={})
+    svc.set_filter("evens", [idx.ids[i] for i in range(0, 200, 2)])
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    ids, scores = svc.topk(q, k=5, filter="evens")
+    for row in ids:
+        for i in row:
+            assert int(i.replace("item", "")) % 2 == 0
