@@ -72,17 +72,44 @@ def auto_bins(batch: int, requested: int = 4096, dim: int = 64) -> int:
     return bins
 
 
-def pack_catalog(items: jax.Array, num_bins: int = 4096) -> jax.Array:
+def pack_catalog(items: jax.Array, num_bins: int = 4096,
+                 shards: int = 1) -> jax.Array:
     """(M, D) rows -> the kernel's scan layout: (D, Mp) bf16, Mp padded to a
-    multiple of ``num_bins``. Do this ONCE at index build; transposing per
-    query would relayout the whole catalog on device each call."""
+    multiple of ``num_bins`` (times ``shards`` when the columns will be
+    sharded over a mesh axis, so each shard's slice still divides into
+    whole bin blocks). Do this ONCE at index build; transposing per query
+    would relayout the whole catalog on device each call."""
     L = max(128, pad_to_multiple(num_bins, 128))
     M = items.shape[0]
-    padded = pad_to_multiple(M, L)
+    padded = pad_to_multiple(M, L * shards)
     it = items.astype(jnp.bfloat16)
     if padded != M:
         it = jnp.pad(it, ((0, padded - M), (0, 0)))
     return it.T
+
+
+def _pack_payload_rows(rows, padded: int, bins: int,
+                       fills) -> jax.Array:
+    """Per-item i32 sidecar data in a Mosaic-legal block layout.
+
+    Mosaic requires a VMEM block's second-minor dim to be divisible by 8
+    (or equal the array's), so a (nblk, L) array with (1, L) blocks does
+    NOT lower on real TPU (it does in the interpreter — which is how the
+    shape bug could hide on CPU test meshes). Payload rows are therefore
+    packed as (nblk, 8, L) with block (1, 8, L): row r of the middle dim
+    is ``rows[r]``'s slice for that catalog block, unused rows zero. The
+    8x layout costs 32 B/item of HBM against the catalog's 2*D — +25% at
+    D=64 — and keeps every in-kernel op 2-D.
+    """
+    L = bins
+    out = []
+    for arr, fill in zip(rows, fills):
+        a = jnp.pad(arr.astype(jnp.int32), (0, padded - arr.shape[0]),
+                    constant_values=fill)
+        out.append(a.reshape(padded // L, 1, L))
+    pad_rows = 8 - len(out)
+    zero = jnp.zeros((padded // L, pad_rows, L), jnp.int32)
+    return jnp.concatenate(out + [zero], axis=1)
 
 
 def _kernel(bound_ref, q_ref, items_ref, m1_ref, id1_ref, m2_ref, id2_ref,
@@ -104,7 +131,9 @@ def _kernel(bound_ref, q_ref, items_ref, m1_ref, id1_ref, m2_ref, id2_ref,
     gid = b * bins + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(gid < bound_ref[0, 0], s, NEG_INF)
     if use_mask:
-        s = s + mask_ref[:]                    # (1, L) additive -inf mask
+        # payload row 0 = eligibility 0/1 for this block's items
+        elig = mask_ref[0][0:1, :]             # (1, L) i32
+        s = jnp.where(elig != 0, s, NEG_INF)
 
     m1, id1 = m1_ref[:], id1_ref[:]
     better1 = s > m1
@@ -158,12 +187,11 @@ def binned_candidates(
         pl.BlockSpec((D, L), lambda b: (0, b), memory_space=pltpu.VMEM),
     ]
     if use_mask:
-        madd = jnp.where(
-            jnp.pad(item_mask, (0, padded - item_mask.shape[0])),
-            0.0, NEG_INF)
-        inputs.append(madd.astype(jnp.float32).reshape(nblk, L))
+        inputs.append(_pack_payload_rows(
+            [item_mask.astype(jnp.int32)], padded, L, fills=[0]))
         in_specs.append(
-            pl.BlockSpec((1, L), lambda b: (b, 0), memory_space=pltpu.VMEM))
+            pl.BlockSpec((1, 8, L), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM))
 
         def kernel(bound_r, q_r, it_r, mask_r, m1, i1, m2, i2):
             _kernel(bound_r, q_r, it_r, m1, i1, m2, i2,
@@ -248,6 +276,264 @@ def binned_topk_over_matrix(
                            constant_values=NEG_INF)
         out_idxs = jnp.pad(out_idxs, ((0, 0), (0, pad)))
     return out_vals, out_idxs
+
+
+def _affinity_kernel(bound_ref, q_ref, actx_ref, artx_ref, items_ref,
+                     ids_ref, m1_ref, id1_ref, m2_ref, id2_ref,
+                     *, bins: int, n_ctx: int):
+    """One grid step of the playlist-affinity scan: max-over-context-slot
+    dots + 0.1 album/artist membership boosts (models/playlist.py
+    affinity_scores, spotify/models.py:74-80), folded into the per-bin
+    top-2 accumulators. All in-kernel math is 2-D (leading-dim indexed
+    loads only) — the safest Mosaic lowering."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        m1_ref[:] = jnp.full(m1_ref.shape, NEG_INF, jnp.float32)
+        m2_ref[:] = jnp.full(m2_ref.shape, NEG_INF, jnp.float32)
+        id1_ref[:] = jnp.zeros(id1_ref.shape, jnp.int32)
+        id2_ref[:] = jnp.zeros(id2_ref.shape, jnp.int32)
+
+    s = None
+    for c in range(n_ctx):  # static, unrolled: C is the context width (~5)
+        d = jax.lax.dot_general(
+            q_ref[c], items_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (B, L)
+        s = d if s is None else jnp.maximum(s, d)
+    ids = ids_ref[0]                                   # (8, L) payload tile
+    alb = ids[0:1, :]                                  # (1, L) album ids
+    art = ids[1:2, :]                                  # (1, L) artist ids
+    in_alb = None
+    in_art = None
+    for c in range(n_ctx):
+        ea = actx_ref[c] == alb                        # (B, 1) == (1, L)
+        er = artx_ref[c] == art
+        in_alb = ea if in_alb is None else (in_alb | ea)
+        in_art = er if in_art is None else (in_art | er)
+    s = s + 0.1 * in_alb.astype(jnp.float32)
+    s = s + 0.1 * in_art.astype(jnp.float32)
+
+    gid = b * bins + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(gid < bound_ref[0, 0], s, NEG_INF)
+
+    m1, id1 = m1_ref[:], id1_ref[:]
+    better1 = s > m1
+    loser_v = jnp.where(better1, m1, s)
+    loser_i = jnp.where(better1, id1, gid)
+    m1_ref[:] = jnp.where(better1, s, m1)
+    id1_ref[:] = jnp.where(better1, gid, id1)
+    m2 = m2_ref[:]
+    better2 = loser_v > m2
+    m2_ref[:] = jnp.where(better2, loser_v, m2)
+    id2_ref[:] = jnp.where(better2, loser_i, id2_ref[:])
+
+
+def binned_affinity_candidates(
+    ctx_embed: jax.Array,     # (B, C, D) per-slot context embeddings
+    items_packed: jax.Array,  # (D, Mp) bf16 from pack_catalog
+    item_album: jax.Array,    # (M,) i32 album id per catalog row
+    item_artist: jax.Array,   # (M,) i32
+    album_ctx: jax.Array,     # (B, C) i32 membership-boost id sets
+    artist_ctx: jax.Array,    # (B, C) i32
+    num_items: int,
+    num_bins: int = 4096,
+    valid_count: Optional[jax.Array] = None,
+    query_chunk: int = 0,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-bin top-2 of the playlist affinity score, fused into the scan.
+
+    The full-corpus eval (workloads/playlist.py make_eval_step) scores
+    every catalog row as ``max_c dot(ctx_c, item) + 0.1*isin(album) +
+    0.1*isin(artist)`` then top-k's 2.26M scores per eval batch; this
+    kernel computes that exact score block-by-block in VMEM and keeps
+    only the per-bin top-2, so neither the (B, M) affinity matrix nor a
+    corpus-wide ``lax.top_k`` exists. Same recall model as
+    :func:`binned_candidates` (expected losses C(k,3)/L^2).
+
+    ``query_chunk``: VMEM cap on the kernel's resident batch. The (B, L)
+    accumulators live in VMEM for the whole scan, so large eval batches
+    cannot run in one shot; chunks of this many queries run sequentially
+    (``lax.map``), each re-streaming the catalog — at B=2048, chunk=64 and
+    2.26M items that is 32 streams of the bf16 catalog (~9 GB), still far
+    cheaper than the (B, M) score pass + corpus-wide top_k it replaces.
+    0 = auto: the largest multiple of 8 whose state fits the VMEM budget.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, C, D = ctx_embed.shape
+    L = max(128, pad_to_multiple(num_bins, 128))
+    padded = items_packed.shape[1]
+    if items_packed.shape[0] != D or padded % L:
+        raise ValueError(
+            f"items_packed {items_packed.shape} does not match dim {D} / "
+            f"num_bins {L}; build it with pack_catalog(items, num_bins={L})")
+    if not query_chunk:
+        # accumulators+score (B, L)*20B dominate; catalog block D*L*2*2
+        # and the payload tile are B-independent
+        query_chunk = max(
+            8, ((_VMEM_STATE_BUDGET - D * L * 4 - 32 * L) // (L * 20)) & ~7)
+    Bc = pad_to_multiple(min(B, query_chunk), 8)
+    Bp = pad_to_multiple(B, Bc)
+    q = ctx_embed.astype(jnp.bfloat16)
+    actx = album_ctx.astype(jnp.int32)
+    artx = artist_ctx.astype(jnp.int32)
+    if Bp != B:
+        q = jnp.pad(q, ((0, Bp - B), (0, 0), (0, 0)))
+        # pad context ids with -1: never equal to a real catalog id, so
+        # padded queries can't perturb accumulator traffic patterns
+        actx = jnp.pad(actx, ((0, Bp - B), (0, 0)), constant_values=-1)
+        artx = jnp.pad(artx, ((0, Bp - B), (0, 0)), constant_values=-1)
+    # payload rows 0/1 = album/artist ids; -2 pad never matches a context
+    payload = _pack_payload_rows([item_album, item_artist], padded, L,
+                                 fills=[-2, -2])
+    nblk = padded // L
+    bound = num_items if valid_count is None else jnp.minimum(
+        valid_count, num_items)
+    bound = jnp.asarray(bound, jnp.int32).reshape(1, 1)
+
+    acc = pl.BlockSpec((Bc, L), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        partial(_affinity_kernel, bins=L, n_ctx=C),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, Bc, D), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bc, 1), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Bc, 1), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, L), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, L), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(acc, acc, acc, acc),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bc, L), jnp.float32),
+            jax.ShapeDtypeStruct((Bc, L), jnp.int32),
+            jax.ShapeDtypeStruct((Bc, L), jnp.float32),
+            jax.ShapeDtypeStruct((Bc, L), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bc * C * D * padded,
+            bytes_accessed=padded * D * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def one_chunk(args):
+        qc, ac, rc = args  # (Bc, C, D), (Bc, C), (Bc, C)
+        # kernel layouts: (C, Bc, D) for leading-dim slot indexing;
+        # (C, Bc, 1) so a static-c load yields the (Bc, 1) compare operand
+        return call(bound, qc.transpose(1, 0, 2), ac.T[:, :, None],
+                    rc.T[:, :, None], items_packed, payload)
+
+    if Bp == Bc:
+        m1, id1, m2, id2 = one_chunk((q, actx, artx))
+    else:
+        nq = Bp // Bc
+        m1, id1, m2, id2 = jax.lax.map(
+            one_chunk, (q.reshape(nq, Bc, C, D),
+                        actx.reshape(nq, Bc, C),
+                        artx.reshape(nq, Bc, C)))
+        m1, id1 = m1.reshape(Bp, L), id1.reshape(Bp, L)
+        m2, id2 = m2.reshape(Bp, L), id2.reshape(Bp, L)
+    vals = jnp.concatenate([m1, m2], axis=-1)[:B]
+    ids = jnp.concatenate([id1, id2], axis=-1)[:B]
+    return vals, ids
+
+
+def sharded_fused_topk_over_matrix(
+    queries: jax.Array,       # (B, D) replicated
+    items: jax.Array,         # (Mp, D) f32 rescore rows, P(model, None)
+    items_packed: jax.Array,  # (D, Mp) bf16 scan copy, P(None, model)
+    k: int,
+    mesh,
+    num_bins: int = 4096,
+    valid_items: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Catalog-sharded fused scan+select: the fastest single-chip mode
+    composed with the beyond-HBM lever.
+
+    Per shard (``shard_map`` over the ``model`` axis): the Pallas kernel
+    scans the LOCAL (D, Mp/n) slice of the transposed bf16 catalog into
+    per-bin top-2 candidates, a small local ``top_k`` picks k, and the
+    exact ``Precision.HIGHEST`` rescore reads LOCAL f32 rows — gathers
+    never cross shards. Then the exact exchange of
+    ``mips.sharded_topk_over_matrix``: all-gather k x n_shards rescored
+    candidates over ICI, one final top-k. ICI cost is identical to the
+    exact sharded scan (k x n_shards (f32, i32) pairs per query); the
+    per-shard win is the fused kernel's (BENCHMARKS.md chip lattice:
+    3.3x the exact scan at 2.26M/k=500).
+
+    ``items``/``items_packed`` must share the padded row count Mp with
+    Mp/n_shards a multiple of ``num_bins`` — build the scan copy with
+    ``pack_catalog(items, num_bins, shards=n_shards)`` and pad the f32
+    rows to its width. ``valid_items``: the true catalog size; padding
+    rows score -inf and are never returned.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from esrecsys_tpu.core.mesh import MODEL_AXIS
+
+    n_shards = mesh.shape[MODEL_AXIS]
+    total = items.shape[0]
+    L = max(128, pad_to_multiple(num_bins, 128))
+    if total % n_shards or (total // n_shards) % L:
+        raise ValueError(
+            f"padded rows {total} must divide into {n_shards} shards of "
+            f"whole {L}-wide bin blocks; use pack_catalog(..., shards=n)")
+    if items_packed.shape[1] != total:
+        raise ValueError(
+            f"items_packed width {items_packed.shape[1]} != f32 rows "
+            f"{total}; pad both to the same Mp")
+    rps = total // n_shards
+    valid = total if valid_items is None else valid_items
+    k_local = min(k, rps)
+
+    def local_fn(q, lres, lpacked):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        base = shard * rps
+        bound = jnp.clip(valid - base, 0, rps)
+        vals, ids = binned_candidates(
+            q, lpacked, rps, num_bins=L, valid_count=bound,
+            interpret=interpret)
+        bvals, sel = jax.lax.top_k(vals, k_local)
+        cand = jnp.take_along_axis(ids, sel, axis=-1)     # local rows
+        rows = jnp.take(lres, cand.reshape(-1), axis=0)
+        rows = rows.reshape(cand.shape + (lres.shape[-1],))
+        exact = jnp.einsum("bd,bnd->bn", q, rows,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        exact = jnp.where(jnp.isfinite(bvals), exact, NEG_INF)
+        v, order = jax.lax.top_k(exact, k_local)
+        li = jnp.take_along_axis(cand, order, axis=-1)
+        gi = jnp.where(jnp.isfinite(v), base + li, 0)
+        v_g = jax.lax.all_gather(v, MODEL_AXIS, axis=-1, tiled=True)
+        i_g = jax.lax.all_gather(gi, MODEL_AXIS, axis=-1, tiled=True)
+        fv, sel2 = jax.lax.top_k(v_g, min(k, v_g.shape[-1]))
+        fi = jnp.take_along_axis(i_g, sel2, axis=-1)
+        fi = jnp.where(jnp.isfinite(fv), fi, 0)
+        if fv.shape[-1] < k:
+            pad = k - fv.shape[-1]
+            fv = jnp.pad(fv, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            fi = jnp.pad(fi, ((0, 0), (0, pad)))
+        return fv, fi
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None), P(None, MODEL_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, items, items_packed)
 
 
 def reference_binned_candidates(

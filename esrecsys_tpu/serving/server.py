@@ -164,7 +164,7 @@ class RetrievalService:
         self.device_calls = 0  # compiled query dispatches (coalescing stat)
         self.queries = 0       # query vectors answered
         # approx=True: hardware approx_max_k candidate selection + exact
-        # rescore — 3.7x the exact path at ~0.95 recall on a 2.26M catalog
+        # rescore — 2.9x the exact path at ~0.99 overlap on the 2.26M chip run
         # (retrieval/mips.py approx_topk_over_matrix); exact stays default
         self.approx = approx
         self.recall_target = recall_target
@@ -196,15 +196,31 @@ class RetrievalService:
         # items / k=500: 1318.7 q/s = 3.3x exact and 1.15x approx, at
         # HIGHER overlap than approx (0.9974 vs 0.9896 — BENCHMARKS.md).
         # It IS the alternative to every other scan, so it composes only
-        # with add_capacity and filters; residency adds a bf16 transposed
-        # scan copy (+2*D bytes/item over the f32 rows the rescore reads).
+        # with add_capacity, filters and n_model_shards (per-shard kernel +
+        # local rescore + the exact ICI candidate exchange —
+        # retrieval/fused.sharded_fused_topk_over_matrix); residency adds a
+        # bf16 transposed scan copy (+2*D bytes/item over the f32 rows the
+        # rescore reads).
         if fused and (approx or quantized or rescore_int8 or ivf_clusters
-                      or ivf_index_path or pq_subspaces or pq_index_path
-                      or n_model_shards):
+                      or ivf_index_path or pq_subspaces or pq_index_path):
             raise ValueError(
                 "fused is a complete scan+select path — it does not "
-                "compose with approx/quantized/ivf/pq/sharded modes")
+                "compose with approx/quantized/ivf/pq modes")
         self.fused = fused
+        if fused:
+            from esrecsys_tpu.core.mesh import pad_to_multiple
+            from esrecsys_tpu.retrieval.fused import auto_bins
+
+            # bin count: VMEM-fitted at the compiled batch width, and at
+            # least ceil(max_k/2) so 2L >= k (fused.py recall math);
+            # resolved BEFORE the catalog upload so the sharded layout can
+            # pad rows to whole per-shard bin blocks
+            self._fused_bins = max(
+                auto_bins(pad_to_multiple(max_batch, 8), fused_bins,
+                          int(index.vectors.shape[1])),
+                pad_to_multiple(-(-min(max_k, len(index)) // 2), 128))
+        else:
+            self._fused_bins = None
         # pq_subspaces=S: the catalog SCAN reads only S bytes/item of PQ
         # codes (retrieval/pq.py — 16x less traffic than f32 at D=32/S=8)
         # with an exact rescore of the candidates from the resident f32
@@ -291,7 +307,11 @@ class RetrievalService:
 
             self._mesh = make_mesh(n_model=n_model_shards)
             self._valid_items = len(index)
-            padded = pad_to_multiple(self._valid_items, n_model_shards)
+            # fused: each shard's slice must split into whole bin blocks
+            # (retrieval/fused.sharded_fused_topk_over_matrix layout rule)
+            padded = pad_to_multiple(
+                self._valid_items,
+                n_model_shards * (self._fused_bins if fused else 1))
             vecs = index.vectors
             if padded != self._valid_items:  # pad host-side, pre-upload
                 vecs = np.pad(vecs, ((0, padded - self._valid_items), (0, 0)))
@@ -479,22 +499,28 @@ class RetrievalService:
             # From here the int8 catalog + aux codes are the residency.
             self._items = None
         if fused:
-            from esrecsys_tpu.core.mesh import pad_to_multiple
-            from esrecsys_tpu.retrieval.fused import auto_bins, pack_catalog
+            from esrecsys_tpu.retrieval.fused import pack_catalog
 
-            # bin count: VMEM-fitted at the compiled batch width, and at
-            # least ceil(max_k/2) so 2L >= k (fused.py recall math)
-            self._fused_bins = max(
-                auto_bins(pad_to_multiple(max_batch, 8), fused_bins,
-                          self._dim),
-                pad_to_multiple(-(-self.max_k // 2), 128))
-            # device-side transpose+cast of the (already capacity-padded)
-            # f32 rows, ONCE — per-query packing would relayout the whole
-            # catalog every call (fused.py pack_catalog)
-            self._items_packed = jax.jit(
-                lambda it: pack_catalog(it, self._fused_bins))(self._items)
+            # device-side transpose+cast of the (already capacity- or
+            # shard-padded) f32 rows, ONCE — per-query packing would
+            # relayout the whole catalog every call (fused.py pack_catalog)
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                from esrecsys_tpu.core.mesh import MODEL_AXIS
+
+                # scan copy columns shard with their source rows
+                self._items_packed = jax.jit(
+                    lambda it: pack_catalog(it, self._fused_bins,
+                                            shards=n_model_shards),
+                    out_shardings=NamedSharding(
+                        self._mesh, P(None, MODEL_AXIS)))(self._items)
+            else:
+                self._items_packed = jax.jit(
+                    lambda it: pack_catalog(it, self._fused_bins))(
+                        self._items)
         else:
-            self._fused_bins = None
             self._items_packed = None
 
         # ---- filtered retrieval: named per-row eligibility masks ----
@@ -532,6 +558,17 @@ class RetrievalService:
             # at 262144; the exact path's small-block default would explode
             # nblk*per_block_k rescore work
             if self._mesh is not None:
+                if self.fused:
+                    from esrecsys_tpu.retrieval.fused import (
+                        sharded_fused_topk_over_matrix)
+
+                    # per-shard Pallas fused scan+select + LOCAL exact
+                    # rescore + the same ICI candidate exchange as the
+                    # exact sharded path
+                    return sharded_fused_topk_over_matrix(
+                        q, items, items_packed, self.max_k,
+                        mesh=self._mesh, num_bins=self._fused_bins,
+                        valid_items=self._valid_items)
                 if self.quantized:
                     from esrecsys_tpu.retrieval.mips import (
                         sharded_quantized_topk_over_matrix)
@@ -785,7 +822,8 @@ class RetrievalService:
         r8 = "+r8" if self.rescore_int8 else ""  # int8 rescore, f32-free
         if self.n_model_shards:
             q8 = "+int8" if self.quantized else ""
-            return f"sharded:{self.n_model_shards}{q8}{r8}"
+            fz = f"+fused:bins={self._fused_bins}" if self.fused else ""
+            return f"sharded:{self.n_model_shards}{q8}{fz}{r8}"
         if self.pq is not None:
             rot = "+rotated" if self.pq.rotation is not None else ""
             aniso = (f"+aniso={self.pq.anisotropic_threshold:g}"
@@ -1396,7 +1434,7 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 8000,
     ``coalesce`` batches concurrent requests into the one compiled query
     (QueryBatcher); ``encoders`` enables raw-text / image-key queries;
     ``approx`` switches the query path to hardware ``approx_max_k``
-    candidate selection + exact rescore (~3.7x the exact path at
+    candidate selection + exact rescore (~2.9x the exact path at
     ``recall_target`` overlap on a 2.26M catalog — BENCHMARKS.md);
     ``quantized`` scans the catalog in int8 with an exact rescore (4x less
     HBM traffic; composes with ``approx``); ``ivf_clusters`` builds a
@@ -1463,7 +1501,7 @@ def main(argv=None):
     p.add_argument("--no_coalesce", action="store_true")
     p.add_argument("--approx", action="store_true",
                    help="approx_max_k candidate selection + exact rescore "
-                        "(~3.7x exact throughput at --recall_target overlap)")
+                        "(~2.9x exact throughput at --recall_target overlap)")
     p.add_argument("--recall_target", type=float, default=0.95)
     p.add_argument("--fused", action="store_true",
                    help="Pallas fused scan+select kernel "
@@ -1552,7 +1590,8 @@ def main(argv=None):
     p.add_argument("--n_model_shards", type=int, default=0,
                    help="shard the catalog's rows over this many devices "
                         "on the mesh's model axis (serve catalogs beyond "
-                        "one chip's HBM; exact sharded scan)")
+                        "one chip's HBM; exact sharded scan — composes "
+                        "with --quantized/--rescore_int8 or --fused)")
     p.add_argument("--add_capacity", type=int, default=0,
                    help="preallocate this many extra catalog rows so "
                         "POST /admin/add_items can append items live with "

@@ -68,6 +68,7 @@ def flagship_cfg(args):
         context_size=5, max_next=args.max_next, max_steps=args.steps,
         log_every_steps=2000, eval_every_steps=args.eval_every,
         eval_steps=args.eval_playlists, eval_k=500, eval_group=8,
+        eval_fused_bins=args.eval_fused_bins,
         checkpoint_every_steps=args.ckpt_every, corpus_block=131_072,
         steps_per_call=64, seed=0)
 
@@ -417,6 +418,11 @@ def main(argv=None):
     p.add_argument("--max_next", type=int, default=64)
     p.add_argument("--eval_every", type=int, default=10_000)
     p.add_argument("--eval_playlists", type=int, default=2048)
+    p.add_argument("--eval_fused_bins", type=int, default=0,
+                   help=">0: eval rounds select candidates via the Pallas "
+                        "fused affinity kernel with this bin count "
+                        "(retrieval/fused.py; approx — expected lost items "
+                        "C(k,3)/L^2) instead of the exact grouped scan")
     p.add_argument("--ckpt_every", type=int, default=10_000)
     p.add_argument("--feed", default="device", choices=["device", "host"])
     p.add_argument("--n_shards", type=int, default=4)

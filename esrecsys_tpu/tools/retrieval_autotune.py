@@ -16,19 +16,29 @@ decision measurable and automatic:
      int8 catalog), then sweep each mode's knob ascending (nprobe /
      oversample) until the target recall is met on calibration;
   4. rank every config that met target by scan traffic per query
-     (bytes the catalog scan must move per query — the HBM-bandwidth
-     cost that dominates on TPU), and print the winner's serving flags.
+     (bytes the catalog scan must move per query), and print the
+     winner's serving flags — or, with ``--measure_throughput``, by
+     MEASURED queries/s of each feasible config on this host.
 
 Cost model (bytes of catalog traffic per query vector, D-dim f32, M
 items, S-byte PQ codes, IVF probe width ``nprobe x Lmax``):
 
   exact         4*D*M                 int8        D*M
-  ivf           4*D*nprobe*Lmax       ivf_int8    D*nprobe*Lmax
-  pq            S*M + 4*D*cand        ivf_pq      S*nprobe*Lmax + 4*D*cand
+  fused         2*D*M                 ivf         4*D*nprobe*Lmax
+  ivf_int8      D*nprobe*Lmax         pq          S*M + 4*D*cand
+  ivf_pq        S*nprobe*Lmax + 4*D*cand
 
 (``cand``: exact-rescore candidates, ~oversample*k.) Residency is
 reported per item alongside (f32 catalog + aux structures), matching
 ``/statsz``'s accounting, so beyond-HBM constraints can veto a winner.
+
+Bytes are a PROXY that misranks selection-bound regimes: BENCHMARKS.md's
+chip lattice (2.26M items, k=500) shows the int8 scan moving 4x fewer
+bytes than exact yet winning only 7%, while the fused Pallas kernel
+(2x int8's bytes, but zero in-scan selection cost) beats every mode.
+``--measure_throughput`` replaces the proxy with reality: it times each
+feasible config's compiled fn on this host and ranks by q/s — run it ON
+THE SERVING HARDWARE for deployment decisions.
 
 ``--approx`` (hardware ``approx_max_k``) is deliberately NOT calibrated
 here: on CPU it lowers to exact top-k, so calibration off-chip would
@@ -80,13 +90,19 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
              pq_subspaces: int = 8, pq_rotate: bool = False,
              pq_anisotropic: float = 0.0,
              build_iters: int = 10, train_sample: int = 0,
-             batch: int = 64) -> dict:
+             batch: int = 64,
+             fused_bins_sweep=(512, 1024, 2048, 4096, 8192),
+             measure_throughput: bool = False) -> dict:
     """Calibrate every candidate mode on (vecs, queries); return the
-    ranked feasible configs. Pure function of the catalog geometry —
-    identical on CPU and TPU (only throughput differs)."""
+    ranked feasible configs. Recall calibration is a pure function of
+    the catalog geometry — identical on CPU and TPU; with
+    ``measure_throughput`` the ranking additionally times each feasible
+    config on THIS host (meaningful on the serving hardware)."""
     import jax
     import jax.numpy as jnp
 
+    from esrecsys_tpu.retrieval.fused import binned_topk_over_matrix
+    from esrecsys_tpu.retrieval.fused import pack_catalog as _pack_catalog
     from esrecsys_tpu.retrieval.ivf import IVFIndex, ivf_pq_topk, ivf_topk
     from esrecsys_tpu.retrieval.mips import (quantize_rows,
                                              quantized_topk_over_matrix,
@@ -109,13 +125,15 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
 
     configs = []  # every (mode, knob) tried, feasible or not
 
-    def add(mode, knob, recall, scan_bytes, resident, kwargs, flags):
+    def add(mode, knob, recall, scan_bytes, resident, kwargs, flags,
+            fn=None):
         configs.append({
             "mode": mode, "knob": knob, "recall": round(recall, 4),
             "scan_bytes_per_query": int(scan_bytes),
             "resident_bytes_per_item": round(resident, 1),
             "meets_target": recall >= target_recall,
-            "kwargs": kwargs, "flags": flags})
+            "kwargs": kwargs, "flags": flags,
+            "_fn": fn})  # curried top-k fn; popped before return
         log.info("%-14s %-22s recall=%.3f scan=%.2f MB/query", mode,
                  str(knob), recall, scan_bytes / 1e6)
 
@@ -125,13 +143,35 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
     # only curry those arguments.
 
     # ---- exact & int8 full scans (no knob) --------------------------------
-    add("exact", None, 1.0, 4 * d * m, 4 * d, {}, "")
+    jexact = jax.jit(topk_over_matrix, static_argnums=(2,))
+    add("exact", None, 1.0, 4 * d * m, 4 * d, {}, "",
+        fn=lambda q: jexact(q, items, k))
     q8, scales = jax.jit(quantize_rows)(items)
     j8 = jax.jit(quantized_topk_over_matrix, static_argnames=("k", "select"))
     fn8 = lambda q: j8(q, q8, scales, items, k=k, select="exact")
     r8 = _recall(_batched_found(fn8, queries, batch), truth)
     add("int8", None, r8, d * m, 4 * d + d + 4, {"quantized": True},
-        "--quantized")
+        "--quantized", fn=fn8)
+
+    # ---- fused Pallas scan+select (bins sweep) -----------------------------
+    # recall rises ~quadratically with L (expected losses C(k,3)/L^2,
+    # retrieval/fused.py); calibration runs the REAL kernel (compiled
+    # Mosaic on TPU, interpreter on CPU — same semantics), so bf16
+    # selection effects are included. Serving may cap bins below the
+    # calibrated L when max_batch*L outgrows VMEM (fused.auto_bins).
+    jfused = jax.jit(binned_topk_over_matrix,
+                     static_argnames=("k", "num_bins"))
+    jpack = jax.jit(_pack_catalog, static_argnums=(1,))
+    for L in fused_bins_sweep:
+        packed = jpack(items, L)
+        fnf = (lambda q, _L=L, _p=packed:
+               jfused(q, items, k=k, num_bins=_L, items_packed=_p))
+        r = _recall(_batched_found(fnf, queries, batch), truth)
+        add("fused", {"bins": L}, r, 2 * d * m + 4 * d * k,
+            4 * d + 2 * d, {"fused": True, "fused_bins": L},
+            f"--fused --fused_bins {L}", fn=fnf)
+        if r >= target_recall:
+            break
 
     # ---- IVF (probe sweep), f32 and int8 candidate gathers ----------------
     t0 = time.perf_counter()
@@ -155,7 +195,7 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
         r = _recall(_batched_found(fn, queries, batch), truth)
         # residency mirrors /statsz: +4 = the int32 bucket slot per item
         add("ivf", {"nprobe": p}, r, 4 * d * p * lmax, 4 * d + 4,
-            dict(ivf_kw, nprobe=p), f"{ivf_fl} --nprobe {p}")
+            dict(ivf_kw, nprobe=p), f"{ivf_fl} --nprobe {p}", fn=fn)
         if r >= target_recall:
             break
     for p in nprobes:
@@ -167,7 +207,7 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
         add("ivf_int8", {"nprobe": p}, r, d * p * lmax,
             4 * d + d + 4 + 4,
             dict(ivf_kw, nprobe=p, quantized=True),
-            f"{ivf_fl} --nprobe {p} --quantized")
+            f"{ivf_fl} --nprobe {p} --quantized", fn=fn)
         if r >= target_recall:
             break
 
@@ -203,7 +243,7 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
         r = _recall(_batched_found(fn, queries, batch), truth)
         add("pq", {"oversample": o}, r, s_b * m + 4 * d * o * k,
             4 * d + s_b, dict(pq_kw, pq_oversample=o),
-            f"{pq_fl} --pq_oversample {o}")
+            f"{pq_fl} --pq_oversample {o}", fn=fn)
         if r >= target_recall:
             break
     o_max = max(oversamples)
@@ -219,16 +259,43 @@ def autotune(vecs: np.ndarray, queries: np.ndarray, target_recall: float,
         add("ivf_pq", {"nprobe": p, "oversample": o_max}, r,
             s_b * p * lmax + 4 * d * o_max * k, 4 * d + s_b + 4,
             dict(ivf_kw, **pq_kw, nprobe=p, pq_oversample=o_max),
-            f"{ivf_fl} {pq_fl} --nprobe {p} --pq_oversample {o_max}")
+            f"{ivf_fl} {pq_fl} --nprobe {p} --pq_oversample {o_max}",
+            fn=fn)
         if r >= target_recall:
             break
 
-    feasible = sorted((c for c in configs if c["meets_target"]),
-                      key=lambda c: c["scan_bytes_per_query"])
+    if measure_throughput:
+        # rank by reality, not the bytes proxy: time each feasible
+        # config's compiled fn on THIS host (serving_bench methodology —
+        # steady-state wall over repeated batched calls, device_get as
+        # the true barrier; CLAUDE.md tunnel notes)
+        qs = np.asarray(queries, np.float32)
+        for c in configs:
+            if not c["meets_target"] or c["_fn"] is None:
+                continue
+            _batched_found(c["_fn"], qs[:batch], batch)  # warm/compile
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                _batched_found(c["_fn"], qs, batch)
+            wall = time.perf_counter() - t0
+            c["queries_per_s"] = round(reps * qs.shape[0] / wall, 1)
+            log.info("%-14s %-22s measured %.1f q/s", c["mode"],
+                     str(c["knob"]), c["queries_per_s"])
+
+    for c in configs:
+        c.pop("_fn", None)
+    feasible = sorted(
+        (c for c in configs if c["meets_target"]),
+        key=((lambda c: -c.get("queries_per_s", 0.0))
+             if measure_throughput
+             else (lambda c: c["scan_bytes_per_query"])))
     return {
         "n_items": int(m), "dim": int(d), "k": k,
         "target_recall": target_recall,
         "n_queries": int(queries.shape[0]),
+        "ranked_by": ("measured_queries_per_s" if measure_throughput
+                      else "scan_bytes_per_query"),
         "recommended": feasible[0] if feasible else None,
         "feasible": feasible,
         "all_configs": configs,
@@ -260,6 +327,13 @@ def main(argv=None):
     p.add_argument("--build_train_sample", type=int, default=0)
     p.add_argument("--nprobes", default="1,2,4,8,16,32,64,128")
     p.add_argument("--oversamples", default="4,16,64,256")
+    p.add_argument("--fused_bins_sweep", default="512,1024,2048,4096,8192",
+                   help="fused-mode bin counts tried ascending "
+                        "(retrieval/fused.py; recall ~ 1 - C(k,3)/(L^2 k))")
+    p.add_argument("--measure_throughput", action="store_true",
+                   help="rank feasible configs by MEASURED q/s on this "
+                        "host instead of the scan-bytes proxy (run on the "
+                        "serving hardware; see module docstring)")
     # synthetic fallback knobs (demo / CI)
     p.add_argument("--n_items", type=int, default=100_000)
     p.add_argument("--dim", type=int, default=32)
@@ -291,7 +365,9 @@ def main(argv=None):
         pq_subspaces=args.pq_subspaces, pq_rotate=args.pq_rotate,
         pq_anisotropic=args.pq_anisotropic,
         build_iters=args.build_iters,
-        train_sample=args.build_train_sample)
+        train_sample=args.build_train_sample,
+        fused_bins_sweep=[int(x) for x in args.fused_bins_sweep.split(",")],
+        measure_throughput=args.measure_throughput)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     rec = result["recommended"]
@@ -300,11 +376,14 @@ def main(argv=None):
                           "note": "no config met target; raise knob caps "
                                   "or lower --target_recall"}))
     else:
-        print(json.dumps({"recommended": rec["mode"], "knob": rec["knob"],
-                          "recall": rec["recall"],
-                          "scan_MB_per_query":
-                              round(rec["scan_bytes_per_query"] / 1e6, 2),
-                          "serve_flags": rec["flags"]}))
+        line = {"recommended": rec["mode"], "knob": rec["knob"],
+                "recall": rec["recall"],
+                "scan_MB_per_query":
+                    round(rec["scan_bytes_per_query"] / 1e6, 2),
+                "serve_flags": rec["flags"]}
+        if "queries_per_s" in rec:
+            line["measured_queries_per_s"] = rec["queries_per_s"]
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":

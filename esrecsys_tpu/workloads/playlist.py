@@ -95,6 +95,12 @@ class PlaylistConfig:
     eval_k: int = 500
     eval_group: int = 8  # group-max prefilter width for the exact streaming
     # top-k (retrieval.mips.chunked_grouped_topk); 0 = plain chunked_topk
+    eval_fused_bins: int = 0  # >0: full-corpus eval selects candidates via
+    # the Pallas fused affinity scan+select kernel with this bin count L
+    # (retrieval/fused.binned_affinity_candidates) + exact rescore of the
+    # 2L winners — no (B, M) score pass or corpus-wide top_k. APPROXIMATE:
+    # expected lost items C(k,3)/L^2 (~1.2 of 500 at L=4096), so recall/
+    # MRR/NDCG read at most ~0.25% low. Unsharded eval path only.
     compute_dtype: str = "float32"  # "bfloat16": scoring einsums on the bf16
     # MXU path, f32 accumulation (~20% faster steps; scores round at bf16)
     checkpoint_every_steps: int = 100_000
@@ -520,7 +526,26 @@ def make_corpus_embed_setup(model: PlaylistModel, cfg: PlaylistConfig,
             method=PlaylistModel.get_embeddings,
         )  # (N_pad, D)
 
+    if cfg.eval_fused_bins:
+        from esrecsys_tpu.retrieval.fused import pack_catalog
+
+        L = _eval_fused_bins(cfg)
+
+        def fused_setup(state: TrainState):
+            ce = setup(state)
+            # transposed bf16 scan copy packed ONCE per eval round, shared
+            # by every eval batch (retrieval/fused.pack_catalog)
+            return ce, pack_catalog(ce, L)
+
+        return fused_setup
     return setup
+
+
+def _eval_fused_bins(cfg: PlaylistConfig) -> int:
+    """Resolved fused-eval bin count: at least ceil(eval_k/2) rounded to
+    128 lanes so the per-bin top-2 can cover k (retrieval/fused.py)."""
+    return max(mesh_lib.pad_to_multiple(cfg.eval_fused_bins, 128),
+               mesh_lib.pad_to_multiple(-(-cfg.eval_k // 2), 128))
 
 
 def _settled_ctx_embed(state: TrainState, cfg: PlaylistConfig,
@@ -572,8 +597,15 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
     setup = make_corpus_embed_setup(model, cfg, corpus)
 
     def eval_step(state: TrainState, batch, corpus_embed=None):
+        packed = None
+        if cfg.eval_fused_bins and corpus_embed is not None:
+            corpus_embed, packed = corpus_embed
         if corpus_embed is None:
-            corpus_embed = setup(state)
+            # setup returns (embed, packed scan copy) when fused
+            if cfg.eval_fused_bins:
+                corpus_embed, packed = setup(state)
+            else:
+                corpus_embed = setup(state)
         album_ctx = batch["album_context"]
         artist_ctx = batch["artist_context"]
         ctx_embed = _settled_ctx_embed(state, cfg, album_ctx, artist_ctx)
@@ -585,13 +617,34 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
             return affinity_scores(ctx_embed, blk_embed, blk_album, blk_artist,
                                    album_ctx, artist_ctx)
 
-        if cfg.eval_group:
-            def score_items(cand):  # (B, n) item indices
-                return affinity_scores(
-                    ctx_embed, corpus_embed[cand], albums_p[cand],
-                    artists_p[cand], album_ctx, artist_ctx,
-                    precision=jax.lax.Precision.HIGHEST)
+        def score_items(cand):  # (B, n) item indices, exact rescore
+            return affinity_scores(
+                ctx_embed, corpus_embed[cand], albums_p[cand],
+                artists_p[cand], album_ctx, artist_ctx,
+                precision=jax.lax.Precision.HIGHEST)
 
+        if cfg.eval_fused_bins:
+            from esrecsys_tpu.retrieval.fused import (
+                NEG_INF, binned_affinity_candidates)
+
+            # fused scan+select over the packed corpus; same candidate →
+            # exact-rescore contract as the serving fused mode
+            vals2, ids2 = binned_affinity_candidates(
+                ctx_embed, packed, corpus["albums"], corpus["artists"],
+                album_ctx, artist_ctx, num_items,
+                num_bins=_eval_fused_bins(cfg))
+            k_eff = min(cfg.eval_k, num_items)
+            bvals, sel = jax.lax.top_k(vals2, k_eff)
+            cand = jnp.take_along_axis(ids2, sel, axis=-1)
+            exact = jnp.where(jnp.isfinite(bvals), score_items(cand),
+                              NEG_INF)
+            top_vals, order = jax.lax.top_k(exact, k_eff)
+            top_idx = jnp.take_along_axis(cand, order, axis=-1)
+            if k_eff < cfg.eval_k:  # tiny corpora: pad like the siblings
+                padw = ((0, 0), (0, cfg.eval_k - k_eff))
+                top_vals = jnp.pad(top_vals, padw, constant_values=NEG_INF)
+                top_idx = jnp.pad(top_idx, padw)
+        elif cfg.eval_group:
             top_vals, top_idx = chunked_grouped_topk(
                 score_block, score_items, num_items, cfg.eval_k, block,
                 group=cfg.eval_group)
@@ -699,6 +752,11 @@ def make_sharded_eval_step(model: PlaylistModel, cfg: PlaylistConfig,
 
 def select_eval_step(model, cfg: PlaylistConfig, corpus, mesh):
     if mesh is not None and mesh.shape[mesh_lib.MODEL_AXIS] > 1:
+        if cfg.eval_fused_bins:
+            raise ValueError(
+                "eval_fused_bins requires the unsharded eval path "
+                "(n_model_shards=1) — the fused kernel scans a replicated "
+                "corpus; the sharded eval shards the corpus axis instead")
         return make_sharded_eval_step(model, cfg, corpus, mesh)
     return make_eval_step(model, cfg, corpus)
 

@@ -43,12 +43,38 @@ def test_recommended_meets_target_and_is_cheapest(tuned):
 def test_knob_sweeps_stop_at_first_feasible(tuned):
     """Per mode, at most ONE config meets target (the sweep breaks on
     first success — no wasted calibration past the knee)."""
-    for mode in ("ivf", "ivf_int8", "pq", "ivf_pq"):
+    for mode in ("fused", "ivf", "ivf_int8", "pq", "ivf_pq"):
         rows = [c for c in tuned["all_configs"] if c["mode"] == mode]
         assert sum(c["meets_target"] for c in rows) <= 1
         # infeasible prefixes are kept for the report
         if rows and rows[-1]["meets_target"]:
             assert all(not c["meets_target"] for c in rows[:-1])
+
+
+def test_fused_mode_is_calibrated(tuned):
+    rows = [c for c in tuned["all_configs"] if c["mode"] == "fused"]
+    assert rows, "fused mode missing from calibration"
+    # k=10 over <=3072 padded rows at L>=512: expected losses
+    # C(10,3)/L^2 ~ 5e-4 -> the first sweep point should be feasible
+    assert rows[-1]["meets_target"]
+    assert rows[-1]["flags"].startswith("--fused --fused_bins ")
+    assert rows[-1]["kwargs"] == {"fused": True,
+                                  "fused_bins": rows[-1]["knob"]["bins"]}
+    # no private fn objects may leak into the (JSON-dumped) report
+    assert all("_fn" not in c for c in tuned["all_configs"])
+
+
+def test_measure_throughput_ranks_by_measured_qps(catalog):
+    vecs, queries = catalog
+    out = autotune(vecs, queries, target_recall=0.9, k=10,
+                   nprobes=(16,), oversamples=(64,),
+                   ivf_clusters=16, pq_subspaces=4, build_iters=3,
+                   fused_bins_sweep=(512,), measure_throughput=True)
+    assert out["ranked_by"] == "measured_queries_per_s"
+    qps = [c["queries_per_s"] for c in out["feasible"]]
+    assert qps and all(q > 0 for q in qps)
+    assert qps == sorted(qps, reverse=True)
+    assert out["recommended"]["queries_per_s"] == qps[0]
 
 
 def test_recommended_kwargs_drive_serving_to_target(catalog, tuned):

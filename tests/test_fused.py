@@ -120,3 +120,159 @@ def test_auto_bins_respects_vmem_budget():
     assert big < 8192 and big >= 128
     state = 1024 * big * 20
     assert state <= 12 * 1024 * 1024
+
+
+# ---------------- fused affinity eval kernel (binned_affinity_candidates) --
+
+
+def _affinity_data(seed=0, b=5, c=4, d=16, m=1000, nalb=50, nart=30):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.normal(size=(b, c, d)), jnp.float32),      # ctx
+        jnp.asarray(rng.normal(size=(m, d)), jnp.float32),         # items
+        jnp.asarray(rng.integers(0, nalb, m), jnp.int32),          # alb
+        jnp.asarray(rng.integers(0, nart, m), jnp.int32),          # art
+        jnp.asarray(rng.integers(0, nalb, (b, c)), jnp.int32),     # actx
+        jnp.asarray(rng.integers(0, nart, (b, c)), jnp.int32),     # artx
+    )
+
+
+def _affinity_oracle(ctx, items, alb, art, actx, artx, L, padded):
+    """Per-bin top-2 of affinity_scores at the kernel's bf16 contract."""
+    from esrecsys_tpu.models.playlist import affinity_scores
+
+    B, M = ctx.shape[0], items.shape[0]
+    aff = affinity_scores(ctx, items, alb, art, actx, artx,
+                          compute_dtype=jnp.bfloat16)
+    aff = jnp.pad(aff, ((0, 0), (0, padded - M)), constant_values=-np.inf)
+    nblk = padded // L
+    s = aff.reshape(B, nblk, L).transpose(0, 2, 1)
+    tv, ti = jax.lax.top_k(s, 2)
+    gid = jnp.arange(padded, dtype=jnp.int32).reshape(nblk, L).T
+    tg = jnp.take_along_axis(
+        jnp.broadcast_to(gid[None], (B, L, nblk)), ti, axis=-1)
+    tg = jnp.where(jnp.isfinite(tv), tg, 0)
+    return (jnp.concatenate([tv[..., 0], tv[..., 1]], -1),
+            jnp.concatenate([tg[..., 0], tg[..., 1]], -1))
+
+
+def test_affinity_kernel_matches_oracle():
+    from esrecsys_tpu.retrieval.fused import binned_affinity_candidates
+
+    ctx, items, alb, art, actx, artx = _affinity_data()
+    L = 128
+    packed = pack_catalog(items, L)
+    kv, ki = binned_affinity_candidates(
+        ctx, packed, alb, art, actx, artx, items.shape[0], num_bins=L)
+    ov, oi = _affinity_oracle(ctx, items, alb, art, actx, artx, L,
+                              packed.shape[1])
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(ov), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ki), np.asarray(oi))
+
+
+def test_affinity_kernel_query_chunking_is_invisible():
+    from esrecsys_tpu.retrieval.fused import binned_affinity_candidates
+
+    ctx, items, alb, art, actx, artx = _affinity_data(b=21)
+    packed = pack_catalog(items, 128)
+    one = binned_affinity_candidates(
+        ctx, packed, alb, art, actx, artx, items.shape[0], num_bins=128,
+        query_chunk=1024)
+    chk = binned_affinity_candidates(
+        ctx, packed, alb, art, actx, artx, items.shape[0], num_bins=128,
+        query_chunk=8)
+    np.testing.assert_array_equal(np.asarray(one[0]), np.asarray(chk[0]))
+    np.testing.assert_array_equal(np.asarray(one[1]), np.asarray(chk[1]))
+
+
+def test_affinity_kernel_valid_count_bounds_candidates():
+    from esrecsys_tpu.retrieval.fused import binned_affinity_candidates
+
+    ctx, items, alb, art, actx, artx = _affinity_data()
+    packed = pack_catalog(items, 128)
+    kv, ki = binned_affinity_candidates(
+        ctx, packed, alb, art, actx, artx, items.shape[0], num_bins=128,
+        valid_count=jnp.int32(600))
+    fin = np.isfinite(np.asarray(kv))
+    assert fin.any()
+    assert (np.asarray(ki)[fin] < 600).all()
+
+
+def test_affinity_boosts_change_ranking():
+    """The membership boosts must actually reach the kernel scores: an
+    item whose album is in the query's context outranks an identical
+    item whose album is not."""
+    from esrecsys_tpu.retrieval.fused import binned_affinity_candidates
+
+    d = 16
+    # two identical embeddings; only the album id differs
+    items = jnp.ones((2, d), jnp.float32) * 0.1
+    alb = jnp.asarray([7, 8], jnp.int32)
+    art = jnp.asarray([100, 100], jnp.int32)
+    ctx = jnp.ones((1, 2, d), jnp.float32) * 0.1
+    actx = jnp.asarray([[7, 7]], jnp.int32)     # context contains album 7
+    artx = jnp.asarray([[999, 999]], jnp.int32)
+    packed = pack_catalog(items, 128)
+    kv, ki = binned_affinity_candidates(
+        ctx, packed, alb, art, actx, artx, 2, num_bins=128)
+    order = np.asarray(ki)[0][np.argsort(-np.asarray(kv)[0])[:2]]
+    assert order[0] == 0  # boosted item first
+    vals = np.sort(np.asarray(kv)[0])[::-1][:2]
+    np.testing.assert_allclose(vals[0] - vals[1], 0.1, atol=1e-6)
+
+
+# --------------------------- sharded fused scan (mesh candidate exchange) --
+
+
+def test_sharded_fused_exact_when_shards_fit_one_block():
+    from esrecsys_tpu.core.mesh import make_mesh
+    from esrecsys_tpu.retrieval.fused import sharded_fused_topk_over_matrix
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    rng = np.random.default_rng(0)
+    M, D, L = 900, 16, 256  # padded to 1024 -> 256 rows/shard = one block
+    items = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(6, D)), jnp.float32)
+    packed = pack_catalog(items, L, shards=4)
+    items_p = jnp.pad(items, ((0, packed.shape[1] - M), (0, 0)))
+    fv, fi = sharded_fused_topk_over_matrix(
+        q, items_p, packed, 10, mesh, num_bins=L, valid_items=M)
+    ev, ei = topk_over_matrix(q, items, 10, group=0)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ei))
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(ev), rtol=1e-6)
+
+
+def test_sharded_fused_recall_at_collision_pressure():
+    from esrecsys_tpu.core.mesh import make_mesh
+    from esrecsys_tpu.retrieval.fused import sharded_fused_topk_over_matrix
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    rng = np.random.default_rng(1)
+    M, D, L, k = 4000, 16, 128, 20  # ~16 items/bin/shard
+    items = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(5, D)), jnp.float32)
+    packed = pack_catalog(items, L, shards=2)
+    items_p = jnp.pad(items, ((0, packed.shape[1] - M), (0, 0)))
+    fv, fi = sharded_fused_topk_over_matrix(
+        q, items_p, packed, k, mesh, num_bins=L, valid_items=M)
+    _, ei = topk_over_matrix(q, items, k, group=0)
+    recalls = [
+        len(set(np.asarray(fi[b]).tolist())
+            & set(np.asarray(ei[b]).tolist())) / k
+        for b in range(5)
+    ]
+    assert np.mean(recalls) >= 0.9
+    assert (np.asarray(fi) < M).all()  # padding rows never returned
+
+
+def test_sharded_fused_validates_layout():
+    from esrecsys_tpu.core.mesh import make_mesh
+    from esrecsys_tpu.retrieval.fused import sharded_fused_topk_over_matrix
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    items = jnp.zeros((512, 16), jnp.float32)
+    q = jnp.zeros((2, 16), jnp.float32)
+    packed = pack_catalog(items, 256, shards=1)  # 512 cols: 128/shard < 256
+    with pytest.raises(ValueError, match="whole"):
+        sharded_fused_topk_over_matrix(q, items, packed, 5, mesh,
+                                       num_bins=256)

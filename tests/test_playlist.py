@@ -269,6 +269,61 @@ def _rand_batch(rng, b, c, m, nalb=50, nart=40, ntrk=100):
     }
 
 
+def test_fused_eval_matches_exact_eval(tiny_mpd):
+    """Pallas fused affinity eval == the exact streaming eval when the
+    corpus fits one bin block (every item its own bin -> no collisions;
+    the exact rescore then restores full-precision ordering)."""
+    from esrecsys_tpu.data import pipelines
+
+    corpus_np = pipelines.load_track_corpus(
+        f"{tiny_mpd}/all_tracks.json",
+        f"{tiny_mpd}/track_uri_dict.json",
+        f"{tiny_mpd}/album_uri_dict.json",
+        f"{tiny_mpd}/artist_uri_dict.json",
+    )
+    corpus = {k: jnp.asarray(v) for k, v in corpus_np.items()
+              if isinstance(v, np.ndarray)}
+    base = dict(feature_size=8, album_hash_buckets=16, num_artists=10,
+                num_negatives=8, batch_size=4, max_next=8, eval_k=10,
+                corpus_block=8)
+    cfg = pl.PlaylistConfig(**base)
+    cfg_f = pl.PlaylistConfig(**base, eval_fused_bins=128)
+    model, state = pl.init_state(cfg, None)
+    batch = next(pipelines.playlist_batches(
+        f"{tiny_mpd}/*.tfrecord", context_size=5, max_next=8, batch_size=4))
+
+    plain = jax.jit(pl.make_eval_step(model, cfg, corpus))(state, batch)
+    fused = jax.jit(pl.make_eval_step(model, cfg_f, corpus))(state, batch)
+    for metric in ("track_recall", "track_mrr", "track_ndcg",
+                   "artist_recall", "artist_mrr"):
+        np.testing.assert_allclose(
+            float(plain[metric]), float(fused[metric]), rtol=1e-5,
+            err_msg=metric)
+    # the per-round setup aux is the (embed, packed) pair and feeds the
+    # same metrics through the fit plumbing (loop.py eval_setup_fn)
+    setup = pl.make_corpus_embed_setup(model, cfg_f, corpus)
+    aux = jax.jit(setup)(state)
+    assert isinstance(aux, tuple) and len(aux) == 2
+    again = jax.jit(pl.make_eval_step(model, cfg_f, corpus))(
+        state, batch, aux)
+    np.testing.assert_allclose(float(again["track_recall"]),
+                               float(plain["track_recall"]), rtol=1e-5)
+
+
+def test_fused_eval_rejects_sharded_path(tiny_mpd):
+    from esrecsys_tpu.core import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(n_data=1, n_model=8)
+    cfg = pl.PlaylistConfig(
+        feature_size=8, album_hash_buckets=16, num_artists=10,
+        n_model_shards=8, eval_fused_bins=1024)
+    rng = np.random.default_rng(0)
+    corpus = _tiny_corpus(rng)
+    model, _ = pl.init_state(cfg, mesh)
+    with pytest.raises(ValueError, match="eval_fused_bins"):
+        pl.select_eval_step(model, cfg, corpus, mesh)
+
+
 def _tiny_corpus(rng, n=32, nalb=50, nart=40, ntrk=100):
     return {
         "tracks": jnp.asarray(rng.integers(0, ntrk, n), jnp.int32),

@@ -1300,10 +1300,28 @@ def test_fused_is_exclusive_with_other_scan_modes(index):
     idx, _ = index
     for bad in (dict(approx=True), dict(quantized=True),
                 dict(ivf_clusters=8), dict(pq_subspaces=4),
-                dict(n_model_shards=2),
                 dict(quantized=True, rescore_int8=True)):
         with pytest.raises(ValueError, match="fused"):
             RetrievalService(idx, max_k=5, max_batch=2, fused=True, **bad)
+
+
+def test_sharded_fused_serving_matches_bruteforce(index):
+    # 200 items over 2 shards, 128 bins: each shard's slice fits one bin
+    # block -> exact results through the per-shard kernel + ICI exchange
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=10, max_batch=4, fused=True,
+                           fused_bins=128, n_model_shards=2)
+    assert svc.mode == "sharded:2+fused:bins=128"
+    assert svc.resident_bytes_per_item == 4 * 16 + 2 * 16
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(6, 16)).astype(np.float32)
+    ids, scores = svc.topk(q, k=5)
+    ref = q @ idx.vectors.T
+    for b in range(6):
+        want = np.argsort(-ref[b])[:5]
+        got = [idx.ids.index(i) for i in ids[b]]
+        assert got == list(want)
+        np.testing.assert_allclose(scores[b], ref[b][want], rtol=1e-5)
 
 
 def test_fused_add_items_updates_packed_scan_copy(index):
