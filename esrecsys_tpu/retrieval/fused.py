@@ -88,6 +88,49 @@ def pack_catalog(items: jax.Array, num_bins: int = 4096,
     return it.T
 
 
+def pack_catalog_codes(q_items: jax.Array, scales: jax.Array,
+                       num_bins: int = 4096):
+    """Lay out PREQUANTIZED int8 rows + per-item scales for the int8 scan.
+
+    ``q_items`` (M, D) int8 / ``scales`` (M,) f32 from
+    ``mips.quantize_rows`` (or its host twin — serving pins the quantizer
+    host-side under rescore_int8). Returns ``(codes (D, Mp) int8,
+    scales_binned (ceil8(Mp/L), L) f32)``: codes transposed like
+    :func:`pack_catalog`, scales in the kernel's (8, L)-blocked layout —
+    row b holds the scales of catalog block b (a row-major reshape of the
+    flat per-item scales, so a flat index maps to ``(i // L, i % L)``).
+    Padding columns carry code 0 / scale 0; the kernel's valid-count bound
+    masks them to -inf regardless.
+    """
+    L = max(128, pad_to_multiple(num_bins, 128))
+    M = q_items.shape[0]
+    padded = pad_to_multiple(M, L)
+    q = q_items.astype(jnp.int8)
+    sc = scales.astype(jnp.float32)
+    if padded != M:
+        q = jnp.pad(q, ((0, padded - M), (0, 0)))
+        sc = jnp.pad(sc, (0, padded - M))
+    nblk = padded // L
+    sc = sc.reshape(nblk, L)
+    nblk8 = pad_to_multiple(nblk, 8)
+    if nblk8 != nblk:
+        sc = jnp.pad(sc, ((0, nblk8 - nblk), (0, 0)))
+    return q.T, sc
+
+
+def pack_catalog_int8(items: jax.Array, num_bins: int = 4096):
+    """(M, D) f32 rows -> the int8 scan layout: quantize per item
+    (``mips.quantize_rows``) and lay out via :func:`pack_catalog_codes`.
+    Halves the fused scan's streamed bytes vs the bf16 layout (D int8 +
+    4/8 scale vs 2·D bf16 per item) at a small selection-noise cost the
+    exact rescore absorbs (BENCHMARKS.md). Single-shard layout; the
+    sharded fused path scans bf16."""
+    from esrecsys_tpu.retrieval.mips import quantize_rows
+
+    q, sc = quantize_rows(items.astype(jnp.float32))
+    return pack_catalog_codes(q, sc, num_bins=num_bins)
+
+
 def _pack_payload_rows(rows, padded: int, bins: int,
                        fills) -> jax.Array:
     """Per-item i32 sidecar data in a Mosaic-legal block layout.
@@ -113,8 +156,17 @@ def _pack_payload_rows(rows, padded: int, bins: int,
 
 
 def _kernel(bound_ref, q_ref, items_ref, m1_ref, id1_ref, m2_ref, id2_ref,
-            *, bins: int, use_mask: bool, mask_ref=None):
-    """One grid step: score a (D, L) catalog block, fold into the bin top-2."""
+            *, bins: int, use_mask: bool, mask_ref=None, scales_ref=None):
+    """One grid step: score a (D, L) catalog block, fold into the bin top-2.
+
+    With ``scales_ref`` the catalog block is int8 (per-item symmetric
+    quantization, ``mips.quantize_rows``): int8 values are exact in bf16
+    (|v| <= 127 < 2^8), so the MXU pass loses nothing beyond the
+    quantization itself; the per-item f32 scale multiplies the score tile
+    AFTER the dot. Scales stream as (8, L) f32 blocks shared by 8
+    consecutive grid steps (Pallas skips the re-fetch while the block
+    index is unchanged), so their HBM cost is 4/8 B per item per scan.
+    """
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -124,10 +176,20 @@ def _kernel(bound_ref, q_ref, items_ref, m1_ref, id1_ref, m2_ref, id2_ref,
         id1_ref[:] = jnp.zeros(id1_ref.shape, jnp.int32)
         id2_ref[:] = jnp.zeros(id2_ref.shape, jnp.int32)
 
+    blk = items_ref[:]
+    if scales_ref is not None:
+        blk = blk.astype(jnp.bfloat16)  # int8 -> bf16, exact
     # (B, D) x (D, L) -> (B, L), bf16 in, f32 accumulation on the MXU
     s = jax.lax.dot_general(
-        q_ref[:], items_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        q_ref[:], blk, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if scales_ref is not None:
+        # this block's scale row: row b%8 of the (8, L) group block
+        sub = jax.lax.rem(b, 8)
+        rows = jax.lax.broadcasted_iota(jnp.int32, scales_ref.shape, 0)
+        scale = jnp.sum(jnp.where(rows == sub, scales_ref[:], 0.0),
+                        axis=0, keepdims=True)          # (1, L) f32, > 0
+        s = s * scale
     gid = b * bins + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(gid < bound_ref[0, 0], s, NEG_INF)
     if use_mask:
@@ -149,17 +211,31 @@ def _kernel(bound_ref, q_ref, items_ref, m1_ref, id1_ref, m2_ref, id2_ref,
 
 def binned_candidates(
     queries: jax.Array,       # (B, D) any float dtype
-    items_packed: jax.Array,  # (D, Mp) bf16 from pack_catalog
+    items_packed: jax.Array,  # (D, Mp): bf16 from pack_catalog, or int8
+                              # from pack_catalog_int8 (+ item_scales)
     num_items: int,
     num_bins: int = 4096,
     valid_count: Optional[jax.Array] = None,
     item_mask: Optional[jax.Array] = None,
+    item_scales: Optional[jax.Array] = None,
+    query_chunk: int = 0,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-bin top-2 candidates: (vals (B, 2L) f32, ids (B, 2L) i32).
 
     ``interpret=None`` auto-selects: compiled Mosaic on TPU, the Pallas
     interpreter elsewhere (CPU test meshes), same semantics either way.
+
+    ``item_scales``: the (ceil8(Mp/L), L) f32 layout from
+    :func:`pack_catalog_codes` — presence selects the int8 scan (then
+    ``items_packed`` must be int8; half the streamed bytes of bf16).
+
+    ``query_chunk``: VMEM cap on the kernel's resident batch (the (B, L)
+    accumulators live in VMEM for the whole scan). Batches larger than
+    the chunk run sequentially (``lax.map``), each re-streaming the
+    catalog — so throughput-mode serving at batch >> 64 keeps the full
+    bin count (recall) instead of shrinking L to fit VMEM. 0 = auto:
+    the largest multiple of 8 whose state fits the VMEM budget.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -170,54 +246,92 @@ def binned_candidates(
         raise ValueError(
             f"items_packed {items_packed.shape} does not match dim {D} / "
             f"num_bins {L}; build it with pack_catalog(items, num_bins={L})")
-    Bp = pad_to_multiple(B, 8)
+    nblk = padded // L
+    use_scales = item_scales is not None
+    if use_scales:
+        nblk8 = pad_to_multiple(nblk, 8)
+        if items_packed.dtype != jnp.int8:
+            raise ValueError("item_scales selects the int8 scan: pack the "
+                             "catalog with pack_catalog_int8/_codes")
+        if item_scales.shape != (nblk8, L):
+            raise ValueError(
+                f"item_scales {item_scales.shape} != {(nblk8, L)}; build "
+                f"with pack_catalog_codes(..., num_bins={L})")
+    use_mask = item_mask is not None
+    if not query_chunk:
+        over = D * L * 2 * 2          # double-buffered catalog block
+        if use_mask:
+            over += 2 * 32 * L        # (1, 8, L) i32 payload tile
+        if use_scales:
+            over += 2 * 8 * L * 4     # (8, L) f32 scale group block
+        query_chunk = max(8, ((_VMEM_STATE_BUDGET - over) // (L * 20)) & ~7)
+    Bc = pad_to_multiple(min(B, query_chunk), 8)
+    Bp = pad_to_multiple(B, Bc)
     q = queries.astype(jnp.bfloat16)
     if Bp != B:
         q = jnp.pad(q, ((0, Bp - B), (0, 0)))
-    nblk = padded // L
     bound = num_items if valid_count is None else jnp.minimum(
         valid_count, num_items)
     bound = jnp.asarray(bound, jnp.int32).reshape(1, 1)
 
-    use_mask = item_mask is not None
-    inputs = [bound, q, items_packed]
+    extras = []
     in_specs = [
         pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((Bp, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bc, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((D, L), lambda b: (0, b), memory_space=pltpu.VMEM),
     ]
+    if use_scales:
+        extras.append(item_scales)
+        in_specs.append(
+            pl.BlockSpec((8, L), lambda b: (b // 8, 0),
+                         memory_space=pltpu.VMEM))
     if use_mask:
-        inputs.append(_pack_payload_rows(
+        extras.append(_pack_payload_rows(
             [item_mask.astype(jnp.int32)], padded, L, fills=[0]))
         in_specs.append(
             pl.BlockSpec((1, 8, L), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM))
 
-        def kernel(bound_r, q_r, it_r, mask_r, m1, i1, m2, i2):
-            _kernel(bound_r, q_r, it_r, m1, i1, m2, i2,
-                    bins=L, use_mask=True, mask_ref=mask_r)
-    else:
-        kernel = partial(_kernel, bins=L, use_mask=False)
+    def kernel(bound_r, q_r, it_r, *rest):
+        i = 0
+        scales_r = mask_r = None
+        if use_scales:
+            scales_r, i = rest[i], i + 1
+        if use_mask:
+            mask_r, i = rest[i], i + 1
+        m1, i1, m2, i2 = rest[i:i + 4]
+        _kernel(bound_r, q_r, it_r, m1, i1, m2, i2, bins=L,
+                use_mask=use_mask, mask_ref=mask_r, scales_ref=scales_r)
 
-    acc = pl.BlockSpec((Bp, L), lambda b: (0, 0), memory_space=pltpu.VMEM)
-    m1, id1, m2, id2 = pl.pallas_call(
+    acc = pl.BlockSpec((Bc, L), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
         kernel,
         grid=(nblk,),
         in_specs=in_specs,
         out_specs=(acc, acc, acc, acc),
         out_shape=(
-            jax.ShapeDtypeStruct((Bp, L), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, L), jnp.int32),
-            jax.ShapeDtypeStruct((Bp, L), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, L), jnp.int32),
+            jax.ShapeDtypeStruct((Bc, L), jnp.float32),
+            jax.ShapeDtypeStruct((Bc, L), jnp.int32),
+            jax.ShapeDtypeStruct((Bc, L), jnp.float32),
+            jax.ShapeDtypeStruct((Bc, L), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * D * padded,
-            bytes_accessed=padded * D * 2,
+            flops=2 * Bc * D * padded,
+            bytes_accessed=padded * D * (1 if use_scales else 2),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*inputs)
+    )
+
+    if Bp == Bc:
+        m1, id1, m2, id2 = call(bound, q, items_packed, *extras)
+    else:
+        nq = Bp // Bc
+        m1, id1, m2, id2 = jax.lax.map(
+            lambda qc: call(bound, qc, items_packed, *extras),
+            q.reshape(nq, Bc, D))
+        m1, id1 = m1.reshape(Bp, L), id1.reshape(Bp, L)
+        m2, id2 = m2.reshape(Bp, L), id2.reshape(Bp, L)
     vals = jnp.concatenate([m1, m2], axis=-1)[:B]
     ids = jnp.concatenate([id1, id2], axis=-1)[:B]
     return vals, ids
@@ -225,26 +339,33 @@ def binned_candidates(
 
 def binned_topk_over_matrix(
     queries: jax.Array,   # (B, D)
-    items: jax.Array,     # (M, D) full-precision rows (used for the rescore)
+    items: jax.Array,     # (M, D) rescore rows: f32, or int8 with
+                          # rescore_scales (f32-free residency)
     k: int,
     num_bins: int = 4096,
     valid_count: Optional[jax.Array] = None,
     item_mask: Optional[jax.Array] = None,
     items_packed: Optional[jax.Array] = None,
+    item_scales: Optional[jax.Array] = None,
+    rescore_scales: Optional[jax.Array] = None,
     rescore: bool = True,
+    query_chunk: int = 0,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused-scan top-k, API-compatible with ``mips.topk_over_matrix``.
 
-    ``items_packed``: the (D, Mp) bf16 scan copy from :func:`pack_catalog`.
-    Pass it whenever the catalog is long-lived (serving keeps it resident,
-    +128 B/item over the f32 rows); when omitted it is packed on the fly,
-    which relayouts the catalog on device EVERY call — fine for one-shot
-    offline jobs, wrong for a query loop.
+    ``items_packed``: the (D, Mp) bf16 scan copy from :func:`pack_catalog`
+    — or the int8 codes from :func:`pack_catalog_int8` when
+    ``item_scales`` is given (half the streamed bytes). Pass it whenever
+    the catalog is long-lived (serving keeps it resident); when omitted it
+    is packed on the fly, which relayouts the catalog on device EVERY call
+    — fine for one-shot offline jobs, wrong for a query loop.
 
     Selection happens at the kernel's bf16-matmul precision; the k winners
     are rescored exactly at ``Precision.HIGHEST`` (``rescore=False`` skips
-    it and returns the kernel's own scores).
+    it and returns the kernel's own scores). With ``rescore_scales``,
+    ``items`` holds int8 rows that are dequantized per candidate — the
+    mips ``rescore_int8`` contract, no f32 catalog anywhere.
     """
     num_items = items.shape[0]
     k_eff = min(k, num_items)
@@ -254,12 +375,17 @@ def binned_topk_over_matrix(
         items_packed = pack_catalog(items, num_bins=L)
     vals, ids = binned_candidates(
         queries, items_packed, num_items, num_bins=L,
-        valid_count=valid_count, item_mask=item_mask, interpret=interpret)
+        valid_count=valid_count, item_mask=item_mask,
+        item_scales=item_scales, query_chunk=query_chunk,
+        interpret=interpret)
     bvals, sel = jax.lax.top_k(vals, k_eff)
     cand = jnp.take_along_axis(ids, sel, axis=-1)        # (B, k_eff)
     if rescore:
         rows = jnp.take(items, cand.reshape(-1), axis=0)
         rows = rows.reshape(cand.shape + (items.shape[-1],))
+        if rescore_scales is not None:
+            sc = jnp.take(rescore_scales, cand, axis=0)  # (B, k_eff)
+            rows = rows.astype(jnp.float32) * sc[..., None]
         exact = jnp.einsum("bd,bnd->bn", queries, rows,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)

@@ -100,6 +100,16 @@ _cols_update_jit = jax.jit(
         buf, cols.astype(buf.dtype), start, axis=1),
     donate_argnums=0)
 
+# flat twin for the fused int8 mode's (nblk8, L) scale rows: item i's scale
+# lives at flat index i of the row-major view (fused.pack_catalog_codes),
+# so a contiguous id range updates as one flat slice even when it crosses
+# bin-block rows
+_flat_update_jit = jax.jit(
+    lambda buf, vals, start: jax.lax.dynamic_update_slice_in_dim(
+        buf.reshape(-1), vals.astype(buf.dtype), start, axis=0
+    ).reshape(buf.shape),
+    donate_argnums=0)
+
 
 def _finite_row(ids_row, scores_row):
     """JSON-safe (ids, scores) lists: drop -inf tail slots (a filter can
@@ -195,29 +205,36 @@ class RetrievalService:
         # lax.top_k in the scan loop. Chip-measured fastest mode at 2.26M
         # items / k=500: 1318.7 q/s = 3.3x exact and 1.15x approx, at
         # HIGHER overlap than approx (0.9974 vs 0.9896 — BENCHMARKS.md).
-        # It IS the alternative to every other scan, so it composes only
-        # with add_capacity, filters and n_model_shards (per-shard kernel +
-        # local rescore + the exact ICI candidate exchange —
-        # retrieval/fused.sharded_fused_topk_over_matrix); residency adds a
-        # bf16 transposed scan copy (+2*D bytes/item over the f32 rows the
-        # rescore reads).
-        if fused and (approx or quantized or rescore_int8 or ivf_clusters
+        # It IS the alternative to every other scan+select pair, so it
+        # composes with add_capacity, filters, n_model_shards (per-shard
+        # kernel + local rescore + the exact ICI candidate exchange —
+        # retrieval/fused.sharded_fused_topk_over_matrix) and quantized
+        # (the kernel streams int8 codes + per-item scales — HALF the
+        # bf16 layout's bytes; + rescore_int8 on top for an f32-free
+        # catalog) — but not with approx/ivf/pq, which are alternative
+        # selection strategies. Residency: +2*D bytes/item bf16 scan copy,
+        # or +D+4 int8 codes+scales under quantized.
+        if fused and (approx or ivf_clusters
                       or ivf_index_path or pq_subspaces or pq_index_path):
             raise ValueError(
                 "fused is a complete scan+select path — it does not "
-                "compose with approx/quantized/ivf/pq modes")
+                "compose with approx/ivf/pq modes")
+        if fused and quantized and n_model_shards:
+            raise ValueError(
+                "sharded fused serving scans bf16 — drop quantized or "
+                "n_model_shards (int8 scan copies are single-shard)")
         self.fused = fused
         if fused:
             from esrecsys_tpu.core.mesh import pad_to_multiple
-            from esrecsys_tpu.retrieval.fused import auto_bins
 
-            # bin count: VMEM-fitted at the compiled batch width, and at
-            # least ceil(max_k/2) so 2L >= k (fused.py recall math);
-            # resolved BEFORE the catalog upload so the sharded layout can
-            # pad rows to whole per-shard bin blocks
+            # bin count: as requested (padded to lanes), and at least
+            # ceil(max_k/2) so 2L >= k (fused.py recall math); resolved
+            # BEFORE the catalog upload so the sharded layout can pad rows
+            # to whole per-shard bin blocks. Batches whose (B, L) kernel
+            # state outgrows VMEM no longer shrink L (which cost recall
+            # quadratically) — binned_candidates chunks queries instead.
             self._fused_bins = max(
-                auto_bins(pad_to_multiple(max_batch, 8), fused_bins,
-                          int(index.vectors.shape[1])),
+                pad_to_multiple(fused_bins, 128),
                 pad_to_multiple(-(-min(max_k, len(index)) // 2), 128))
         else:
             self._fused_bins = None
@@ -498,7 +515,17 @@ class RetrievalService:
             # builds are done: free the f32 matrix (if it was ever up).
             # From here the int8 catalog + aux codes are the residency.
             self._items = None
-        if fused:
+        self._fused_scales = None
+        if fused and quantized:
+            from esrecsys_tpu.retrieval.fused import pack_catalog_codes
+
+            # int8 scan layout from the ALREADY-QUANTIZED rows (host-pinned
+            # quantizer under rescore_int8 — no f32 ever touches device):
+            # transposed codes + per-bin scale rows, once at build
+            self._items_packed, self._fused_scales = jax.jit(
+                lambda qi, sc: pack_catalog_codes(
+                    qi, sc, self._fused_bins))(self._q_items, self._scales)
+        elif fused:
             from esrecsys_tpu.retrieval.fused import pack_catalog
 
             # device-side transpose+cast of the (already capacity- or
@@ -544,7 +571,7 @@ class RetrievalService:
         # compile request entirely).
         def query(q, items, q_items, scales, centroids, bucket_ids,
                   pq_centroids, pq_codes, pq_rot, valid, fmask,
-                  items_packed):
+                  items_packed, fused_scales):
             # valid (traced scalar) bounds the real rows when growth
             # capacity is preallocated; None (static) otherwise so
             # non-growable services compile the exact same programs as
@@ -592,6 +619,18 @@ class RetrievalService:
                 from esrecsys_tpu.retrieval.fused import (
                     binned_topk_over_matrix)
 
+                if self.quantized:
+                    # int8 scan copy (codes + per-bin scales, half the
+                    # bf16 bytes); rescore reads f32 rows — or dequantized
+                    # int8 rows under rescore_int8 (f32-free catalog)
+                    r8f = self.rescore_int8
+                    return binned_topk_over_matrix(
+                        q, q_items if r8f else items, self.max_k,
+                        num_bins=self._fused_bins,
+                        valid_count=vc, item_mask=fm,
+                        items_packed=items_packed,
+                        item_scales=fused_scales,
+                        rescore_scales=scales if r8f else None)
                 # Pallas fused scan+select over the resident (D, Mp) bf16
                 # scan copy; the f32 rows serve only the exact rescore
                 return binned_topk_over_matrix(
@@ -667,7 +706,7 @@ class RetrievalService:
             self._pq_centroids, self._pq_codes, self._pq_rot,
             jnp.int32(self._n_valid),
             self._all_mask if fmask is None else fmask,
-            self._items_packed)
+            self._items_packed, self._fused_scales)
         # Compile once at construction so first request latency is steady.
         warm = jnp.zeros((max_batch, self._dim), jnp.float32)
         jax.device_get(jax.tree_util.tree_leaves(
@@ -751,11 +790,7 @@ class RetrievalService:
             if self._items is not None:
                 self._items = _rows_update(
                     self._items, jnp.asarray(vectors), start)
-            if self._items_packed is not None:
-                # transposed scan copy: item rows are columns there
-                self._items_packed = _cols_update_jit(
-                    self._items_packed, jnp.asarray(vectors.T),
-                    jnp.int32(start))
+            q8 = sc = None
             if self._q_items is not None:
                 from esrecsys_tpu.retrieval.mips import quantize_rows_np
 
@@ -764,6 +799,19 @@ class RetrievalService:
                     self._q_items, jnp.asarray(q8), start)
                 self._scales = _rows_update(
                     self._scales, jnp.asarray(sc), start)
+            if self._items_packed is not None:
+                # transposed scan copy: item rows are columns there. The
+                # int8 copy (fused+quantized) appends the quantized rows;
+                # its per-bin scale rows are the row-major reshape of the
+                # flat per-item scales (pack_catalog_codes), so the same
+                # contiguous slice updates them flat
+                cols = q8.T if self._fused_scales is not None else vectors.T
+                self._items_packed = _cols_update_jit(
+                    self._items_packed, jnp.asarray(cols), jnp.int32(start))
+                if self._fused_scales is not None:
+                    self._fused_scales = _flat_update_jit(
+                        self._fused_scales, jnp.asarray(sc),
+                        jnp.int32(start))
             if self.pq is not None:
                 from esrecsys_tpu.retrieval.pq import PQCodebook
 
@@ -807,7 +855,10 @@ class RetrievalService:
         if self._items is not None:
             b += 4 * self._dim
         if self._items_packed is not None:
-            b += 2 * self._dim  # bf16 transposed scan copy (fused mode)
+            if self._fused_scales is not None:
+                b += self._dim + 4  # int8 scan copy + per-bin scale rows
+            else:
+                b += 2 * self._dim  # bf16 transposed scan copy (fused)
         if self._q_items is not None:
             b += self._dim + 4  # int8 row + f32 scale
         if self.ivf is not None:
@@ -837,10 +888,11 @@ class RetrievalService:
         if self.ivf is not None:
             q8 = "+int8" if self.quantized else ""
             return f"ivf:{self.ivf.n_clusters}:nprobe={self.nprobe}{q8}{r8}"
+        if self.fused:
+            q8 = "+int8" if self.quantized else ""
+            return f"fused:bins={self._fused_bins}{q8}{r8}"
         if self.quantized:
             return ("int8+approx" if self.approx else "int8") + r8
-        if self.fused:
-            return f"fused:bins={self._fused_bins}"
         return "approx" if self.approx else "exact"
 
     def exclusion_budget(self, k: int, exclude) -> int:

@@ -46,7 +46,8 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-MODES = ("exact", "approx", "fused", "quantized", "quantized_approx",
+MODES = ("exact", "approx", "fused", "fused_q8", "fused_q8_r8",
+         "quantized", "quantized_approx",
          "ivf", "ivf_quantized", "pq", "ivf_pq",
          "quantized_r8", "pq_r8", "ivf_pq_r8", "filtered")
 
@@ -78,6 +79,15 @@ def mode_kwargs(mode: str, args) -> dict:
         kw.update(approx=True, recall_target=args.recall_target)
     elif mode == "fused":
         kw.update(fused=True,
+                  fused_bins=getattr(args, "fused_bins", 4096))
+    elif mode == "fused_q8":
+        # int8 fused scan (codes + per-item scales in the kernel — half
+        # the bf16 scan bytes), exact f32 rescore
+        kw.update(fused=True, quantized=True,
+                  fused_bins=getattr(args, "fused_bins", 4096))
+    elif mode == "fused_q8_r8":
+        # + int8 rescore: no f32 catalog anywhere (D+4 + D+4 B/item)
+        kw.update(fused=True, quantized=True, rescore_int8=True,
                   fused_bins=getattr(args, "fused_bins", 4096))
     elif mode == "quantized":
         kw.update(quantized=True)

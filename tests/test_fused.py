@@ -15,6 +15,7 @@ from esrecsys_tpu.retrieval.fused import (
     binned_candidates,
     binned_topk_over_matrix,
     pack_catalog,
+    pack_catalog_int8,
     reference_binned_candidates,
 )
 from esrecsys_tpu.retrieval.mips import topk_over_matrix
@@ -120,6 +121,128 @@ def test_auto_bins_respects_vmem_budget():
     assert big < 8192 and big >= 128
     state = 1024 * big * 20
     assert state <= 12 * 1024 * 1024
+
+
+# ---------------- int8 fused scan (pack_catalog_int8 / item_scales) --------
+
+
+def test_int8_scan_exact_when_catalog_fits_one_block():
+    # one block, one item per bin: selection survives quantization (order
+    # can only change between near-ties) and the f32 rescore returns
+    # exact HIGHEST-precision scores for the returned ids
+    q, items = _data(m=200)
+    codes, scales = pack_catalog_int8(items, num_bins=256)
+    assert codes.dtype == jnp.int8 and scales.shape == (8, 256)
+    fv, fi = binned_topk_over_matrix(
+        q, items, 10, num_bins=256, items_packed=codes, item_scales=scales)
+    ev, ei = topk_over_matrix(q, items, 10, group=0)
+    for b in range(q.shape[0]):
+        inter = set(np.asarray(fi[b]).tolist()) & set(
+            np.asarray(ei[b]).tolist())
+        assert len(inter) >= 9  # ±0.4%-of-row-max noise can swap near-ties
+    exact = np.asarray(items)[np.asarray(fi)] @ np.asarray(q).T
+    got = np.einsum("bkd,bd->bk", np.asarray(items)[np.asarray(fi)],
+                    np.asarray(q))
+    np.testing.assert_allclose(np.asarray(fv), got, rtol=1e-5)
+
+
+def test_int8_scan_recall_under_collision_pressure():
+    q, items = _data(m=1000)
+    k = 20
+    codes, scales = pack_catalog_int8(items, num_bins=128)
+    fv, fi = binned_topk_over_matrix(
+        q, items, k, num_bins=128, items_packed=codes, item_scales=scales)
+    _, ei = topk_over_matrix(q, items, k, group=0)
+    recalls = [
+        len(set(np.asarray(fi[b]).tolist())
+            & set(np.asarray(ei[b]).tolist())) / k
+        for b in range(q.shape[0])
+    ]
+    assert np.mean(recalls) >= 0.85  # bin collisions + quantization noise
+
+
+def test_int8_rescore_scales_f32_free_contract():
+    # rescore_scales: candidates rescored from dequantized int8 rows —
+    # scores match the f32 rescore within the quantization tolerance
+    from esrecsys_tpu.retrieval.mips import quantize_rows
+
+    q, items = _data(m=500)
+    codes, scales = pack_catalog_int8(items, num_bins=512)
+    q8, s8 = quantize_rows(items)
+    fv, fi = binned_topk_over_matrix(
+        q, items, 10, num_bins=512, items_packed=codes, item_scales=scales)
+    rv, ri = binned_topk_over_matrix(
+        q, q8, 10, num_bins=512, items_packed=codes, item_scales=scales,
+        rescore_scales=s8)
+    # same candidates in, so ids agree up to rescore-noise reorderings
+    row_max = np.abs(np.asarray(items)).max(axis=-1).max()
+    tol = float(np.abs(np.asarray(q)).sum(axis=-1).max() * row_max / 127)
+    for b in range(q.shape[0]):
+        assert len(set(np.asarray(fi[b]).tolist())
+                   & set(np.asarray(ri[b]).tolist())) >= 8
+    np.testing.assert_allclose(np.asarray(rv), np.asarray(fv), atol=tol)
+
+
+def test_int8_layout_validation():
+    q, items = _data()
+    codes, scales = pack_catalog_int8(items, num_bins=128)
+    packed_f = pack_catalog(items, num_bins=128)
+    with pytest.raises(ValueError):  # scales demand an int8 scan copy
+        binned_candidates(q, packed_f, items.shape[0], num_bins=128,
+                          item_scales=scales)
+    with pytest.raises(ValueError):  # wrong scales shape for this L
+        binned_candidates(q, codes, items.shape[0], num_bins=128,
+                          item_scales=scales[:, :64])
+
+
+def test_scales_are_flat_row_major():
+    # pack_catalog_codes lays scales out so flat item index i lives at
+    # (i // L, i % L) — the contract serving's add_items flat-update uses
+    from esrecsys_tpu.retrieval.fused import pack_catalog_codes
+    from esrecsys_tpu.retrieval.mips import quantize_rows
+
+    _, items = _data(m=300)
+    q8, s8 = quantize_rows(items)
+    codes, binned = pack_catalog_codes(q8, s8, num_bins=128)
+    m = items.shape[0]
+    flat = np.asarray(binned).reshape(-1)[:m]
+    np.testing.assert_array_equal(flat, np.asarray(s8))
+    np.testing.assert_array_equal(np.asarray(codes)[:, :m],
+                                  np.asarray(q8).T)
+
+
+def test_query_chunking_is_invisible():
+    # chunked and one-shot scans select the SAME candidates; values agree
+    # to dot-reduction noise (the (Bc, D) x (D, L) tile shape changes)
+    q, items = _data(b=13, m=600)
+    packed = pack_catalog(items, num_bins=128)
+    v1, i1 = binned_candidates(q, packed, items.shape[0], num_bins=128)
+    v2, i2 = binned_candidates(q, packed, items.shape[0], num_bins=128,
+                               query_chunk=8)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    codes, scales = pack_catalog_int8(items, num_bins=128)
+    v3, i3 = binned_candidates(q, codes, items.shape[0], num_bins=128,
+                               item_scales=scales)
+    v4, i4 = binned_candidates(q, codes, items.shape[0], num_bins=128,
+                               item_scales=scales, query_chunk=8)
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(v4), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
+
+
+def test_int8_composes_with_mask_and_valid_count():
+    q, items = _data(m=500)
+    codes, scales = pack_catalog_int8(items, num_bins=512)
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray(rng.random(items.shape[0]) < 0.5)
+    fv, fi = binned_topk_over_matrix(
+        q, items, 10, num_bins=512, items_packed=codes, item_scales=scales,
+        item_mask=mask, valid_count=jnp.int32(400))
+    m = np.asarray(mask)
+    for b in range(q.shape[0]):
+        for v, i in zip(np.asarray(fv[b]), np.asarray(fi[b])):
+            if np.isfinite(v):
+                assert m[i] and i < 400
 
 
 # ---------------- fused affinity eval kernel (binned_affinity_candidates) --

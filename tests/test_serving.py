@@ -1298,11 +1298,71 @@ def test_fused_mode_matches_bruteforce(index):
 
 def test_fused_is_exclusive_with_other_scan_modes(index):
     idx, _ = index
-    for bad in (dict(approx=True), dict(quantized=True),
-                dict(ivf_clusters=8), dict(pq_subspaces=4),
-                dict(quantized=True, rescore_int8=True)):
-        with pytest.raises(ValueError, match="fused"):
+    for bad in (dict(approx=True), dict(ivf_clusters=8),
+                dict(pq_subspaces=4),
+                # int8 scan copies are single-shard (fused.py layout)
+                dict(quantized=True, n_model_shards=2)):
+        with pytest.raises(ValueError, match="fused|sharded"):
             RetrievalService(idx, max_k=5, max_batch=2, fused=True, **bad)
+
+
+def test_fused_q8_mode_matches_bruteforce(index):
+    # 200 items, one 4096-bin block: EVERY item is a candidate, so the
+    # exact f32 rescore makes the int8 scan's results exactly brute force
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=10, max_batch=4,
+                           fused=True, quantized=True)
+    assert svc.mode.startswith("fused:bins=") and "+int8" in svc.mode
+    # residency: f32 rows + int8 scan copy (codes + binned scales) +
+    # the quantized path's int8 rows + flat scales
+    assert svc.resident_bytes_per_item == 4 * 16 + (16 + 4) + (16 + 4)
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(6, 16)).astype(np.float32)
+    ids, scores = svc.topk(q, k=5)
+    ref = q @ idx.vectors.T
+    for b in range(6):
+        want = np.argsort(-ref[b])[:5]
+        got = [idx.ids.index(i) for i in ids[b]]
+        assert got == list(want)
+        np.testing.assert_allclose(scores[b], ref[b][want], rtol=1e-5)
+
+
+def test_fused_q8_r8_serves_without_f32_catalog(index):
+    # fused + quantized + rescore_int8: no f32 rows anywhere on device;
+    # returned scores carry only the int8 dequantization tolerance
+    idx, _ = index
+    svc = RetrievalService(idx, max_k=10, max_batch=4,
+                           fused=True, quantized=True, rescore_int8=True)
+    assert svc.mode.endswith("+int8+r8")
+    assert svc._items is None
+    assert svc.resident_bytes_per_item == (16 + 4) + (16 + 4)
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    ids, scores = svc.topk(q, k=5)
+    ref = q @ idx.vectors.T
+    tol = float(np.abs(q).sum(axis=-1).max()
+                * np.abs(idx.vectors).max() / 127)
+    for b in range(4):
+        want = set(np.argsort(-ref[b])[:5].tolist())
+        got = {idx.ids.index(i) for i in ids[b]}
+        assert len(want & got) >= 4  # dequantized rescore can swap ties
+        np.testing.assert_allclose(
+            scores[b], np.sort(ref[b][sorted(got)])[::-1], atol=tol)
+
+
+def test_fused_q8_add_items_updates_codes_and_scales(index):
+    idx, path = index
+    fresh = EmbeddingIndex.load(path)
+    svc = RetrievalService(fresh, max_k=10, max_batch=4, fused=True,
+                           quantized=True, add_capacity=16)
+    probe = np.zeros((1, 16), np.float32)
+    probe[0, 0] = 100.0
+    svc.add_items(["shiny"], probe)
+    ids, scores = svc.topk(probe, k=3)
+    assert ids[0][0] == "shiny"
+    # the scale row really carries the new item's scale (100/127)
+    flat = np.asarray(svc._fused_scales).reshape(-1)
+    assert abs(flat[len(fresh) - 1] - 100.0 / 127.0) < 1e-6
 
 
 def test_sharded_fused_serving_matches_bruteforce(index):
