@@ -107,7 +107,42 @@ def make_mesh(
             f"mesh {n_data}x{n_model} != {n_dev} devices; pass matching devices"
         )
     dev_array = np.asarray(devices).reshape(n_data, n_model)
+    warn_if_model_axis_spans_slices(dev_array)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def warn_if_model_axis_spans_slices(dev_array) -> bool:
+    """Warn loudly when the ``model`` axis would cross slice boundaries.
+
+    The framework's collectives on ``model`` (all-to-all for sharded-table
+    lookups, the all-gather candidate exchange of sharded MIPS/eval) are
+    per-step and latency-sensitive; the HLO collective accounting
+    (tools/scaling_study.py --mode hlo, parity_runs/r4_scaling_hlo.json)
+    measured 0.47-0.57 scaling efficiency when they ride DCN vs >=0.98 on
+    ICI. On a multi-slice topology the ``model`` axis must therefore stay
+    intra-slice: put ``data`` (whose gradient all-reduce amortizes over the
+    step) across slices instead, i.e. order devices so each data row's
+    model group shares one ``slice_index``.
+
+    Returns True when a warning fired (the hazard exists). Non-TPU devices
+    (no ``slice_index``) and single-slice topologies are silent.
+    """
+    rows_spanning = 0
+    for row in np.atleast_2d(dev_array):
+        slices = {getattr(d, "slice_index", None) for d in row}
+        slices.discard(None)
+        if len(slices) > 1:
+            rows_spanning += 1
+    if rows_spanning:
+        log.warning(
+            "model axis spans slice boundaries on %d/%d data rows — its "
+            "per-step collectives (table all-to-all, candidate all-gather) "
+            "would ride DCN at a measured 0.47-0.57 efficiency vs >=0.98 "
+            "on ICI (parity_runs/r4_scaling_hlo.json). Reorder devices so "
+            "each model group stays within one slice; span slices with "
+            "the data axis instead.",
+            rows_spanning, np.atleast_2d(dev_array).shape[0])
+    return bool(rows_spanning)
 
 
 def make_mesh_for_batch(global_batch: int, n_model: int = 1) -> Mesh:

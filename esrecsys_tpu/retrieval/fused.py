@@ -72,6 +72,39 @@ def auto_bins(batch: int, requested: int = 4096, dim: int = 64) -> int:
     return bins
 
 
+def _batch_free_bytes(bins: int, dim: int, use_mask: bool,
+                      use_scales: bool) -> int:
+    """Batch-independent VMEM footprint of the fused scan at ``bins``:
+    double-buffered catalog block (bf16 figure — conservative for int8)
+    plus the payload/scale tiles the mode streams."""
+    over = dim * bins * 2 * 2
+    if use_mask:
+        over += 2 * 32 * bins
+    if use_scales:
+        over += 2 * 8 * bins * 4
+    return over
+
+
+def validate_fused_bins(bins: int, dim: int, use_mask: bool = False,
+                        use_scales: bool = False) -> None:
+    """Raise ValueError when ``bins`` cannot fit the kernel's VMEM budget.
+
+    Query chunking bounds the per-batch (B, L) accumulator state, but the
+    batch-independent footprint (catalog block + payload/scale tiles) plus
+    the minimum 8-query state is a floor no chunking can shrink — past it
+    the kernel fails Mosaic lowering on real TPU (invisible to the CPU
+    interpreter). Call at construction time (serving does) so the failure
+    is a clear error, not a compile crash."""
+    L = max(128, pad_to_multiple(bins, 128))
+    need = _batch_free_bytes(L, dim, use_mask, use_scales) + 8 * L * 20
+    if need > _VMEM_STATE_BUDGET:
+        raise ValueError(
+            f"fused scan at num_bins={L}, dim={dim} needs "
+            f"{need / 2**20:.1f} MiB of VMEM even at the minimum 8-query "
+            f"chunk (budget {_VMEM_STATE_BUDGET / 2**20:.0f} MiB) — lower "
+            f"num_bins/fused_bins or max_k (bins >= ceil(max_k/2))")
+
+
 def pack_catalog(items: jax.Array, num_bins: int = 4096,
                  shards: int = 1) -> jax.Array:
     """(M, D) rows -> the kernel's scan layout: (D, Mp) bf16, Mp padded to a
@@ -258,14 +291,18 @@ def binned_candidates(
                 f"item_scales {item_scales.shape} != {(nblk8, L)}; build "
                 f"with pack_catalog_codes(..., num_bins={L})")
     use_mask = item_mask is not None
+    over = _batch_free_bytes(L, D, use_mask, use_scales)
     if not query_chunk:
-        over = D * L * 2 * 2          # double-buffered catalog block
-        if use_mask:
-            over += 2 * 32 * L        # (1, 8, L) i32 payload tile
-        if use_scales:
-            over += 2 * 8 * L * 4     # (8, L) f32 scale group block
         query_chunk = max(8, ((_VMEM_STATE_BUDGET - over) // (L * 20)) & ~7)
     Bc = pad_to_multiple(min(B, query_chunk), 8)
+    if Bc * L * 20 + over > _VMEM_STATE_BUDGET:
+        # explicit query_chunk too large, or L itself past the floor —
+        # either way Mosaic lowering would fail on real TPU; raise the
+        # same clear error the construction-time validator gives
+        validate_fused_bins(L, D, use_mask, use_scales)
+        raise ValueError(
+            f"query_chunk={query_chunk} at num_bins={L} overflows the "
+            f"fused kernel's VMEM budget; lower it or pass 0 for auto")
     Bp = pad_to_multiple(B, Bc)
     q = queries.astype(jnp.bfloat16)
     if Bp != B:
@@ -368,6 +405,15 @@ def binned_topk_over_matrix(
     mips ``rescore_int8`` contract, no f32 catalog anywhere.
     """
     num_items = items.shape[0]
+    if rescore and items.dtype == jnp.int8 and rescore_scales is None:
+        raise ValueError(
+            "items is int8 but rescore_scales is missing: the rescore "
+            "einsum would score raw codes (wrongly scaled, no error) — "
+            "pass the per-item scales from mips.quantize_rows")
+    if rescore_scales is not None and items.dtype != jnp.int8:
+        raise ValueError(
+            "rescore_scales given but items is not int8 — the f32-free "
+            "rescore contract dequantizes int8 rows (mips rescore_int8)")
     k_eff = min(k, num_items)
     # fewer than k/2 bins would guarantee losses; keep 2L >= k
     L = max(num_bins, pad_to_multiple(-(-k_eff // 2), 128))
@@ -496,12 +542,17 @@ def binned_affinity_candidates(
         raise ValueError(
             f"items_packed {items_packed.shape} does not match dim {D} / "
             f"num_bins {L}; build it with pack_catalog(items, num_bins={L})")
+    over = _batch_free_bytes(L, D, use_mask=True, use_scales=False)
     if not query_chunk:
-        # accumulators+score (B, L)*20B dominate; catalog block D*L*2*2
-        # and the payload tile are B-independent
-        query_chunk = max(
-            8, ((_VMEM_STATE_BUDGET - D * L * 4 - 32 * L) // (L * 20)) & ~7)
+        # accumulators+score (B, L)*20B dominate; the catalog block and
+        # the (album, artist) payload tile are B-independent
+        query_chunk = max(8, ((_VMEM_STATE_BUDGET - over) // (L * 20)) & ~7)
     Bc = pad_to_multiple(min(B, query_chunk), 8)
+    if Bc * L * 20 + over > _VMEM_STATE_BUDGET:
+        validate_fused_bins(L, D, use_mask=True)
+        raise ValueError(
+            f"query_chunk={query_chunk} at num_bins={L} overflows the "
+            f"fused kernel's VMEM budget; lower it or pass 0 for auto")
     Bp = pad_to_multiple(B, Bc)
     q = ctx_embed.astype(jnp.bfloat16)
     actx = album_ctx.astype(jnp.int32)

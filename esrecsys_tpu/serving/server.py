@@ -236,6 +236,16 @@ class RetrievalService:
             self._fused_bins = max(
                 pad_to_multiple(fused_bins, 128),
                 pad_to_multiple(-(-min(max_k, len(index)) // 2), 128))
+            # construction-time VMEM validation: query chunking bounds the
+            # per-batch state, but the batch-independent footprint (D*L
+            # catalog block + payload/scale tiles) plus the minimum
+            # 8-query state is a floor — past it the kernel fails Mosaic
+            # lowering on real TPU, invisibly to CPU-interpreter tests
+            from esrecsys_tpu.retrieval.fused import validate_fused_bins
+
+            validate_fused_bins(
+                self._fused_bins, int(index.vectors.shape[1]),
+                use_mask=filters is not None, use_scales=quantized)
         else:
             self._fused_bins = None
         # pq_subspaces=S: the catalog SCAN reads only S bytes/item of PQ

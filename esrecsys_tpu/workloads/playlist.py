@@ -95,6 +95,13 @@ class PlaylistConfig:
     eval_k: int = 500
     eval_group: int = 8  # group-max prefilter width for the exact streaming
     # top-k (retrieval.mips.chunked_grouped_topk); 0 = plain chunked_topk
+    eval_score_tile_bytes: int = 128 * 1024 * 1024  # exact-eval budget for
+    # the per-block (Bq, block, C) f32 affinity dot tile: eval batches whose
+    # tile would exceed this run as sequential query chunks (lax.map), each
+    # re-streaming the corpus — unbounded, the B=2048 exact eval's ~5 GB
+    # tiles crashed the axon remote-compile worker (BENCHMARKS.md fused-eval
+    # caveat). Corpus re-reads are cheap next to the top_k cost, so chunking
+    # at the full corpus_block is the right trade (see make_eval_step)
     eval_fused_bins: int = 0  # >0: full-corpus eval selects candidates via
     # the Pallas fused affinity scan+select kernel with this bin count L
     # (retrieval/fused.binned_affinity_candidates) + exact rescore of the
@@ -578,6 +585,21 @@ def _settled_ctx_embed(state: TrainState, cfg: PlaylistConfig,
 from esrecsys_tpu.ops.metrics import ranking_metrics  # shared with txt2url
 
 
+def _eval_query_chunk(cfg: PlaylistConfig, block: int) -> int:
+    """Largest multiple-of-8 query count whose (Bq, block, C) f32 affinity
+    dot tile fits ``cfg.eval_score_tile_bytes``.
+
+    The exact eval's per-block cost has two parts: the dot tile (scales
+    with Bq·block·C) and the streamed top_k (per query, block-independent
+    in total). Chunking queries at the FULL corpus_block keeps the cheap
+    part cheap — nchunks extra passes over the ~300 MB resident corpus
+    matrix cost milliseconds of HBM reads — while bounding the tile that
+    actually killed compiles. Shrinking ``block`` instead would multiply
+    the total top_k work (num_blocks·kg extra elements per query)."""
+    per_q = block * max(1, cfg.context_size) * 4
+    return max(8, (cfg.eval_score_tile_bytes // per_q) & ~7)
+
+
 def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, jax.Array]):
     """recall@k of next tracks/artists against the full corpus.
 
@@ -587,6 +609,12 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
     top-k (:func:`esrecsys_tpu.retrieval.mips.chunked_grouped_topk`) —
     contrast train_spotify.py:113-131 + models.py:82 which embeds all 2.26M
     rows and exact-sorts the full score vector per eval playlist.
+
+    Eval batches whose per-block score tile would exceed
+    ``cfg.eval_score_tile_bytes`` are split into sequential query chunks
+    (``lax.map``), so the compiled program's tile sizes are bounded
+    regardless of eval batch — exact eval at B=2048 over 2.26M items used
+    to build ~5 GB (B, block, C) dot tiles and crash the compile worker.
     """
     tracks, albums, artists = corpus["tracks"], corpus["albums"], corpus["artists"]
     num_items = int(tracks.shape[0])
@@ -610,47 +638,72 @@ def make_eval_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str, 
         artist_ctx = batch["artist_context"]
         ctx_embed = _settled_ctx_embed(state, cfg, album_ctx, artist_ctx)
 
-        def score_block(start):
-            blk_embed = jax.lax.dynamic_slice_in_dim(corpus_embed, start, block)
-            blk_album = jax.lax.dynamic_slice_in_dim(albums_p, start, block)
-            blk_artist = jax.lax.dynamic_slice_in_dim(artists_p, start, block)
-            return affinity_scores(ctx_embed, blk_embed, blk_album, blk_artist,
-                                   album_ctx, artist_ctx)
+        def topk_chunk(ctx_embed, album_ctx, artist_ctx):
+            """Top-k of one query chunk (any leading batch size)."""
 
-        def score_items(cand):  # (B, n) item indices, exact rescore
-            return affinity_scores(
-                ctx_embed, corpus_embed[cand], albums_p[cand],
-                artists_p[cand], album_ctx, artist_ctx,
-                precision=jax.lax.Precision.HIGHEST)
+            def score_block(start):
+                blk_embed = jax.lax.dynamic_slice_in_dim(corpus_embed, start, block)
+                blk_album = jax.lax.dynamic_slice_in_dim(albums_p, start, block)
+                blk_artist = jax.lax.dynamic_slice_in_dim(artists_p, start, block)
+                return affinity_scores(ctx_embed, blk_embed, blk_album, blk_artist,
+                                       album_ctx, artist_ctx)
 
-        if cfg.eval_fused_bins:
-            from esrecsys_tpu.retrieval.fused import (
-                NEG_INF, binned_affinity_candidates)
+            def score_items(cand):  # (B, n) item indices, exact rescore
+                return affinity_scores(
+                    ctx_embed, corpus_embed[cand], albums_p[cand],
+                    artists_p[cand], album_ctx, artist_ctx,
+                    precision=jax.lax.Precision.HIGHEST)
 
-            # fused scan+select over the packed corpus; same candidate →
-            # exact-rescore contract as the serving fused mode
-            vals2, ids2 = binned_affinity_candidates(
-                ctx_embed, packed, corpus["albums"], corpus["artists"],
-                album_ctx, artist_ctx, num_items,
-                num_bins=_eval_fused_bins(cfg))
-            k_eff = min(cfg.eval_k, num_items)
-            bvals, sel = jax.lax.top_k(vals2, k_eff)
-            cand = jnp.take_along_axis(ids2, sel, axis=-1)
-            exact = jnp.where(jnp.isfinite(bvals), score_items(cand),
-                              NEG_INF)
-            top_vals, order = jax.lax.top_k(exact, k_eff)
-            top_idx = jnp.take_along_axis(cand, order, axis=-1)
-            if k_eff < cfg.eval_k:  # tiny corpora: pad like the siblings
-                padw = ((0, 0), (0, cfg.eval_k - k_eff))
-                top_vals = jnp.pad(top_vals, padw, constant_values=NEG_INF)
-                top_idx = jnp.pad(top_idx, padw)
-        elif cfg.eval_group:
-            top_vals, top_idx = chunked_grouped_topk(
-                score_block, score_items, num_items, cfg.eval_k, block,
-                group=cfg.eval_group)
+            if cfg.eval_fused_bins:
+                from esrecsys_tpu.retrieval.fused import (
+                    NEG_INF, binned_affinity_candidates)
+
+                # fused scan+select over the packed corpus; same candidate →
+                # exact-rescore contract as the serving fused mode
+                vals2, ids2 = binned_affinity_candidates(
+                    ctx_embed, packed, corpus["albums"], corpus["artists"],
+                    album_ctx, artist_ctx, num_items,
+                    num_bins=_eval_fused_bins(cfg))
+                k_eff = min(cfg.eval_k, num_items)
+                bvals, sel = jax.lax.top_k(vals2, k_eff)
+                cand = jnp.take_along_axis(ids2, sel, axis=-1)
+                exact = jnp.where(jnp.isfinite(bvals), score_items(cand),
+                                  NEG_INF)
+                top_vals, order = jax.lax.top_k(exact, k_eff)
+                top_idx = jnp.take_along_axis(cand, order, axis=-1)
+                if k_eff < cfg.eval_k:  # tiny corpora: pad like the siblings
+                    padw = ((0, 0), (0, cfg.eval_k - k_eff))
+                    top_vals = jnp.pad(top_vals, padw, constant_values=NEG_INF)
+                    top_idx = jnp.pad(top_idx, padw)
+            elif cfg.eval_group:
+                top_vals, top_idx = chunked_grouped_topk(
+                    score_block, score_items, num_items, cfg.eval_k, block,
+                    group=cfg.eval_group)
+            else:
+                top_vals, top_idx = chunked_topk(score_block, num_items,
+                                                 cfg.eval_k, block)
+            return top_vals, top_idx
+
+        B = ctx_embed.shape[0]
+        # the fused kernel bounds its own VMEM state via internal query
+        # chunking (binned_affinity_candidates query_chunk auto)
+        Bq = B if cfg.eval_fused_bins else min(B, _eval_query_chunk(cfg, block))
+        if Bq >= B:
+            top_vals, top_idx = topk_chunk(ctx_embed, album_ctx, artist_ctx)
         else:
-            top_vals, top_idx = chunked_topk(score_block, num_items,
-                                             cfg.eval_k, block)
+            Bp = mesh_lib.pad_to_multiple(B, Bq)
+            ce = jnp.pad(ctx_embed, ((0, Bp - B), (0, 0), (0, 0)))
+            # pad context ids with -1 so padded queries can't boost-match
+            ac = jnp.pad(album_ctx, ((0, Bp - B), (0, 0)), constant_values=-1)
+            rc = jnp.pad(artist_ctx, ((0, Bp - B), (0, 0)), constant_values=-1)
+            n = Bp // Bq
+            tv, ti = jax.lax.map(
+                lambda t: topk_chunk(*t),
+                (ce.reshape((n, Bq) + ce.shape[1:]),
+                 ac.reshape((n, Bq) + ac.shape[1:]),
+                 rc.reshape((n, Bq) + rc.shape[1:])))
+            top_vals = tv.reshape((Bp,) + tv.shape[2:])[:B]
+            top_idx = ti.reshape((Bp,) + ti.shape[2:])[:B]
         return _hit_metrics(batch, top_vals, top_idx, tracks, artists,
                             cfg.eval_k)
 

@@ -22,6 +22,35 @@ def test_mesh_bad_factorization():
         mesh_lib.make_mesh(n_data=3, n_model=2)
 
 
+class _FakeDev:
+    """Stand-in for a TPU device on a multi-slice topology."""
+
+    def __init__(self, i, slice_index=None):
+        self.id = i
+        if slice_index is not None:
+            self.slice_index = slice_index
+
+
+def test_model_axis_slice_guard_warns_on_dcn_hazard(caplog):
+    # model axis crossing slice boundaries -> per-step collectives on DCN
+    # (measured 0.47-0.57 efficiency, parity_runs/r4_scaling_hlo.json)
+    bad = np.array([[_FakeDev(0, 0), _FakeDev(1, 1)],
+                    [_FakeDev(2, 0), _FakeDev(3, 1)]])
+    with caplog.at_level("WARNING", logger="esrecsys_tpu.core.mesh"):
+        assert mesh_lib.warn_if_model_axis_spans_slices(bad)
+    assert any("DCN" in r.message for r in caplog.records)
+
+
+def test_model_axis_slice_guard_silent_when_intra_slice(caplog):
+    good = np.array([[_FakeDev(0, 0), _FakeDev(1, 0)],
+                     [_FakeDev(2, 1), _FakeDev(3, 1)]])
+    no_attr = np.array([[_FakeDev(0), _FakeDev(1)]])  # CPU: no slice_index
+    with caplog.at_level("WARNING", logger="esrecsys_tpu.core.mesh"):
+        assert not mesh_lib.warn_if_model_axis_spans_slices(good)
+        assert not mesh_lib.warn_if_model_axis_spans_slices(no_attr)
+    assert not caplog.records
+
+
 def test_data_sharding_places_batch(mesh8):
     x = jnp.arange(32.0).reshape(8, 4)
     xs = jax.device_put(x, mesh_lib.data_sharding(mesh8, ndim=2))

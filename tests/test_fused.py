@@ -123,6 +123,48 @@ def test_auto_bins_respects_vmem_budget():
     assert state <= 12 * 1024 * 1024
 
 
+def test_validate_fused_bins_floor():
+    # the batch-independent footprint + the minimum 8-query state is a
+    # floor query chunking cannot shrink; past it Mosaic lowering fails on
+    # real TPU — the validator turns that into a construction-time error
+    from esrecsys_tpu.retrieval.fused import validate_fused_bins
+
+    validate_fused_bins(4096, 64)  # the flagship serving shape fits
+    with pytest.raises(ValueError, match="VMEM"):
+        validate_fused_bins(1 << 20, 64)
+    # the kernel entry raises the same error instead of a Mosaic crash
+    q, items = _data(m=256)
+    with pytest.raises(ValueError, match="VMEM"):
+        binned_candidates(q, pack_catalog(items, 1 << 20), items.shape[0],
+                          num_bins=1 << 20)
+
+
+def test_server_construction_rejects_oversized_bins():
+    from esrecsys_tpu.retrieval.index import EmbeddingIndex
+    from esrecsys_tpu.serving.server import RetrievalService
+
+    rng = np.random.default_rng(0)
+    idx = EmbeddingIndex([f"i{j}" for j in range(64)],
+                         rng.normal(size=(64, 64)).astype(np.float32))
+    with pytest.raises(ValueError, match="VMEM"):
+        RetrievalService(idx, max_k=10, fused=True, fused_bins=1 << 20)
+
+
+def test_int8_rescore_requires_scales():
+    # int8 rescore rows without scales would silently score raw codes
+    q, items = _data(m=200)
+    codes, scales = pack_catalog_int8(items, num_bins=256)
+    q8 = np.clip(np.asarray(items) * 10, -127, 127).astype(np.int8)
+    with pytest.raises(ValueError, match="rescore_scales"):
+        binned_topk_over_matrix(q, jnp.asarray(q8), 10, num_bins=256,
+                                items_packed=codes, item_scales=scales)
+    with pytest.raises(ValueError, match="int8"):
+        binned_topk_over_matrix(
+            q, items, 10, num_bins=256, items_packed=codes,
+            item_scales=scales,
+            rescore_scales=jnp.ones((items.shape[0],), jnp.float32))
+
+
 # ---------------- int8 fused scan (pack_catalog_int8 / item_scales) --------
 
 
@@ -140,7 +182,6 @@ def test_int8_scan_exact_when_catalog_fits_one_block():
         inter = set(np.asarray(fi[b]).tolist()) & set(
             np.asarray(ei[b]).tolist())
         assert len(inter) >= 9  # ±0.4%-of-row-max noise can swap near-ties
-    exact = np.asarray(items)[np.asarray(fi)] @ np.asarray(q).T
     got = np.einsum("bkd,bd->bk", np.asarray(items)[np.asarray(fi)],
                     np.asarray(q))
     np.testing.assert_allclose(np.asarray(fv), got, rtol=1e-5)

@@ -70,3 +70,29 @@ def test_auto_scatter_byte_cap_falls_back_to_plain(monkeypatch):
     np.testing.assert_allclose(np.asarray(got)[np.asarray(ids)],
                                np.asarray(table.at[ids].add(upd))[np.asarray(ids)],
                                rtol=1e-6)
+
+
+def test_vmem_scatter_matches_xla_interpret():
+    # the round-5 bin-into-VMEM attempt (VERDICT r4 #3): exactness oracle
+    from esrecsys_tpu.ops.scatter import vmem_scatter_add_phys
+
+    rng = np.random.default_rng(3)
+    R, N, dim = 512, 700, 32  # R*dim/128 = 128 physical rows
+    pack = 128 // dim
+    table = jnp.asarray(rng.normal(size=(R, dim)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, R, N), jnp.int32)
+    upd = jnp.asarray(rng.normal(size=(N, dim)).astype(np.float32))
+    want = table.at[ids].add(upd)
+    got_p = vmem_scatter_add_phys(table.reshape(R // pack, 128), ids, upd,
+                                  dim, chunk=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p).reshape(R, dim),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_vmem_scatter_rejects_oversized_table():
+    from esrecsys_tpu.ops.scatter import vmem_scatter_add_phys
+
+    big = jnp.zeros((40_000, 128), jnp.float32)  # 19.5 MiB > budget
+    with pytest.raises(ValueError, match="VMEM"):
+        vmem_scatter_add_phys(big, jnp.zeros((8,), jnp.int32),
+                              jnp.zeros((8, 32), jnp.float32), 32)
