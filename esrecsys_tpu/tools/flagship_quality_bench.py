@@ -113,13 +113,18 @@ def main(argv=None):
         sparse_updates=True, momentum=0.98, learning_rate=0.004,
         compute_dtype="bfloat16", steps_per_call=args.spc)
     configs = {
-        "m98_packed": quality,
-        "m98_logical": dataclasses.replace(quality, packed_tables="off"),
+        # momentum_carrier auto resolves to the r5 DENSE carrier here:
+        # sparse row grads + full-buffer momentum decay (no sort/catch-up)
+        "m98_sparse_densecarrier_packed": quality,
+        "m98_sparse_densecarrier_logical": dataclasses.replace(
+            quality, packed_tables="off"),
+        "m98_lazy_packed": dataclasses.replace(
+            quality, momentum_carrier="lazy"),
         "m0_packed": dataclasses.replace(
             quality, momentum=0.0, learning_rate=0.3),
     }
     if not args.skip_dense:
-        configs["m98_dense"] = dataclasses.replace(
+        configs["m98_dense_step"] = dataclasses.replace(
             quality, sparse_updates=False, packed_tables="off")
 
     out = {}

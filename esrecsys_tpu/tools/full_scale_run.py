@@ -60,10 +60,13 @@ def flagship_cfg(args):
         work_dir=args.out_dir,
         feature_size=32, album_hash_buckets=ALBUM_BUCKETS,
         num_artists=NUM_ARTISTS, num_negatives=512, shared_negatives=True,
-        # the measured-best fast config (PARITY_RUNS.md r3): exact lazy
-        # SGD-momentum 0.98 beats the reference shape at equal chip-time,
-        # so the composed run measures the config users should actually run
-        sparse_updates=True, momentum=0.98, learning_rate=0.004,
+        # the measured-best quality config (PARITY_RUNS.md fast r3: recall
+        # @500 0.632 beats the reference's 0.602): SGD-momentum 0.98,
+        # lr 0.004 — step/carrier selectable so the composed run measures
+        # the fastest layout that holds the same trajectory
+        # (BENCHMARKS.md r5 quality-config table)
+        sparse_updates=not args.dense_step, momentum=args.momentum,
+        learning_rate=args.lr, momentum_carrier=args.momentum_carrier,
         compute_dtype="bfloat16", batch_size=args.batch_size,
         context_size=5, max_next=args.max_next, max_steps=args.steps,
         log_every_steps=2000, eval_every_steps=args.eval_every,
@@ -424,6 +427,15 @@ def main(argv=None):
                         "(retrieval/fused.py; approx — expected lost items "
                         "C(k,3)/L^2) instead of the exact grouped scan")
     p.add_argument("--ckpt_every", type=int, default=10_000)
+    p.add_argument("--momentum", type=float, default=0.98)
+    p.add_argument("--lr", type=float, default=0.004)
+    p.add_argument("--momentum_carrier", default="auto",
+                   choices=["auto", "dense", "lazy"])
+    p.add_argument("--dense_step", action="store_true",
+                   help="sparse_updates=False: the full dense train step "
+                        "(optax SGD-momentum, the reference's optimizer "
+                        "shape — fastest momentum config on chip, "
+                        "BENCHMARKS.md r5)")
     p.add_argument("--feed", default="device", choices=["device", "host"])
     p.add_argument("--n_shards", type=int, default=4)
     p.add_argument("--shard_examples", type=int, default=262_144)

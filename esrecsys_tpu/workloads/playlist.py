@@ -68,6 +68,16 @@ class PlaylistConfig:
     sparse_updates: bool = False  # row-sparse updates: grads stay row-shaped
     # and scatter straight into the tables; momentum>0 uses the exact lazy
     # catch-up scheme (ops/optim.py) — read via settled_params for eval/export
+    momentum_carrier: str = "auto"  # "auto"|"dense"|"lazy": how sparse_updates
+    # carries momentum state. "dense": decay the FULL momentum buffer each
+    # step and scatter the row grads into it (2 elementwise table passes +
+    # 1 row scatter — no sort, no catch-up; exact optax/reference
+    # trajectory, rows always settled). "lazy": the exact lazy catch-up
+    # scheme — only touched rows pay, the fit for tables whose dense pass
+    # is the bottleneck (100M-row scale), but its per-step argsort + triple
+    # scatter costs ~20x at flagship scale (BENCHMARKS.md r5: 36.9k vs
+    # 292.6k ex/s). auto = dense when every table fits
+    # DENSE_MOMENTUM_MAX_BYTES, else lazy.
     gather_kernel: bool = False  # sparse step row gathers through the
     # Pallas per-row-DMA kernel (ops/lookup.gather_rows) instead of XLA's
     # gather — measured in BENCHMARKS.md's gather study: loses at every
@@ -224,6 +234,29 @@ def make_train_step(model: PlaylistModel, cfg: PlaylistConfig, corpus: Dict[str,
     return train_step
 
 
+# Above this per-table byte size the dense momentum carrier's two full
+# elementwise passes per step stop being negligible and the lazy scheme
+# takes over (auto mode). 1 GB ~ 0.6 ms/pass more than an order below the
+# lazy path's fixed sort+triple-scatter cost at flagship id counts.
+DENSE_MOMENTUM_MAX_BYTES = 1_000_000_000
+
+
+def use_dense_momentum(cfg: PlaylistConfig) -> bool:
+    """Resolve ``cfg.momentum_carrier`` for the row-sparse momentum step."""
+    if not (cfg.sparse_updates and cfg.momentum):
+        return False
+    mode = getattr(cfg, "momentum_carrier", "auto")
+    if mode == "dense":
+        return True
+    if mode == "lazy":
+        return False
+    if mode != "auto":
+        raise ValueError(f"momentum_carrier must be auto|dense|lazy, "
+                         f"got {mode!r}")
+    biggest = max(cfg.album_hash_buckets, cfg.num_artists)
+    return biggest * cfg.feature_size * 4 <= DENSE_MOMENTUM_MAX_BYTES
+
+
 def use_packed_tables(cfg: PlaylistConfig) -> bool:
     """Resolve ``cfg.packed_tables`` ("auto"/"on"/"off") to a decision.
 
@@ -287,11 +320,12 @@ def packed_state_transforms(cfg: PlaylistConfig):
         p["artist_embed"] = {"embedding": f(p["artist_embed"]["embedding"])}
         if not mom:
             return state.replace(params=p)
-        # lazy-momentum state rides packed too: momentum like the table,
-        # last_step in the (R/128, 128) scalar layout (requires the
-        # rows_multiple=128 padding init_state applies under packed)
-        os = {ax: {"momentum": f(s["momentum"]),
-                   "last_step": f_scalar(s["last_step"])}
+        # momentum state rides packed too: the carrier like its table;
+        # lazy adds last_step in the (R/128, 128) scalar layout (requires
+        # the rows_multiple=128 padding init_state applies under packed)
+        os = {ax: ({"momentum": f(s["momentum"])} if "last_step" not in s
+                   else {"momentum": f(s["momentum"]),
+                         "last_step": f_scalar(s["last_step"])})
               for ax, s in state.opt_state.items()}
         return state.replace(params=p, opt_state=os)
 
@@ -328,6 +362,7 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
     neg_artists = corpus["artists"]
     n_albums = cfg.album_hash_buckets
     packed = use_packed_tables(cfg)
+    dense_mom = use_dense_momentum(cfg)
     D = cfg.feature_size
 
     def train_step(state: TrainState, batch):
@@ -376,9 +411,10 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
         else:
             rows_alb = jnp.take(t_alb, alb_ids, axis=0)
             rows_art = jnp.take(t_art, art_ids, axis=0)
-        if cfg.momentum:
+        if cfg.momentum and not dense_mom:
             # forward must see SETTLED rows (raw + pending momentum catch-up)
             # or grads are taken at stale params — see ops/optim.py
+            # (dense-carrier rows are ALWAYS settled; no catch-up exists)
             from esrecsys_tpu.ops import optim
 
             if is_packed:
@@ -417,6 +453,35 @@ def make_sparse_train_step(model: PlaylistModel, cfg: PlaylistConfig,
 
         lr = cfg.learning_rate
         new_params = dict(state.params)
+        if cfg.momentum and dense_mom:
+            # Sparse-grad + DENSE momentum carrier: m <- mu*m then
+            # scatter-add the row grads (duplicates sum, exactly as the
+            # dense autodiff gradient would), then p <- p - lr*m as one
+            # fused elementwise pass. No sort, no catch-up state, the
+            # exact optax.sgd(momentum) trajectory
+            # (train_spotify.py:238-243) — measured 14x the lazy carrier
+            # at flagship scale (BENCHMARKS.md r5 quality-config table).
+            from esrecsys_tpu.ops import scatter as scatter_ops
+
+            shd = cfg.n_model_shards > 1
+            m_alb = cfg.momentum * state.opt_state["album"]["momentum"]
+            m_art = cfg.momentum * state.opt_state["artist"]["momentum"]
+            if is_packed:
+                m_alb = scatter_ops.packed_scatter_add_phys(
+                    m_alb, alb_ids, g_alb, D)
+                m_art = scatter_ops.packed_scatter_add_phys(
+                    m_art, art_ids, g_art, D)
+            else:
+                m_alb = scatter_ops.auto_scatter_add(
+                    m_alb, alb_ids, g_alb, allow_packed=not shd)
+                m_art = scatter_ops.auto_scatter_add(
+                    m_art, art_ids, g_art, allow_packed=not shd)
+            new_params["album_embed"] = {"embedding": t_alb - lr * m_alb}
+            new_params["artist_embed"] = {"embedding": t_art - lr * m_art}
+            return state.replace(
+                step=state.step + 1, params=new_params,
+                opt_state={"album": {"momentum": m_alb},
+                           "artist": {"momentum": m_art}}), metrics
         if cfg.momentum:
             from esrecsys_tpu.ops import optim
 
@@ -467,8 +532,8 @@ def settled_params(state: TrainState, cfg: PlaylistConfig):
     params equal the dense SGD-momentum trajectory at ``state.step`` — use
     for eval and export. No-op for other configs.
     """
-    if not (cfg.sparse_updates and cfg.momentum):
-        return state.params
+    if not (cfg.sparse_updates and cfg.momentum) or use_dense_momentum(cfg):
+        return state.params  # dense-carrier rows are always settled
     from esrecsys_tpu.ops import optim
 
     p = dict(state.params)
@@ -490,8 +555,9 @@ def settle_momentum_state(state: TrainState, cfg: PlaylistConfig,
     piecewise-constant lr schedule stays exactly the dense SGD-momentum
     trajectory of that stepwise schedule. No-op for other configs.
     """
-    if not (cfg.sparse_updates and cfg.momentum):
-        return state
+    if not (cfg.sparse_updates and cfg.momentum) or use_dense_momentum(cfg):
+        return state  # dense carrier: no catch-up exists; lr can change
+        # freely between steps, exactly like optax
     from esrecsys_tpu.ops import optim
 
     lr = cfg.learning_rate if lr is None else lr
@@ -562,7 +628,7 @@ def _settled_ctx_embed(state: TrainState, cfg: PlaylistConfig,
     Settles ONLY the gathered context rows (O(B·C)) instead of flushing the
     full tables per eval batch — the round-level corpus matrix is already
     settled once by :func:`make_corpus_embed_setup`."""
-    if not (cfg.sparse_updates and cfg.momentum):
+    if not (cfg.sparse_updates and cfg.momentum) or use_dense_momentum(cfg):
         return state.apply_fn(
             {"params": state.params}, album_ctx, artist_ctx,
             method=PlaylistModel.get_embeddings)
@@ -791,12 +857,36 @@ def make_sharded_eval_step(model: PlaylistModel, cfg: PlaylistConfig,
                                        batch["artist_context"])
         if corpus_embed is None:
             corpus_embed = setup(state)
-        top_vals, top_idx = sharded_scored_topk(
-            (ctx_embed, batch["album_context"], batch["artist_context"]),
-            (corpus_embed, albums_p, artists_p),
-            score_fn, cfg.eval_k, mesh, block, valid_items=num_items,
-            group=cfg.eval_group,
-        )
+
+        def topk_chunk(ce, ac, rc):
+            return sharded_scored_topk(
+                (ce, ac, rc), (corpus_embed, albums_p, artists_p),
+                score_fn, cfg.eval_k, mesh, block, valid_items=num_items,
+                group=cfg.eval_group,
+            )
+
+        # same per-block (Bq, block, C) tile bound as the unsharded exact
+        # eval (each shard scores the full batch against its local rows)
+        B = ctx_embed.shape[0]
+        Bq = min(B, _eval_query_chunk(cfg, block))
+        if Bq >= B:
+            top_vals, top_idx = topk_chunk(
+                ctx_embed, batch["album_context"], batch["artist_context"])
+        else:
+            Bp = mesh_lib.pad_to_multiple(B, Bq)
+            ce = jnp.pad(ctx_embed, ((0, Bp - B), (0, 0), (0, 0)))
+            ac = jnp.pad(batch["album_context"], ((0, Bp - B), (0, 0)),
+                         constant_values=-1)
+            rc = jnp.pad(batch["artist_context"], ((0, Bp - B), (0, 0)),
+                         constant_values=-1)
+            n = Bp // Bq
+            tv, ti = jax.lax.map(
+                lambda t: topk_chunk(*t),
+                (ce.reshape((n, Bq) + ce.shape[1:]),
+                 ac.reshape((n, Bq) + ac.shape[1:]),
+                 rc.reshape((n, Bq) + rc.shape[1:])))
+            top_vals = tv.reshape((Bp,) + tv.shape[2:])[:B]
+            top_idx = ti.reshape((Bp,) + ti.shape[2:])[:B]
         return _hit_metrics(batch, top_vals, top_idx, tracks, artists,
                             cfg.eval_k)
 
@@ -858,10 +948,20 @@ def init_state(cfg: PlaylistConfig, mesh) -> Tuple[PlaylistModel, TrainState]:
     if cfg.sparse_updates and cfg.momentum:
         from esrecsys_tpu.ops import optim
 
-        state = state.replace(opt_state={
-            "album": optim.momentum_init(params["album_embed"]["embedding"]),
-            "artist": optim.momentum_init(params["artist_embed"]["embedding"]),
-        })
+        if use_dense_momentum(cfg):
+            # dense carrier: one momentum buffer per table (the optax
+            # trace), sharded like its table; no last_step exists
+            state = state.replace(opt_state={
+                "album": {"momentum": optim.momentum_init(
+                    params["album_embed"]["embedding"])["momentum"]},
+                "artist": {"momentum": optim.momentum_init(
+                    params["artist_embed"]["embedding"])["momentum"]},
+            })
+        else:
+            state = state.replace(opt_state={
+                "album": optim.momentum_init(params["album_embed"]["embedding"]),
+                "artist": optim.momentum_init(params["artist_embed"]["embedding"]),
+            })
     return model, state
 
 

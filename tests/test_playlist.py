@@ -256,6 +256,20 @@ def test_sharded_eval_matches_unsharded(tiny_mpd):
         np.testing.assert_allclose(
             float(plain[metric]), float(sharded[metric]), rtol=1e-5,
             err_msg=metric)
+    # sharded eval under a forced tiny tile budget (query chunking) is
+    # metric-identical too (the same bound as the unsharded exact path);
+    # B=12 > the 8-query chunk floor so chunking actually engages
+    import dataclasses as _dc
+
+    batch12 = {k: np.concatenate([np.asarray(v)] * 3) for k, v in batch.items()}
+    cfg_c = _dc.replace(cfg, eval_score_tile_bytes=1)
+    assert pl._eval_query_chunk(cfg_c, 8) < 12
+    full = jax.jit(pl.make_sharded_eval_step(model, cfg, corpus, mesh))(
+        state, batch12)
+    chunked = jax.jit(pl.make_sharded_eval_step(model, cfg_c, corpus, mesh))(
+        state, batch12)
+    np.testing.assert_allclose(float(chunked["track_recall"]),
+                               float(full["track_recall"]), rtol=1e-6)
 
 
 def _rand_batch(rng, b, c, m, nalb=50, nart=40, ntrk=100):
@@ -465,14 +479,27 @@ def test_sparse_step_matches_dense_step():
                 rtol=2e-5, atol=1e-7, err_msg=f"{name} shared={shared}")
 
 
-def test_sparse_momentum_init_state_carries_lazy_state():
-    cfg = pl.PlaylistConfig(feature_size=4, album_hash_buckets=10,
-                            num_artists=10, momentum=0.9, sparse_updates=True)
+def test_sparse_momentum_init_state_carries_momentum_state():
+    base = dict(feature_size=4, album_hash_buckets=10,
+                num_artists=10, momentum=0.9, sparse_updates=True)
+    # auto resolves to the DENSE carrier at flagship-or-smaller tables
+    # (r5: the lazy argsort+triple-scatter costs ~20x there): momentum
+    # buffer only, no last_step
+    cfg = pl.PlaylistConfig(**base)
+    assert pl.use_dense_momentum(cfg)
     _, state = pl.init_state(cfg, mesh=None)
     assert set(state.opt_state.keys()) == {"album", "artist"}
     # rows 128-padded at creation (packed physical layouts, use_packed_tables)
     assert state.opt_state["album"]["momentum"].shape == (128, 4)
-    assert state.opt_state["album"]["last_step"].dtype == jnp.int32
+    assert "last_step" not in state.opt_state["album"]
+    # explicit lazy carrier keeps the catch-up state
+    cfg_l = pl.PlaylistConfig(**base, momentum_carrier="lazy")
+    assert not pl.use_dense_momentum(cfg_l)
+    _, state_l = pl.init_state(cfg_l, mesh=None)
+    assert state_l.opt_state["album"]["last_step"].dtype == jnp.int32
+    # auto flips to lazy past the dense-buffer byte cap
+    cfg_big = pl.PlaylistConfig(**{**base, "num_artists": 500_000_000})
+    assert not pl.use_dense_momentum(cfg_big)
 
 
 def test_packed_pipeline_roundtrip(tiny_mpd):
@@ -518,14 +545,16 @@ def test_train_routes_packed_pattern(tiny_mpd, tmp_path):
     assert np.isfinite(result.last_train_metrics["train_loss"])
 
 
-def test_sparse_momentum_matches_dense_momentum():
-    """Sparse lazy-momentum trajectory == dense optax momentum after settle."""
+@pytest.mark.parametrize("carrier", ["dense", "lazy"])
+def test_sparse_momentum_matches_dense_momentum(carrier):
+    """Sparse momentum trajectory == dense optax momentum after settle —
+    for BOTH carriers (dense buffer and exact lazy catch-up)."""
     rng = np.random.default_rng(5)
     cfg = pl.PlaylistConfig(
         feature_size=4, album_hash_buckets=50, num_artists=40,
         num_negatives=6, batch_size=3, context_size=3, max_next=4,
         momentum=0.9, learning_rate=0.05, shared_negatives=True,
-        sparse_updates=True)
+        sparse_updates=True, momentum_carrier=carrier)
     cfg_dense = pl.PlaylistConfig(**{**cfg.__dict__, "sparse_updates": False})
     model, state_d = pl.init_state(cfg_dense, mesh=None)
     _, state_s = pl.init_state(cfg, mesh=None)
@@ -546,15 +575,19 @@ def test_sparse_momentum_matches_dense_momentum():
             rtol=1e-4, atol=1e-6, err_msg=name)
 
 
-def test_eval_with_lazy_momentum_settles_rows():
+@pytest.mark.parametrize("carrier", ["dense", "lazy"])
+def test_eval_with_momentum_settles_rows(carrier):
     """Eval under sparse+momentum must use settled values: recall computed
-    via the eval step equals recall computed from settled_params directly."""
+    via the eval step equals recall computed from settled_params directly.
+    (Trivially true for the dense carrier — rows are always settled — but
+    the same assertion guards both code paths.)"""
     rng = np.random.default_rng(6)
     cfg = pl.PlaylistConfig(
         feature_size=4, album_hash_buckets=50, num_artists=40,
         num_negatives=6, batch_size=3, context_size=3, max_next=4,
         momentum=0.9, learning_rate=0.1, shared_negatives=True,
-        sparse_updates=True, eval_k=5, corpus_block=16, eval_group=4)
+        sparse_updates=True, eval_k=5, corpus_block=16, eval_group=4,
+        momentum_carrier=carrier)
     model, state = pl.init_state(cfg, mesh=None)
     corpus = _tiny_corpus(rng)
     step = jax.jit(pl.make_sparse_train_step(model, cfg, corpus, jax.random.PRNGKey(3)))
@@ -608,7 +641,7 @@ def test_checkpoint_resume_with_lazy_momentum(tmp_path):
         feature_size=4, album_hash_buckets=50, num_artists=40,
         num_negatives=6, batch_size=3, context_size=3, max_next=4,
         momentum=0.9, learning_rate=0.05, shared_negatives=True,
-        sparse_updates=True)
+        sparse_updates=True, momentum_carrier="lazy")
     model, state = pl.init_state(cfg, mesh=None)
     corpus = _tiny_corpus(rng)
     step = jax.jit(pl.make_sparse_train_step(model, cfg, corpus, jax.random.PRNGKey(2)))
@@ -825,26 +858,31 @@ def test_packed_tables_auto_gating():
             pl.PlaylistConfig(**{**base, "n_model_shards": 2, "packed_tables": "on"}))
 
 
-def test_packed_momentum_sparse_step_matches_unpacked_trajectory():
-    """Packed lazy SGD-momentum (tables + catch-up state in physical
-    layout) must reproduce the logical lazy-momentum trajectory — which is
-    itself proven equal to dense momentum (test_sparse_momentum_*)."""
+@pytest.mark.parametrize("carrier", ["dense", "lazy"])
+def test_packed_momentum_sparse_step_matches_unpacked_trajectory(carrier):
+    """Packed SGD-momentum (tables + carrier state in physical layout)
+    must reproduce the logical trajectory — which is itself proven equal
+    to dense momentum (test_sparse_momentum_*) — for BOTH carriers."""
     rng = np.random.default_rng(12)
     cfg = pl.PlaylistConfig(
         feature_size=4, album_hash_buckets=50, num_artists=40,
         num_negatives=6, batch_size=3, context_size=3, max_next=4,
         momentum=0.9, learning_rate=0.05, shared_negatives=True,
-        sparse_updates=True, steps_per_call=4)
+        sparse_updates=True, steps_per_call=4, momentum_carrier=carrier)
     assert pl.use_packed_tables(cfg)
+    lazy = carrier == "lazy"
     model, state_l = pl.init_state(cfg, mesh=None)
     _, state_p = pl.init_state(cfg, mesh=None)
-    assert state_l.opt_state["artist"]["last_step"].shape == (128,)
+    if lazy:
+        assert state_l.opt_state["artist"]["last_step"].shape == (128,)
     step = pl.make_sparse_train_step(model, cfg, _tiny_corpus(rng),
                                      jax.random.PRNGKey(7))
     pack, unpack = pl.packed_state_transforms(cfg)
     batch = _rand_batch(rng, 3, 3, 4)
     state_p = jax.jit(pack)(state_p)
-    assert state_p.opt_state["artist"]["last_step"].shape == (1, 128)
+    assert state_p.opt_state["artist"]["momentum"].shape[-1] == 128
+    if lazy:
+        assert state_p.opt_state["artist"]["last_step"].shape == (1, 128)
     for _ in range(4):
         state_l, ml = jax.jit(step)(state_l, batch)
         state_p, mp = jax.jit(step)(state_p, batch)
@@ -860,6 +898,7 @@ def test_packed_momentum_sparse_step_matches_unpacked_trajectory():
             np.asarray(state_l.opt_state[ax]["momentum"]),
             np.asarray(state_p.opt_state[ax]["momentum"]),
             rtol=2e-5, atol=1e-7, err_msg=ax)
-        np.testing.assert_array_equal(
-            np.asarray(state_l.opt_state[ax]["last_step"]),
-            np.asarray(state_p.opt_state[ax]["last_step"]), err_msg=ax)
+        if lazy:
+            np.testing.assert_array_equal(
+                np.asarray(state_l.opt_state[ax]["last_step"]),
+                np.asarray(state_p.opt_state[ax]["last_step"]), err_msg=ax)
