@@ -52,17 +52,52 @@ def warn_cpu_fallback(logger=None) -> str | None:
     return note
 
 
-def cpu_fallback_note() -> str | None:
-    """If the configured platform is axon but the relay is dead, configure
-    jax for CPU and return a human-readable note; otherwise return None.
+def device_responsive(timeout: float | None = None) -> bool:
+    """True if a SUBPROCESS completes a tiny op on the axon device in time.
 
-    Imports jax only when the axon platform is requested (the probe itself
-    is stdlib-only). ``jax.config.update`` is required — assigning
+    The port probe alone is insufficient: the local relay can accept TCP
+    while the remote orchestrator/device is wedged (observed round 5 after
+    a client was SIGTERM'd mid-DMA — claims then hang for ~an hour). The
+    axon client blocks uninterruptibly in C++, so the only safe probe is a
+    killable subprocess. Costs one extra device attach (~15-60 s) when
+    healthy; override the wait with ESRECSYS_AXON_PROBE_TIMEOUT (seconds,
+    0 disables the probe and trusts the port check).
+    """
+    if timeout is None:
+        timeout = float(os.environ.get("ESRECSYS_AXON_PROBE_TIMEOUT", 180))
+    if timeout <= 0:
+        return True
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jnp.ones((2, 2)).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def cpu_fallback_note() -> str | None:
+    """If the configured platform is axon but the relay is dead OR the
+    device is unresponsive, configure jax for CPU and return a note;
+    otherwise return None.
+
+    Imports jax only when the axon platform is requested (the probes are
+    stdlib-only). ``jax.config.update`` is required — assigning
     ``os.environ['JAX_PLATFORMS']`` after the pin is ignored (CLAUDE.md).
     """
-    if os.environ.get("JAX_PLATFORMS", "") != "axon" or relay_alive():
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
         return None
+    if relay_alive():
+        if device_responsive():
+            return None
+        note = "cpu_fallback: axon relay up but device unresponsive"
+    else:
+        note = "cpu_fallback: axon relay unreachable"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    return "cpu_fallback: axon relay unreachable"
+    return note

@@ -108,3 +108,24 @@ def test_trackers(tmp_path):
     jt.finish()
     lines = (tmp_path / "run" / "metrics.jsonl").read_text().strip().splitlines()
     assert len(lines) == 1 and '"loss": 1.5' in lines[0]
+
+
+def test_axon_preflight_probe_modes(monkeypatch):
+    from esrecsys_tpu import axon_preflight as ap
+
+    # non-axon platform: never falls back
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert ap.cpu_fallback_note() is None
+    # probe disabled by env knob
+    monkeypatch.setenv("ESRECSYS_AXON_PROBE_TIMEOUT", "0")
+    assert ap.device_responsive() is True
+    # port-alive but device wedged -> fallback note (probe mocked dead)
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("ESRECSYS_AXON_PROBE_TIMEOUT", "5")
+    monkeypatch.setattr(ap, "relay_alive", lambda: True)
+    monkeypatch.setattr(ap, "device_responsive", lambda: False)
+    note = ap.cpu_fallback_note()
+    assert note and "unresponsive" in note
+    # dead ports -> the original note
+    monkeypatch.setattr(ap, "relay_alive", lambda: False)
+    assert "unreachable" in ap.cpu_fallback_note()
