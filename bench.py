@@ -194,18 +194,18 @@ def main():
     )
     model, state = pl.init_state(cfg, mesh=None)
     train_step = pl.select_train_step(model, cfg, corpus, prng.base_key(0))
-    # 128-lane packed physical tables across the scan (both the gathers and
-    # the scatters then pay per PHYSICAL row — BENCHMARKS.md gather study);
-    # same state_pack/state_unpack transform fit() installs
+    # 128-lane packed physical tables, packed ONCE for the whole run (the
+    # same pack-once discipline fit() uses): the (R, D) <-> (R*D/128, 128)
+    # reshape is a materialized TPU relayout whose per-dispatch cost
+    # measured 733k -> 814k ex/s on this very bench when moved out of the
+    # dispatch (BENCHMARKS.md r5 pack-boundary study)
     state_pack, state_unpack = pl.packed_state_transforms(cfg)
+    if state_pack is not None:
+        state = jax.jit(state_pack)(state)
 
     def multi_step(state, stacked):
-        if state_pack is not None:
-            state = state_pack(state)
         new_state, metrics = jax.lax.scan(
             lambda s, b: train_step(s, b), state, stacked)
-        if state_unpack is not None:
-            new_state = state_unpack(new_state)
         return new_state, metrics["loss"][-1]
 
     step = jax.jit(multi_step, donate_argnums=0)
@@ -270,6 +270,38 @@ def main():
         _ = jax.device_get(state1.params["album_embed"]["embedding"][:1, :1])
         ref = max(ref, n_ref / (time.perf_counter() - t0))
 
+    if state_unpack is not None:
+        state = jax.jit(state_unpack)(state)  # back to the logical layout
+
+    # ---- QUALITY flagship: the same config with the reference's SGD
+    # momentum 0.98 (dense carrier; trajectory exactly optax/
+    # train_spotify.py:238-243) — the config whose recall@500 0.632 beats
+    # the reference's 0.602 (PARITY_RUNS.md), measured here so ONE config
+    # carries both headline claims (VERDICT r4 missing #2)
+    import dataclasses as _dc
+
+    cfg_q = _dc.replace(cfg, momentum=0.98, learning_rate=0.004)
+    model_q, state_q = pl.init_state(cfg_q, mesh=None)
+    step_q = pl.select_train_step(model_q, cfg_q, corpus, prng.base_key(0))
+    pack_q, _ = pl.packed_state_transforms(cfg_q)
+    if pack_q is not None:
+        state_q = jax.jit(pack_q)(state_q)
+
+    def multi_q(state, stacked):
+        new_state, metrics = jax.lax.scan(
+            lambda s, b: step_q(s, b), state, stacked)
+        return new_state, metrics["loss"][-1]
+
+    stepq = jax.jit(multi_q, donate_argnums=0)
+    state_q, mq = stepq(state_q, stacked)
+    _ = jax.device_get(mq)
+    n_q = 5
+    t0 = time.perf_counter()
+    for _ in range(n_q):
+        state_q, mq = stepq(state_q, stacked)
+    _ = jax.device_get(mq)
+    quality_ex_s = n_q * SPC * B / (time.perf_counter() - t0)
+
     # Row-issue roofline (VERDICT r4 next #3): the honest companion to the
     # HBM fraction — full-step rate over the measured rate of a step that
     # issues ONLY the same table-row traffic (the real ceiling; see
@@ -316,6 +348,15 @@ def main():
                               "(bench.py _row_traffic_steps_per_sec); "
                               "rows/step = 2 tables x (gather+scatter) "
                               f"x {n_ids} ids"),
+        # ONE config holding both headline claims (VERDICT r4 #2): same
+        # batch/negatives/layout with the reference's SGD-momentum-0.98
+        # trajectory (dense carrier) — its recall@500 is 0.632 vs the
+        # reference shape's 0.602 at equal chip-time (PARITY_RUNS.md,
+        # 3 seeds); `value` above is the momentum-0 variant's ceiling
+        "quality_config_examples_per_sec": round(quality_ex_s, 2),
+        "quality_config_note": ("SGD momentum 0.98 lr 0.004, exact "
+                                "reference trajectory; recall@500 0.632 "
+                                "beats reference 0.602 (PARITY_RUNS.md)"),
     }
     if _PLATFORM_NOTE:
         out["platform_note"] = _PLATFORM_NOTE

@@ -61,10 +61,12 @@ def device_responsive(timeout: float | None = None) -> bool:
     axon client blocks uninterruptibly in C++, so the only safe probe is a
     killable subprocess. Costs one extra device attach (~15-60 s) when
     healthy; override the wait with ESRECSYS_AXON_PROBE_TIMEOUT (seconds,
-    0 disables the probe and trusts the port check).
+    0 disables the probe and trusts the port check). The default must
+    comfortably exceed the worst healthy attach (~2 min cold, CLAUDE.md) —
+    180 s false-positived once on a slow attach right after heavy runs.
     """
     if timeout is None:
-        timeout = float(os.environ.get("ESRECSYS_AXON_PROBE_TIMEOUT", 180))
+        timeout = float(os.environ.get("ESRECSYS_AXON_PROBE_TIMEOUT", 420))
     if timeout <= 0:
         return True
     import subprocess

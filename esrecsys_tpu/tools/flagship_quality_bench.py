@@ -45,15 +45,16 @@ def measure(cfg, corpus, spc: int, n_calls: int, rng) -> float:
 
     model, state = pl.init_state(cfg, mesh=None)
     train_step = pl.select_train_step(model, cfg, corpus, prng.base_key(0))
-    state_pack, state_unpack = pl.packed_state_transforms(cfg)
+    # pack ONCE for the whole run, like fit() (per-dispatch transforms
+    # measured 36.9k vs 661k ex/s on the momentum flagship — BENCHMARKS.md
+    # r5 pack-boundary study)
+    state_pack, _ = pl.packed_state_transforms(cfg)
+    if state_pack is not None:
+        state = jax.jit(state_pack)(state)
 
     def multi_step(state, stacked):
-        if state_pack is not None:
-            state = state_pack(state)
         new_state, metrics = jax.lax.scan(
             lambda s, b: train_step(s, b), state, stacked)
-        if state_unpack is not None:
-            new_state = state_unpack(new_state)
         return new_state, metrics["loss"][-1]
 
     step = jax.jit(multi_step, donate_argnums=0)

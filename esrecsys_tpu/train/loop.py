@@ -126,35 +126,24 @@ def fit(
             "steps_per_call=%d does not divide the remaining %d steps; the "
             "final call runs the %d-step tail (one extra compile at that "
             "scan length)", spc, remaining, remaining % spc)
-    # state_pack/state_unpack: optional in-jit layout transform applied
-    # around the step scan — e.g. reshaping embedding tables to their
-    # 128-lane physical view so per-step scatters hit fewer target rows
-    # (ops/optim.py pack_rows; the transform must wrap the WHOLE scan: a
-    # per-step reshape around a scatter re-materializes the table).
-    # Outside-visible state (eval/hooks/checkpoint) stays in logical layout.
+    # state_pack/state_unpack: optional in-jit layout transform — e.g.
+    # reshaping embedding tables to their 128-lane physical view so
+    # per-step scatters hit fewer target rows (ops/optim.py pack_rows).
+    # Applied ONCE for the whole run, not per dispatch: on TPU the
+    # (R, D) <-> (R*D/128, 128) reshape materializes a tiled relayout
+    # copy whose cost dwarfs the win it buys — per-dispatch transforms
+    # measured 36.9k vs 661k ex/s for the momentum flagship and 733k vs
+    # 814k for momentum-0 (BENCHMARKS.md r5 pack-boundary study). The
+    # loop instead trains on the packed state and unpacks a logical VIEW
+    # only at boundaries that need it (eval, hooks, checkpoint, return).
     if spc > 1:
         def multi_step(state, stacked_batch):
-            def body(s, b):
-                return train_step(s, b)
-
-            if state_pack is not None:
-                state = state_pack(state)
-            state, metrics = jax.lax.scan(body, state, stacked_batch)
-            if state_unpack is not None:
-                state = state_unpack(state)
-            return state, metrics
+            return jax.lax.scan(lambda s, b: train_step(s, b),
+                                state, stacked_batch)
 
         step_fn = multi_step
     else:
-        def one_step(state, batch):
-            if state_pack is not None:
-                state = state_pack(state)
-            state, metrics = train_step(state, batch)
-            if state_unpack is not None:
-                state = state_unpack(state)
-            return state, metrics
-
-        step_fn = one_step
+        step_fn = train_step
     # id-range guards: in "error" mode the step is checkify-functionalized so
     # an out-of-range embedding id raises on the host (ops/guards.py)
     from esrecsys_tpu.ops import guards as _guards
@@ -180,6 +169,23 @@ def fit(
 
     jit_eval = _jit_checked(eval_step)
     jit_eval_setup = _jit_checked(eval_setup_fn)
+
+    jit_pack = jax.jit(state_pack) if state_pack is not None else None
+    jit_unpack = (jax.jit(state_unpack)
+                  if state_unpack is not None else None)
+    if jit_pack is not None:
+        state = jit_pack(state)
+
+    # logical view of the (possibly packed) training state, computed at
+    # most once per dispatch and only when a boundary consumer fires
+    _lstate_cache: list = [None]
+
+    def lstate():
+        if jit_unpack is None:
+            return state
+        if _lstate_cache[0] is None:
+            _lstate_cache[0] = jit_unpack(state)
+        return _lstate_cache[0]
 
     timer = (
         StepTimer(examples_per_step * spc, window=max(log_every // spc, 1))
@@ -266,6 +272,7 @@ def fit(
                 err.throw()
             else:
                 state, metrics = jit_train(state, place(batch))
+            _lstate_cache[0] = None  # logical view is stale now
             step += cur
             steps_run += cur
             for k, v in metrics.items():
@@ -294,14 +301,15 @@ def fit(
             if jit_eval is not None and crossed(step, eval_every, cur):
                 acc: Dict[str, list] = {}
                 it = eval_iter_fn() if eval_iter_fn is not None else None
-                aux = (jit_eval_setup(state),) if jit_eval_setup is not None else ()
+                est = lstate()  # eval consumes the logical layout
+                aux = (jit_eval_setup(est),) if jit_eval_setup is not None else ()
                 for _ in range(eval_steps):
                     ebatch = next(it if it is not None else train_iter)
                     if multiproc:
                         # eval batches are also per-host slices; assemble them
                         # (single-process keeps the established un-placed path)
                         ebatch = place(ebatch, lead=0)
-                    em = jax.device_get(jit_eval(state, ebatch, *aux))
+                    em = jax.device_get(jit_eval(est, ebatch, *aux))
                     for k, v in em.items():
                         acc.setdefault(k, []).append(v)
                 last_eval = {f"eval_{k}": float(np.mean(v)) for k, v in acc.items()}
@@ -309,7 +317,7 @@ def fit(
 
             if hooks and crossed(step, hook_every, cur):
                 for hook in hooks:
-                    hook(state, step)
+                    hook(lstate(), step)
 
             if profiling and steps_run >= spc + profile_steps:
                 jax.block_until_ready(jax.tree_util.tree_leaves(metrics))
@@ -317,7 +325,9 @@ def fit(
                 profiling = False
 
             if checkpointer is not None and crossed(step, checkpoint_every, cur):
-                checkpointer.save(step, state)
+                # checkpoints always hold the LOGICAL layout so they restore
+                # across packed/unpacked configs (train/checkpoint.py)
+                checkpointer.save(step, lstate())
 
             # preemption: polled once per dispatch, AGREED across processes
             # (any host signalled => all stop here), so the tail save below
@@ -334,6 +344,7 @@ def fit(
 
     if profiling:
         jax.profiler.stop_trace()
+    state = lstate()  # hand back (and checkpoint) the logical layout
     if checkpointer is not None and steps_run:
         checkpointer.save(int(jax.device_get(state.step)), state)
     return FitResult(state, last_train, last_eval, steps_run, preempted)
