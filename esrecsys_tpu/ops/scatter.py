@@ -270,7 +270,7 @@ def vmem_scatter_add_phys(
     updates: jax.Array,    # (n, D)
     dim: int,
     *,
-    chunk: int = 512,
+    chunk: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Scatter-add through a VMEM-RESIDENT table: one Pallas kernel holds
@@ -285,11 +285,17 @@ def vmem_scatter_add_phys(
     tables whose packed form fits VMEM qualify (~13 MB → the flagship
     album table yes, the artist table no).
 
-    STATUS — measured on v5e at flagship shapes (BENCHMARKS.md round-5
-    scatter attempt): the serial per-update VMEM RMW loop is the new
-    bottleneck; see the table there before using. Kept as the measured
-    record of the bin-into-VMEM design point, like the per-row-DMA and
-    one-hot attempts.
+    STATUS — measured on v5e at flagship shapes
+    (parity_runs/r5_scatter_attempt.json, BENCHMARKS.md round-5 scatter
+    attempt): NEGATIVE RESULT. chunk<1024 fails Mosaic lowering on real
+    v5e (tpu_compile_helper exit 1; the CPU interpreter compiles all
+    chunks — hardware-only failure class). chunk=1024 compiles and at the
+    flagship album table (100k rows) runs 35.9 M rows/s vs XLA's packed
+    scatter at 34.3 M — a tie inside noise — and LOSES at 50k rows
+    (29.2 M vs 41.1 M): the serial per-update VMEM RMW loop replaces the
+    per-row HBM RMW cost one-for-one. XLA's scatter stays the production
+    path; kept as the measured record of the bin-into-VMEM design point,
+    like the per-row-DMA and one-hot attempts.
     """
     rows_phys, lanes = table_p.shape
     if lanes != 128 or 128 % dim:

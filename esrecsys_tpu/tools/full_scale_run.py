@@ -76,25 +76,52 @@ def flagship_cfg(args):
         steps_per_call=64, seed=0)
 
 
+_MIX1, _MIX2 = 2654435761, 2246822519  # Knuth/xxhash-style avalanche consts
+
+
+def mix_mod(ids, salt: int, mod: int, xp):
+    """Deterministic track-id → album/artist-id map, identical under numpy
+    (corpus construction) and jnp (in-jit batch synthesis).
+
+    Keeping the corpus functional lets the device feed compute a context
+    row's album/artist ids arithmetically instead of `jnp.take`-ing them
+    from the 2.26M-element corpus arrays — the gather version issued
+    ~846k scalar row reads per step (6 takes × (B·C + B·M) ids), which on
+    this row-issue-bound step dominated the measurement and is not part
+    of the modeled workload (a real feed arrives over PCIe, measured
+    separately: host pipeline ≥1M playlists/s, BENCHMARKS.md)."""
+    u32 = xp.uint32
+    h = ids.astype(u32) * u32(_MIX1) + u32(salt)
+    h = h ^ (h >> u32(15))
+    h = h * u32(_MIX2)
+    h = h ^ (h >> u32(13))
+    return (h % u32(mod)).astype(xp.int32)
+
+
 def synth_corpus(rng) -> dict:
+    ids = np.arange(NUM_TRACKS, dtype=np.int32)
     return {
-        "tracks": np.arange(NUM_TRACKS, dtype=np.int32),
-        "albums": rng.integers(0, NUM_ALBUMS_RAW, NUM_TRACKS).astype(np.int32),
-        "artists": rng.integers(0, NUM_ARTISTS, NUM_TRACKS).astype(np.int32),
+        "tracks": ids,
+        "albums": mix_mod(ids, 7, NUM_ALBUMS_RAW, np),
+        "artists": mix_mod(ids, 13, NUM_ARTISTS, np),
         "num_tracks": NUM_TRACKS, "num_albums": NUM_ALBUMS_RAW,
         "num_artists": NUM_ARTISTS,
     }
 
 
 def host_batch(rng, b, c, m):
-    ri = lambda hi, *s: rng.integers(0, hi, s).astype(np.int32)
+    # album/artist ids derived from the track rows through the same
+    # mix_mod map as synth_corpus: host-fed batches carry the same
+    # track-consistency invariant as the device feed
+    ctx = rng.integers(0, NUM_TRACKS, (b, c)).astype(np.int32)
+    nxt = rng.integers(0, NUM_TRACKS, (b, m)).astype(np.int32)
     return {
-        "track_context": ri(NUM_TRACKS, b, c),
-        "album_context": ri(NUM_ALBUMS_RAW, b, c),
-        "artist_context": ri(NUM_ARTISTS, b, c),
-        "next_track": ri(NUM_TRACKS, b, m),
-        "next_album": ri(NUM_ALBUMS_RAW, b, m),
-        "next_artist": ri(NUM_ARTISTS, b, m),
+        "track_context": ctx,
+        "album_context": mix_mod(ctx, 7, NUM_ALBUMS_RAW, np),
+        "artist_context": mix_mod(ctx, 13, NUM_ARTISTS, np),
+        "next_track": nxt,
+        "next_album": mix_mod(nxt, 7, NUM_ALBUMS_RAW, np),
+        "next_artist": mix_mod(nxt, 13, NUM_ARTISTS, np),
         "next_mask": np.ones((b, m), np.float32),
     }
 
@@ -157,22 +184,23 @@ def run_train(args) -> dict:
     model, state = pl.init_state(cfg, mesh=None)
     base_step = pl.select_train_step(model, cfg, corpus, prng.base_key(0))
     b, c, m = cfg.batch_size, cfg.context_size, cfg.max_next
-    albums_dev, artists_dev = corpus["albums"], corpus["artists"]
 
     def train_step(st, seed_batch):
         key = jax.random.fold_in(jax.random.PRNGKey(17), seed_batch["seed"])
         ks = jax.random.split(key, 2)
-        # contexts/nexts drawn as corpus rows so album/artist ids are
+        # contexts/nexts drawn as corpus rows; album/artist ids are
         # CONSISTENT with their track (the real pipeline's invariant)
+        # because synth_corpus is the same mix_mod map — computed here
+        # arithmetically, no corpus-array gathers (see mix_mod docstring)
         ctx_rows = jax.random.randint(ks[0], (b, c), 0, NUM_TRACKS)
         nxt_rows = jax.random.randint(ks[1], (b, m), 0, NUM_TRACKS)
         batch = {
             "track_context": ctx_rows,
-            "album_context": jnp.take(albums_dev, ctx_rows),
-            "artist_context": jnp.take(artists_dev, ctx_rows),
+            "album_context": mix_mod(ctx_rows, 7, NUM_ALBUMS_RAW, jnp),
+            "artist_context": mix_mod(ctx_rows, 13, NUM_ARTISTS, jnp),
             "next_track": nxt_rows,
-            "next_album": jnp.take(albums_dev, nxt_rows),
-            "next_artist": jnp.take(artists_dev, nxt_rows),
+            "next_album": mix_mod(nxt_rows, 7, NUM_ALBUMS_RAW, jnp),
+            "next_artist": mix_mod(nxt_rows, 13, NUM_ARTISTS, jnp),
             "next_mask": jnp.ones((b, m), jnp.float32),
         }
         return base_step(st, batch)
@@ -196,6 +224,11 @@ def run_train(args) -> dict:
     from esrecsys_tpu.core.tracking import make_tracker
 
     tracker = make_tracker(run_dir=tracker_dir, config=config_lib.to_dict(cfg))
+    # pack-once layout hooks, exactly as pl.train() wires them: without
+    # these the composed run trains in the logical layout, which measures
+    # 67k-153k ex/s vs the packed 665k at these shapes (BENCHMARKS.md r5
+    # pack-boundary study; the r5b chip run caught this at 152.7k steady)
+    state_pack, state_unpack = pl.packed_state_transforms(cfg)
     t0 = time.time()
     result = fit(
         state, train_step, seeds(), num_steps=cfg.max_steps,
@@ -205,6 +238,7 @@ def run_train(args) -> dict:
         eval_steps=1, log_every=cfg.log_every_steps, tracker=tracker,
         checkpointer=ckpt, checkpoint_every=cfg.checkpoint_every_steps,
         examples_per_step=cfg.batch_size, steps_per_call=cfg.steps_per_call,
+        state_pack=state_pack, state_unpack=state_unpack,
     )
     wall = time.time() - t0
     from esrecsys_tpu.train import export_model
@@ -226,7 +260,8 @@ def run_train(args) -> dict:
         res = fit(state, train_step, seeds(), num_steps=to_step,
                   log_every=cfg.log_every_steps, tracker=tracker,
                   examples_per_step=cfg.batch_size,
-                  steps_per_call=cfg.steps_per_call)
+                  steps_per_call=cfg.steps_per_call,
+                  state_pack=state_pack, state_unpack=state_unpack)
         do_export(res.state)
         return res.state
 
@@ -492,15 +527,28 @@ def main(argv=None):
 
     tr = run_train(args)
     sustained = tr["examples"] / tr["train_wall_s"]
+    res = tr["result"]
+    # cost split (train/loop.py FitResult stage accounting): sustained is
+    # the honest with-cadences number; steady subtracts the one-off jit
+    # compile (first dispatch; minutes through the tunnel) and the
+    # measured eval/ckpt stage walls to show the pure train-step rate the
+    # composition runs between cadence events
+    overhead = (res.first_dispatch_s + sum(res.eval_round_s)
+                + sum(res.ckpt_save_s))
+    steady_wall = max(tr["train_wall_s"] - overhead, 1e-9)
     out = {
         "feed": args.feed,
-        "steps": int(jax.device_get(tr["result"].state.step)),
+        "steps": int(jax.device_get(res.state.step)),
         "examples": tr["examples"],
         "train_wall_s": round(tr["train_wall_s"], 1),
         "sustained_examples_per_s": round(sustained, 1),
+        "first_dispatch_s": res.first_dispatch_s,
+        "eval_round_s": list(res.eval_round_s),
+        "ckpt_save_s": list(res.ckpt_save_s),
+        "steady_examples_per_s": round(tr["examples"] / steady_wall, 1),
         "eval_rounds": max(args.steps // args.eval_every, 0),
         "ckpt_saves": max(args.steps // args.ckpt_every, 0),
-        "last_eval": tr["result"].last_eval_metrics,
+        "last_eval": res.last_eval_metrics,
         "export_s": round(tr.get("export_s", 0.0), 1),
     }
     if not args.skip_serving:

@@ -92,14 +92,16 @@ def main(argv=None):
                     N / max(vm_s - rt / args.iters, 1e-9))
             except Exception as e:  # Mosaic lowering failures are data too
                 row[f"vmem_chunk{chunk}_error"] = str(e)[:200]
-        # correctness on chip (not just interpret): same inputs, one call
+        # correctness on chip (not just interpret): same inputs, one call,
+        # chunk=1024 — the only configuration that survives Mosaic
+        # lowering on real v5e (256/512 fail with compile-helper exit 1)
         want = np.asarray(jax.device_get(
             scatter.packed_scatter_add_phys(optim.pack_rows(table), ids,
                                             upd, D)))
         try:
             got = np.asarray(jax.device_get(
                 scatter.vmem_scatter_add_phys(optim.pack_rows(table), ids,
-                                              upd, D)))
+                                              upd, D, chunk=1024)))
             row["max_abs_diff"] = float(np.abs(got - want).max())
         except Exception as e:
             row["chip_error"] = str(e)[:200]

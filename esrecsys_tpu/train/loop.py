@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import time
 from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 
 import jax
@@ -32,6 +33,14 @@ class FitResult:
     # state WAS checkpointed at this step; callers should skip final
     # export/eval and exit promptly so the grace window is not overrun
     preempted: bool = False
+    # wall-clock accounting of the non-train stages, so composed runs can
+    # split "sustained ex/s WITH cadences" into its parts (the first entry
+    # of eval_round_s / the first dispatch carry the jit compiles — large
+    # on the tunneled chip, see CLAUDE.md): seconds per eval round, per
+    # checkpoint save, and of the first (compiling) train dispatch
+    eval_round_s: tuple = ()
+    ckpt_save_s: tuple = ()
+    first_dispatch_s: float = 0.0
 
 
 def fit(
@@ -257,6 +266,15 @@ def fit(
 
         return jax.tree_util.tree_map(put, batch)
 
+    # stage accounting for FitResult (composed-run cost split). Eval/ckpt
+    # walls are measured at the host: an eval round's first state read
+    # waits on ≤1 pending async train dispatch, so up to one dispatch of
+    # train time can be attributed to the round — small next to the round
+    # itself at the flagship shapes.
+    eval_round_s: list = []
+    ckpt_save_s: list = []
+    first_dispatch_s = 0.0
+
     if own_guard:
         guard.__enter__()
     try:
@@ -267,11 +285,15 @@ def fit(
                 profiling = True
             cur = min(spc, num_steps - step)  # final call may be the tail chunk
             batch = next(feed)
+            t_call = time.perf_counter() if steps_run == 0 else None
             if _throws:
                 err, (state, metrics) = jit_train(state, place(batch))
                 err.throw()
             else:
                 state, metrics = jit_train(state, place(batch))
+            if t_call is not None:
+                # first call traces+compiles synchronously before enqueuing
+                first_dispatch_s = time.perf_counter() - t_call
             _lstate_cache[0] = None  # logical view is stale now
             step += cur
             steps_run += cur
@@ -299,6 +321,7 @@ def fit(
                 timer.tick(examples_per_step * cur)
 
             if jit_eval is not None and crossed(step, eval_every, cur):
+                t_eval = time.perf_counter()
                 acc: Dict[str, list] = {}
                 it = eval_iter_fn() if eval_iter_fn is not None else None
                 est = lstate()  # eval consumes the logical layout
@@ -313,6 +336,7 @@ def fit(
                     for k, v in em.items():
                         acc.setdefault(k, []).append(v)
                 last_eval = {f"eval_{k}": float(np.mean(v)) for k, v in acc.items()}
+                eval_round_s.append(round(time.perf_counter() - t_eval, 3))
                 tracker.log(last_eval, step)
 
             if hooks and crossed(step, hook_every, cur):
@@ -327,7 +351,9 @@ def fit(
             if checkpointer is not None and crossed(step, checkpoint_every, cur):
                 # checkpoints always hold the LOGICAL layout so they restore
                 # across packed/unpacked configs (train/checkpoint.py)
+                t_ck = time.perf_counter()
                 checkpointer.save(step, lstate())
+                ckpt_save_s.append(round(time.perf_counter() - t_ck, 3))
 
             # preemption: polled once per dispatch, AGREED across processes
             # (any host signalled => all stop here), so the tail save below
@@ -347,4 +373,7 @@ def fit(
     state = lstate()  # hand back (and checkpoint) the logical layout
     if checkpointer is not None and steps_run:
         checkpointer.save(int(jax.device_get(state.step)), state)
-    return FitResult(state, last_train, last_eval, steps_run, preempted)
+    return FitResult(state, last_train, last_eval, steps_run, preempted,
+                     eval_round_s=tuple(eval_round_s),
+                     ckpt_save_s=tuple(ckpt_save_s),
+                     first_dispatch_s=round(first_dispatch_s, 3))

@@ -22,6 +22,27 @@ def _args(tmp_path, feed, extra=()):
     ]
 
 
+def test_mix_mod_numpy_jnp_agree():
+    """The in-jit batch synthesis computes album/artist ids with the same
+    mix_mod map synth_corpus builds the corpus arrays from — the two
+    implementations must agree bit-for-bit or the device feed's
+    track-consistency invariant silently breaks."""
+    import jax
+    import jax.numpy as jnp
+
+    from esrecsys_tpu.tools import full_scale_run as fsr
+
+    ids = np.arange(10_000, dtype=np.int32)
+    for salt, mod in ((7, 700_000), (13, 295_861), (3, 97)):
+        want = fsr.mix_mod(ids, salt, mod, np)
+        got = np.asarray(jax.jit(
+            lambda x, s=salt, m=mod: fsr.mix_mod(x, s, m, jnp))(ids))
+        assert want.dtype == np.int32 and (0 <= want).all() and (want < mod).all()
+        np.testing.assert_array_equal(want, got)
+        # the map actually spreads (not constant / not identity-mod)
+        assert len(np.unique(want[:1000])) > 0.6 * min(mod, 1000)
+
+
 def test_device_feed_composition_and_serving_handoff(tmp_path):
     from esrecsys_tpu.tools import full_scale_run as fsr
 
@@ -31,6 +52,11 @@ def test_device_feed_composition_and_serving_handoff(tmp_path):
     assert out["eval_rounds"] == 2 and out["ckpt_saves"] == 2
     assert np.isfinite(out["last_eval"]["eval_track_recall"])
     assert out["sustained_examples_per_s"] > 0
+    # stage accounting (train/loop.py FitResult): every cadence event was
+    # individually timed and the steady rate excludes them
+    assert len(out["eval_round_s"]) == 2 and len(out["ckpt_save_s"]) >= 2
+    assert out["first_dispatch_s"] > 0
+    assert out["steady_examples_per_s"] >= out["sustained_examples_per_s"]
     # the deploy handoff answered a real query
     assert out["time_to_first_query_s"] > 0
     assert out["serving_qps"] > 0
