@@ -218,7 +218,10 @@ def run_train(args) -> dict:
         while True:
             yield eval_batch
 
-    ckpt = Checkpointer(f"{cfg.work_dir}/checkpoints")
+    # async saves overlap the ~8 s/save device→host checkpoint wall with
+    # training (Orbax async; fit waits for the final save before returning)
+    ckpt = Checkpointer(f"{cfg.work_dir}/checkpoints",
+                        async_save=args.ckpt_async)
     tracker_dir = cfg.work_dir
     from esrecsys_tpu.core import config as config_lib
     from esrecsys_tpu.core.tracking import make_tracker
@@ -462,6 +465,10 @@ def main(argv=None):
                         "(retrieval/fused.py; approx — expected lost items "
                         "C(k,3)/L^2) instead of the exact grouped scan")
     p.add_argument("--ckpt_every", type=int, default=10_000)
+    p.add_argument("--ckpt_async", action="store_true",
+                   help="Orbax async checkpointing: saves overlap training "
+                        "instead of blocking the step loop (~8 s/save on "
+                        "the tunneled chip); the final save is awaited")
     p.add_argument("--momentum", type=float, default=0.98)
     p.add_argument("--lr", type=float, default=0.004)
     p.add_argument("--momentum_carrier", default="auto",

@@ -373,6 +373,12 @@ def fit(
     state = lstate()  # hand back (and checkpoint) the logical layout
     if checkpointer is not None and steps_run:
         checkpointer.save(int(jax.device_get(state.step)), state)
+        # async checkpointers (Checkpointer(async_save=True)) overlap
+        # mid-run saves with training; the FINAL save must be durable
+        # before fit returns (callers may exit or hand the dir off)
+        wait = getattr(checkpointer, "wait", None)
+        if wait is not None:
+            wait()
     return FitResult(state, last_train, last_eval, steps_run, preempted,
                      eval_round_s=tuple(eval_round_s),
                      ckpt_save_s=tuple(ckpt_save_s),

@@ -126,6 +126,32 @@ def test_glove_checkpoint_roundtrip(synthetic_data, tmp_path):
     assert int(result2.state.step) == 5 and result2.steps_run == 2
 
 
+def test_async_checkpointer_through_fit(synthetic_data, tmp_path):
+    """Checkpointer(async_save=True): mid-run saves overlap training and the
+    final save is awaited by fit before it returns, so the directory is
+    complete and restorable the moment fit hands back."""
+    pattern, n = synthetic_data
+    cfg = glove_wl.GloveConfig(train_pattern=pattern, feature_size=4,
+                               batch_size=16)
+    from esrecsys_tpu.core import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(n_model=1)
+    model, state = glove_wl.init_state(cfg, num_embeddings=n + 1, mesh=mesh)
+    ckpt = Checkpointer(str(tmp_path / "ackpt"), async_save=True)
+    result = fit(state, glove_wl.make_train_step(model),
+                 glove_batches(pattern, 16, shuffle_buffer=0), num_steps=6,
+                 checkpointer=ckpt, checkpoint_every=2)
+    # final save durable without any explicit wait by the caller
+    assert ckpt.latest_step() == 6
+    _, fresh = glove_wl.init_state(cfg, num_embeddings=n + 1, mesh=mesh)
+    restored = ckpt.restore(fresh)
+    assert int(restored.step) == 6
+    np.testing.assert_allclose(
+        np.asarray(restored.params["token_embedding"]["embedding"]),
+        np.asarray(result.state.params["token_embedding"]["embedding"]),
+        rtol=1e-6)
+
+
 def test_knn_hook_logs(synthetic_data, caplog):
     pattern, n = synthetic_data
     vocab = Vocabulary.from_counts({f"tok{i}": 100 - i for i in range(n)})
