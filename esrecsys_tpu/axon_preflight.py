@@ -69,6 +69,19 @@ def device_responsive(timeout: float | None = None) -> bool:
         timeout = float(os.environ.get("ESRECSYS_AXON_PROBE_TIMEOUT", 420))
     if timeout <= 0:
         return True
+    # Short-TTL success cache: back-to-back tool invocations (sweeps,
+    # composed runs, the bench) should not each pay a full extra device
+    # attach. Only SUCCESS is cached — a wedged device is always re-probed.
+    cache = os.environ.get("ESRECSYS_AXON_PROBE_CACHE",
+                           "/tmp/esrecsys_axon_probe_ok")
+    ttl = float(os.environ.get("ESRECSYS_AXON_PROBE_TTL", 300))
+    try:
+        import time as _time
+
+        if ttl > 0 and _time.time() - os.path.getmtime(cache) < ttl:
+            return True
+    except OSError:
+        pass
     import subprocess
     import sys
 
@@ -77,9 +90,16 @@ def device_responsive(timeout: float | None = None) -> bool:
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
                            capture_output=True)
-        return r.returncode == 0
+        ok = r.returncode == 0
     except (subprocess.TimeoutExpired, OSError):
         return False
+    if ok:
+        try:
+            with open(cache, "w"):
+                pass
+        except OSError:
+            pass
+    return ok
 
 
 def cpu_fallback_note() -> str | None:

@@ -238,7 +238,7 @@ def packed_scatter_add_phys(
 
 
 def _vmem_scatter_kernel(ids_ref, tab_hbm, upd_ref, out_ref, copy_sem,
-                         *, chunk, nchunks):
+                         *, chunk):
     """One grid step: apply ``chunk`` updates to the VMEM-resident table.
 
     ids_ref:  SMEM (chunk,) physical row ids of this chunk (pad rows carry
@@ -318,8 +318,7 @@ def vmem_scatter_add_phys(
         placed = jnp.pad(placed, ((0, n_pad - n), (0, 0)))
     nchunks = n_pad // chunk
 
-    kernel = functools.partial(_vmem_scatter_kernel, chunk=chunk,
-                               nchunks=nchunks)
+    kernel = functools.partial(_vmem_scatter_kernel, chunk=chunk)
     return pl.pallas_call(
         kernel,
         grid=(nchunks,),

@@ -50,7 +50,7 @@ def measure(cfg, corpus, spc: int, n_calls: int, rng) -> float:
     # r5 pack-boundary study)
     state_pack, _ = pl.packed_state_transforms(cfg)
     if state_pack is not None:
-        state = jax.jit(state_pack)(state)
+        state = jax.jit(state_pack, donate_argnums=0)(state)
 
     def multi_step(state, stacked):
         new_state, metrics = jax.lax.scan(
@@ -92,6 +92,10 @@ def main(argv=None):
                         "step; skip when time-boxed")
     p.add_argument("--out", default="parity_runs/r5_quality_throughput.json")
     args = p.parse_args(argv)
+    if note and args.out.startswith("parity_runs/"):
+        # CPU fallback must not clobber the committed chip record
+        args.out += ".cpu.json"
+        log.warning("CPU fallback: redirecting output to %s", args.out)
 
     import jax.numpy as jnp
     import numpy as np

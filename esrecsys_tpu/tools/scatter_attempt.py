@@ -51,6 +51,10 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--out", default="parity_runs/r5_scatter_attempt.json")
     args = p.parse_args(argv)
+    if note and args.out.startswith("parity_runs/"):
+        # CPU fallback must not clobber the committed chip record
+        args.out += ".cpu.json"
+        log.warning("CPU fallback: redirecting output to %s", args.out)
 
     import jax
     import jax.numpy as jnp

@@ -179,7 +179,13 @@ def fit(
     jit_eval = _jit_checked(eval_step)
     jit_eval_setup = _jit_checked(eval_setup_fn)
 
-    jit_pack = jax.jit(state_pack) if state_pack is not None else None
+    # donate the logical state into the pack: without it the caller's full
+    # logical tables + momentum buffers stay pinned in HBM for the whole
+    # run next to the packed copy (an OOM at the 100M-row scale). fit
+    # therefore CONSUMES its input state whenever state_pack is set —
+    # callers must not reuse the passed-in TrainState afterwards.
+    jit_pack = (jax.jit(state_pack, donate_argnums=0)
+                if state_pack is not None else None)
     jit_unpack = (jax.jit(state_unpack)
                   if state_unpack is not None else None)
     if jit_pack is not None:

@@ -965,6 +965,55 @@ def init_state(cfg: PlaylistConfig, mesh) -> Tuple[PlaylistModel, TrainState]:
     return model, state
 
 
+def restore_adapt_carrier(ckpt, state_template: TrainState,
+                          cfg: PlaylistConfig, mesh) -> TrainState:
+    """Restore a checkpoint, adapting the sparse-momentum carrier when the
+    checkpoint was written under the OTHER one.
+
+    The round-5 ``momentum_carrier`` default resolves to the dense carrier
+    at flagship table sizes, but earlier runs saved the lazy carrier's
+    opt_state ({"momentum", "last_step"}) — a structure mismatch that
+    would otherwise make old checkpoints unrestorable (and vice versa for
+    configs pinned to lazy restoring a dense save). The conversion is
+    exact: lazy→dense settles every row's pending catch-up
+    (:func:`settle_momentum_state` — after which the buffers ARE the
+    dense trajectory's), dense→lazy adds ``last_step = step`` (dense rows
+    are always settled). Mirrors the reference's restore-anywhere
+    semantics (spotify/train_spotify.py:244-245) across the carrier knob.
+    """
+    try:
+        return ckpt.restore(state_template)
+    except Exception:
+        if not (cfg.sparse_updates and cfg.momentum):
+            raise
+    import dataclasses
+
+    from esrecsys_tpu.ops import optim
+
+    other = "lazy" if use_dense_momentum(cfg) else "dense"
+    cfg_other = dataclasses.replace(cfg, momentum_carrier=other)
+    _, tmpl = init_state(cfg_other, mesh)
+    st = ckpt.restore(tmpl)
+    if other == "lazy":
+        st = settle_momentum_state(st, cfg_other)
+        st = st.replace(opt_state={
+            t: {"momentum": st.opt_state[t]["momentum"]}
+            for t in ("album", "artist")})
+    else:
+        step = jnp.asarray(st.step, jnp.int32)
+        new_os = {}
+        for t in ("album", "artist"):
+            mom = st.opt_state[t]["momentum"]
+            # momentum_init on the restored buffer: a zeroed last_step with
+            # the buffer's row sharding, then advanced to the current step
+            last = optim.momentum_init(mom)["last_step"] + step
+            new_os[t] = {"momentum": mom, "last_step": last}
+        st = st.replace(opt_state=new_os)
+    log.info("adapted checkpoint opt_state from the %s momentum carrier "
+             "to the configured one", other)
+    return st
+
+
 def validate_batch(batch, num_tracks: int, num_albums: int, num_artists: int) -> None:
     """Input range checks (check_inputs parity, train_spotify.py:152-156 —
     defined there but never called; here it runs on the first batch)."""
@@ -992,7 +1041,7 @@ def train(cfg: PlaylistConfig, tracker=None, corpus_np=None):
 
     ckpt = Checkpointer(f"{cfg.work_dir}/checkpoints")
     if cfg.resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+        state = restore_adapt_carrier(ckpt, state, cfg, mesh)
         log.info("resumed from step %d", int(state.step))
 
     tracker = tracker or make_tracker(run_dir=cfg.work_dir, config=config_lib.to_dict(cfg))

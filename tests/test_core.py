@@ -129,3 +129,38 @@ def test_axon_preflight_probe_modes(monkeypatch):
     # dead ports -> the original note
     monkeypatch.setattr(ap, "relay_alive", lambda: False)
     assert "unreachable" in ap.cpu_fallback_note()
+
+
+def test_axon_probe_success_cache(monkeypatch, tmp_path):
+    """A recent probe SUCCESS short-circuits the subprocess (back-to-back
+    tools shouldn't each pay a device attach); TTL=0 disables the cache,
+    and failures are never cached."""
+    import subprocess
+
+    from esrecsys_tpu import axon_preflight as ap
+
+    cache = tmp_path / "probe_ok"
+    monkeypatch.setenv("ESRECSYS_AXON_PROBE_CACHE", str(cache))
+    monkeypatch.setenv("ESRECSYS_AXON_PROBE_TIMEOUT", "5")
+
+    def boom(*a, **k):
+        raise AssertionError("subprocess probe ran despite fresh cache")
+
+    # fresh cache file → True without spawning anything
+    cache.touch()
+    monkeypatch.setattr(subprocess, "run", boom)
+    assert ap.device_responsive() is True
+    # TTL=0 → cache ignored, probe runs (mocked to time out → False)
+    monkeypatch.setenv("ESRECSYS_AXON_PROBE_TTL", "0")
+
+    def timeout_run(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="x", timeout=5)
+
+    monkeypatch.setattr(subprocess, "run", timeout_run)
+    assert ap.device_responsive() is False
+    # failure did not (re)write the cache: with TTL back on but the file
+    # removed, a failing probe stays a failure
+    monkeypatch.setenv("ESRECSYS_AXON_PROBE_TTL", "300")
+    cache.unlink()
+    assert ap.device_responsive() is False
+    assert not cache.exists()

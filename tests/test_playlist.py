@@ -666,6 +666,77 @@ def test_checkpoint_resume_with_lazy_momentum(tmp_path):
     np.testing.assert_allclose(float(ml["loss"]), float(mr["loss"]), rtol=1e-6)
 
 
+def test_checkpoint_portable_across_momentum_carriers(tmp_path):
+    """A lazy-carrier checkpoint restores under a dense-carrier config and
+    vice versa (restore_adapt_carrier): the r5 momentum_carrier default
+    flip must not orphan earlier checkpoints. Conversion is exact —
+    lazy→dense settles the pending catch-up (after which buffers ARE the
+    dense trajectory's), dense→lazy marks all rows settled at step."""
+    from esrecsys_tpu.train import Checkpointer
+
+    rng = np.random.default_rng(7)
+    base = dict(feature_size=4, album_hash_buckets=50, num_artists=40,
+                num_negatives=6, batch_size=3, context_size=3, max_next=4,
+                momentum=0.9, learning_rate=0.05, shared_negatives=True,
+                sparse_updates=True)
+    cfg_lazy = pl.PlaylistConfig(**base, momentum_carrier="lazy")
+    cfg_dense = pl.PlaylistConfig(**base, momentum_carrier="dense")
+    corpus = _tiny_corpus(rng)
+
+    # direction A: train lazy, save, restore under the dense config
+    model, s = pl.init_state(cfg_lazy, mesh=None)
+    step_l = jax.jit(pl.make_sparse_train_step(model, cfg_lazy, corpus,
+                                               jax.random.PRNGKey(2)))
+    for i in range(3):
+        s, _ = step_l(s, _rand_batch(np.random.default_rng(i), 3, 3, 4))
+    ck = Checkpointer(str(tmp_path / "lazy2dense"))
+    ck.save(int(s.step), s)
+    _, tmpl_d = pl.init_state(cfg_dense, mesh=None)
+    r = pl.restore_adapt_carrier(ck, tmpl_d, cfg_dense, mesh=None)
+    assert int(r.step) == 3
+    assert set(r.opt_state["album"]) == {"momentum"}
+    # settled lazy state == the dense carrier's: params after settle,
+    # momentum buffers identical
+    settled = pl.settle_momentum_state(s, cfg_lazy)
+    for t, nm in (("album", "album_embed"), ("artist", "artist_embed")):
+        np.testing.assert_allclose(
+            np.asarray(r.params[nm]["embedding"]),
+            np.asarray(settled.params[nm]["embedding"]), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(r.opt_state[t]["momentum"]),
+            np.asarray(settled.opt_state[t]["momentum"]), rtol=1e-6)
+    # the adapted state keeps training under the dense step
+    step_d = jax.jit(pl.make_sparse_train_step(model, cfg_dense, corpus,
+                                               jax.random.PRNGKey(2)))
+    r2, m = step_d(r, _rand_batch(np.random.default_rng(9), 3, 3, 4))
+    assert np.isfinite(float(m["loss"]))
+
+    # direction B: train dense, save, restore under the lazy config
+    model2, s2 = pl.init_state(cfg_dense, mesh=None)
+    step_d2 = jax.jit(pl.make_sparse_train_step(model2, cfg_dense, corpus,
+                                                jax.random.PRNGKey(2)))
+    for i in range(3):
+        s2, _ = step_d2(s2, _rand_batch(np.random.default_rng(i), 3, 3, 4))
+    ck_b = Checkpointer(str(tmp_path / "dense2lazy"))
+    ck_b.save(int(s2.step), s2)
+    _, tmpl_l = pl.init_state(cfg_lazy, mesh=None)
+    rb = pl.restore_adapt_carrier(ck_b, tmpl_l, cfg_lazy, mesh=None)
+    assert set(rb.opt_state["album"]) == {"momentum", "last_step"}
+    # dense rows are always settled: last_step == step everywhere
+    np.testing.assert_array_equal(
+        np.asarray(rb.opt_state["album"]["last_step"]),
+        np.full(rb.opt_state["album"]["momentum"].shape[0], 3, np.int32))
+    rb2, mb = step_l(rb, _rand_batch(np.random.default_rng(9), 3, 3, 4))
+    assert np.isfinite(float(mb["loss"]))
+
+    # matched-structure restores stay on the fast path (no adaptation)
+    _, tmpl_same = pl.init_state(cfg_lazy, mesh=None)
+    same = pl.restore_adapt_carrier(ck, tmpl_same, cfg_lazy, mesh=None)
+    np.testing.assert_array_equal(
+        np.asarray(same.opt_state["album"]["last_step"]),
+        np.asarray(s.opt_state["album"]["last_step"]))
+
+
 def test_checkpoint_portable_across_shard_counts(tmp_path, mesh8):
     """A checkpoint written unsharded restores into a 2-shard config and
     vice versa (VERDICT r3 weak #3): shard-independent 128 padding makes
