@@ -272,14 +272,22 @@ def fit(
 
         return jax.tree_util.tree_map(put, batch)
 
-    # stage accounting for FitResult (composed-run cost split). Eval/ckpt
-    # walls are measured at the host: an eval round's first state read
-    # waits on ≤1 pending async train dispatch, so up to one dispatch of
-    # train time can be attributed to the round — small next to the round
-    # itself at the flagship shapes.
+    # stage accounting for FitResult (composed-run cost split). The host
+    # loop runs ahead of the device (async dispatch), so before starting a
+    # stage timer the pending train backlog is DRAINED with a true barrier
+    # — otherwise queued train time lands in whichever stage syncs next
+    # and the split lies in both directions (observed: a 618k ex/s "steady"
+    # reading against a 348k isolated step). device_get, not
+    # block_until_ready: only device_get round-trips the axon tunnel
+    # (CLAUDE.md); one ~28 ms round-trip per cadence event.
     eval_round_s: list = []
     ckpt_save_s: list = []
     first_dispatch_s = 0.0
+
+    def drain(last_metrics) -> None:
+        leaves = jax.tree_util.tree_leaves(last_metrics)
+        if leaves:
+            jax.device_get(leaves[0])
 
     if own_guard:
         guard.__enter__()
@@ -327,6 +335,7 @@ def fit(
                 timer.tick(examples_per_step * cur)
 
             if jit_eval is not None and crossed(step, eval_every, cur):
+                drain(metrics)  # pending train time stays train time
                 t_eval = time.perf_counter()
                 acc: Dict[str, list] = {}
                 it = eval_iter_fn() if eval_iter_fn is not None else None
@@ -357,6 +366,7 @@ def fit(
             if checkpointer is not None and crossed(step, checkpoint_every, cur):
                 # checkpoints always hold the LOGICAL layout so they restore
                 # across packed/unpacked configs (train/checkpoint.py)
+                drain(metrics)
                 t_ck = time.perf_counter()
                 checkpointer.save(step, lstate())
                 ckpt_save_s.append(round(time.perf_counter() - t_ck, 3))
