@@ -388,6 +388,7 @@ def fit(
         jax.profiler.stop_trace()
     state = lstate()  # hand back (and checkpoint) the logical layout
     if checkpointer is not None and steps_run:
+        t_ck = time.perf_counter()
         checkpointer.save(int(jax.device_get(state.step)), state)
         # async checkpointers (Checkpointer(async_save=True)) overlap
         # mid-run saves with training; the FINAL save must be durable
@@ -395,6 +396,9 @@ def fit(
         wait = getattr(checkpointer, "wait", None)
         if wait is not None:
             wait()
+        # counted with the cadence saves so the stage split accounts the
+        # whole wall (this one also drains any tail train backlog)
+        ckpt_save_s.append(round(time.perf_counter() - t_ck, 3))
     return FitResult(state, last_train, last_eval, steps_run, preempted,
                      eval_round_s=tuple(eval_round_s),
                      ckpt_save_s=tuple(ckpt_save_s),
